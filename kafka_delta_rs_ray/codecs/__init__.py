@@ -1,0 +1,42 @@
+"""Pure-numpy image codec registry, keyed by the table's ``fmt`` column.
+
+The reference exposes a pluggable input-format seam (``MessageFormat``
+enum + parser dispatch, reference src/config/mod.rs:43-50 and
+src/utils/mod.rs:158-164); our analog is a codec registry keyed by
+``fmt``. No PIL/opencv in this environment, so both codecs are numpy:
+
+- ``rawz``  — lossless: raw interleaved uint8 RGB + zlib (exact round-trip)
+- ``dctq``  — lossy: 8×8 block DCT + quantization + zlib (PSNR >= 40 dB)
+
+Unknown fmt or corrupt payload raises :class:`FormatError`; the
+validation stage routes those rows to quarantine (the reference's
+dead-letter path, src/kafka/mod.rs:47-81).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..errors import FormatError
+from . import dctq, rawz
+
+_ENCODERS = {"rawz": rawz.encode, "dctq": dctq.encode}
+_DECODERS = {"rawz": rawz.decode, "dctq": dctq.decode}
+
+FORMATS = tuple(_ENCODERS)
+
+
+def encode(img: np.ndarray, fmt: str) -> bytes:
+    try:
+        enc = _ENCODERS[fmt]
+    except KeyError:
+        raise FormatError(f"unknown image format: {fmt!r}") from None
+    return enc(img)
+
+
+def decode(buf: bytes, fmt: str) -> np.ndarray:
+    try:
+        dec = _DECODERS[fmt]
+    except KeyError:
+        raise FormatError(f"unknown image format: {fmt!r}") from None
+    return dec(buf)

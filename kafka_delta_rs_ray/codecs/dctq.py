@@ -1,0 +1,111 @@
+"""Lossy codec: 8×8 block DCT-II + quantization + zlib (pure numpy).
+
+Quality gate from BASELINE.json input_hint: decoded pixels must reach
+PSNR >= 40 dB vs the original. The default quantization table is the
+JPEG luminance table scaled for quality 95 (scale 0.1, floor 1), which
+is conservative enough to clear 40 dB on flat / gradient / checker /
+noise patterns (verified in tests/test_codecs.py).
+
+Layout: magic b"DCQ1" | u16 w | u16 h | u8 channels | u8 quality |
+zlib(int16 little-endian quantized coefficients, channel-major,
+blocks row-major). Images are padded (edge-replicate) to multiples of 8
+before the transform; the pad is cropped at decode.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ..errors import FormatError
+
+MAGIC = b"DCQ1"
+_HDR = struct.Struct("<4sHHBB")
+
+# Standard JPEG Annex K luminance quantization table.
+_JPEG_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float32,
+)
+
+
+def _quant_table(quality: int) -> np.ndarray:
+    q = min(100, max(1, quality))
+    scale = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
+    t = np.floor((_JPEG_LUMA * scale + 50.0) / 100.0)
+    return np.clip(t, 1.0, 255.0).astype(np.float32)
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8, dtype=np.float64)
+    d = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    d[0, :] *= 1.0 / np.sqrt(2.0)
+    return (d * 0.5).astype(np.float32)  # orthonormal DCT-II
+
+
+_D = _dct_matrix()
+
+
+def _to_blocks(ch: np.ndarray) -> np.ndarray:
+    """(H, W) → (H//8, W//8, 8, 8), H and W already multiples of 8."""
+    h, w = ch.shape
+    return ch.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _from_blocks(blocks: np.ndarray) -> np.ndarray:
+    nh, nw = blocks.shape[:2]
+    return blocks.transpose(0, 2, 1, 3).reshape(nh * 8, nw * 8)
+
+
+def encode(img: np.ndarray, quality: int = 95) -> bytes:
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        a = np.pad(a, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    q = _quant_table(quality)
+    out = []
+    f = a.astype(np.float32) - 128.0
+    for ci in range(c):
+        blocks = _to_blocks(f[:, :, ci])
+        coef = np.einsum("ij,abjk,lk->abil", _D, blocks, _D, optimize=True)
+        out.append(np.round(coef / q).astype(np.int16))
+    payload = zlib.compress(np.concatenate([o.ravel() for o in out]).tobytes(), 6)
+    return _HDR.pack(MAGIC, w, h, c, min(100, max(1, quality))) + payload
+
+
+def decode(buf: bytes) -> np.ndarray:
+    if len(buf) < _HDR.size or buf[:4] != MAGIC:
+        raise FormatError("dctq: bad magic")
+    _, w, h, c, quality = _HDR.unpack_from(buf)
+    try:
+        raw = zlib.decompress(buf[_HDR.size:])
+    except zlib.error as e:
+        raise FormatError(f"dctq: corrupt payload: {e}") from None
+    hp, wp = h + ((-h) % 8), w + ((-w) % 8)
+    n = (hp // 8) * (wp // 8) * 64
+    if len(raw) != n * c * 2:
+        raise FormatError("dctq: size mismatch")
+    q = _quant_table(quality)
+    coefs = np.frombuffer(raw, dtype="<i2").astype(np.float32)
+    chans = []
+    for ci in range(c):
+        blocks = (coefs[ci * n:(ci + 1) * n].reshape(hp // 8, wp // 8, 8, 8)) * q
+        pix = np.einsum("ji,abjk,kl->abil", _D, blocks, _D, optimize=True)
+        chans.append(_from_blocks(pix))
+    a = np.stack(chans, axis=2) + 128.0
+    a = np.clip(np.round(a), 0, 255).astype(np.uint8)[:h, :w]
+    return a[:, :, 0] if c == 1 else a

@@ -1,0 +1,48 @@
+"""Append path: Dataset → fragments → one atomic manifest commit.
+
+The reference's flush (drain buffer → pivot to RecordBatch → Delta
+write → commit, src/pipeline/mod.rs:186-248) becomes: stream the input
+Dataset through a FragmentWriter map_batches stage (each batch → one
+immutable parquet fragment; only tiny metadata rows reach the driver),
+then a single manifest CAS makes all fragments visible atomically.
+A crash before the commit leaves only unreferenced files (invisible;
+swept later by expire) — the write-then-commit ordering that gives the
+reference its exactly-once anchor (src/kafka/mod.rs:187-231).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from ..tablefmt.catalog import Table
+from ..tablefmt.fragments import FragmentWriter, frags_from_meta
+from ..tablefmt.manifest import Manifest
+
+
+def append(table: Table, ds, run_id: str | None = None,
+           target_fragment_rows: int = 4096, txn: dict | None = None,
+           kind: str = "append") -> Manifest:
+    """Append a Dataset's rows to the table as new fragments.
+
+    ``txn``: optional {app_id: {partition: seq}} watermarks to merge
+    into the ledger in the same commit (idempotent-writer identity).
+    """
+    run_id = run_id or uuid.uuid4().hex[:8]
+    meta = ds.map_batches(
+        FragmentWriter(table.root, run_id),
+        batch_format="pyarrow", batch_size=target_fragment_rows,
+    ).take_all()  # tiny: one row per fragment
+    new_frags = frags_from_meta(meta)
+
+    def build(latest: Manifest) -> Manifest:
+        merged_txn = {k: dict(v) for k, v in latest.txn.items()}
+        for app, parts in (txn or {}).items():
+            cur = merged_txn.setdefault(app, {})
+            for p, s in parts.items():
+                cur[str(p)] = max(int(s), int(cur.get(str(p), -1)))
+        return Manifest(version=-1, parent=None, kind=kind,
+                        schema=latest.schema,
+                        fragments=list(latest.fragments) + new_frags,
+                        txn=merged_txn, properties=latest.properties)
+
+    return table.commit(build)

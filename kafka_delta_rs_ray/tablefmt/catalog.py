@@ -1,0 +1,144 @@
+"""Table catalog: open/create tables, atomic versioned commits.
+
+Commit protocol (the port of the reference's exactly-once recipe,
+src/kafka/mod.rs:182-231 — [write data → commit table → commit
+offsets] with bounded retry):
+
+1. all data files (fragments, delete files) are fully written first;
+2. the new manifest JSON is written to a temp file and published with
+   ``os.link`` → creating ``manifest/v{N+1}.json`` is an atomic
+   compare-and-swap: it FAILS if another writer committed N+1 first;
+3. on CAS failure the builder callback is re-run against the fresh
+   latest manifest (optimistic concurrency) up to ``max_attempts``
+   times — the reference's 3×5s offset-commit retry
+   (src/kafka/mod.rs:192-228) without the sleep (losers see the new
+   manifest immediately on a filesystem).
+
+Readers resolve ``latest`` as max version present; a version file is
+only ever complete (link is atomic), so every read is a consistent
+snapshot — snapshot isolation falls out of immutability.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Callable
+
+import pyarrow as pa
+
+from ..errors import CommitConflict, StateError
+from .manifest import MANIFEST_FMT, Fragment, Manifest
+from .snapshot import Snapshot
+
+_DIRS = ("data", "deletes", "manifest", "quarantine", "_runs")
+
+
+class Table:
+    """Handle to a table root directory. Cheap to construct; stateless
+    between calls (all state lives in the manifest files)."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        if not os.path.isdir(self._manifest_dir()):
+            raise StateError(f"not a table: {root} (no manifest dir)")
+
+    # -- creation ----------------------------------------------------------
+    @classmethod
+    def create(cls, root: str, schema: pa.Schema, properties: dict | None = None) -> "Table":
+        root = os.path.abspath(root)
+        for d in _DIRS:
+            os.makedirs(os.path.join(root, d), exist_ok=True)
+        t = cls.__new__(cls)
+        t.root = root
+        m = Manifest(version=0, parent=None, kind="create", schema=schema,
+                     properties=properties or {})
+        t._publish(m)
+        return t
+
+    # -- paths -------------------------------------------------------------
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "manifest")
+
+    def manifest_path(self, version: int) -> str:
+        return os.path.join(self._manifest_dir(), MANIFEST_FMT.format(version))
+
+    def abspath(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    # -- reads -------------------------------------------------------------
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self._manifest_dir()):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise StateError(f"table {self.root} has no manifest versions")
+        return vs[-1]
+
+    def read_manifest(self, version: int | None = None) -> Manifest:
+        v = self.latest_version() if version is None else version
+        with open(self.manifest_path(v)) as f:
+            return Manifest.from_json_str(f.read())
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        return Snapshot(self, self.read_manifest(version))
+
+    def schema(self) -> pa.Schema:
+        return self.read_manifest().schema
+
+    # -- commit ------------------------------------------------------------
+    def _publish(self, m: Manifest) -> None:
+        """Atomically create manifest vN via write-temp + hard-link (CAS)."""
+        final = self.manifest_path(m.version)
+        fd, tmp = tempfile.mkstemp(dir=self._manifest_dir(), prefix=".tmp-",
+                                   suffix=f"-{uuid.uuid4().hex[:8]}")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(m.to_json_str())
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, final)  # atomic; EEXIST == lost the race
+            except FileExistsError:
+                raise CommitConflict(
+                    f"version {m.version} already committed by another writer")
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    def commit(self, build: Callable[[Manifest], Manifest | None],
+               max_attempts: int = 3) -> Manifest | None:
+        """Optimistic-concurrency commit.
+
+        ``build(latest)`` returns the next Manifest (version/parent are
+        overwritten here) or None for an intentional no-op (e.g. a fully
+        replayed MERGE batch). On CAS conflict, re-reads latest, re-runs
+        ``build`` (which must revalidate its assumptions — e.g. that the
+        fragments it rewrites are still live), and retries. Mirrors the
+        reference's bounded commit retry (src/kafka/mod.rs:192-228,
+        max_attempts=3).
+        """
+        last_err: Exception | None = None
+        for _ in range(max_attempts):
+            latest = self.read_manifest()
+            m = build(latest)
+            if m is None:
+                return None
+            m.version = latest.version + 1
+            m.parent = latest.version
+            try:
+                self._publish(m)
+                return m
+            except CommitConflict as e:
+                last_err = e
+                continue
+        raise CommitConflict(
+            f"commit failed after {max_attempts} attempts: {last_err}")

@@ -1,0 +1,121 @@
+"""Fragment and delete-file writers.
+
+Fragments are immutable ZSTD-3 parquet files (compression parity with
+the reference's writer properties, src/pipeline/mod.rs:120-122), named
+``data/frag-{run_id}-{uuid}.parquet`` — run-scoped + content-unique so
+re-executed tasks after a failure never collide and orphans are
+identifiable by run (SURVEY §7.4: idempotent fragment naming).
+
+``FragmentWriter`` is the map_batches sink stage: each input batch is
+written as one fragment and a one-row metadata table comes back, so the
+driver collects only tiny metadata (never image bytes) before the
+manifest commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .manifest import Fragment
+
+ZSTD_LEVEL = 3  # reference parity: src/pipeline/mod.rs:120-122
+
+_STATS_EXCLUDE = (pa.types.is_binary, pa.types.is_large_binary,
+                  pa.types.is_nested, pa.types.is_null)
+
+
+def _json_safe(v):
+    if isinstance(v, (bool, int, float, str)) or v is None:
+        return v
+    return str(v)
+
+
+def compute_stats(tbl: pa.Table) -> dict:
+    """Per-column min/max zone maps for orderable columns."""
+    import pyarrow.compute as pc
+
+    stats = {}
+    for f in tbl.schema:
+        if any(p(f.type) for p in _STATS_EXCLUDE):
+            continue
+        col = tbl[f.name]
+        if col.null_count == len(col):
+            continue
+        mm = pc.min_max(col)
+        stats[f.name] = {"min": _json_safe(mm["min"].as_py()),
+                         "max": _json_safe(mm["max"].as_py())}
+    return stats
+
+
+def new_fragment_id(run_id: str) -> str:
+    return f"{run_id}-{uuid.uuid4().hex[:12]}"
+
+
+def write_fragment_table(tbl: pa.Table, root: str, run_id: str,
+                         sorted_by: str | None = None) -> Fragment:
+    fid = new_fragment_id(run_id)
+    rel = os.path.join("data", f"frag-{fid}.parquet")
+    dest = os.path.join(root, rel)
+    pq.write_table(tbl, dest, compression="zstd", compression_level=ZSTD_LEVEL)
+    return Fragment(id=fid, path=rel, rows=tbl.num_rows,
+                    bytes=os.path.getsize(dest), stats=compute_stats(tbl),
+                    sorted_by=sorted_by)
+
+
+FRAG_META_SCHEMA = pa.schema([pa.field("frag_json", pa.string())])
+
+
+def frag_meta_row(frag: Fragment) -> pa.Table:
+    return pa.Table.from_pylist([{"frag_json": json.dumps(frag.to_json())}],
+                                schema=FRAG_META_SCHEMA)
+
+
+def frags_from_meta(rows) -> list[Fragment]:
+    """Decode the metadata rows collected from a FragmentWriter stage."""
+    return [Fragment.from_json(json.loads(r["frag_json"])) for r in rows]
+
+
+class FragmentWriter:
+    """map_batches stage: one input batch → one fragment file on disk,
+    one metadata row downstream. Use with ``batch_format="pyarrow"`` and
+    ``batch_size=target_fragment_rows``."""
+
+    def __init__(self, root: str, run_id: str, sorted_by: str | None = None,
+                 drop_columns: tuple = ()):
+        self.root = root
+        self.run_id = run_id
+        self.sorted_by = sorted_by
+        self.drop_columns = drop_columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return FRAG_META_SCHEMA.empty_table()
+        if self.drop_columns:
+            batch = batch.drop_columns([c for c in self.drop_columns
+                                        if c in batch.column_names])
+        frag = write_fragment_table(batch, self.root, self.run_id, self.sorted_by)
+        return frag_meta_row(frag)
+
+
+DELETE_SCHEMA = pa.schema([pa.field("fragment_id", pa.string()),
+                           pa.field("image_id", pa.string())])
+
+
+def write_delete_file(root: str, run_id: str, records: pa.Table) -> str:
+    """Write key-delete records (fragment_id, image_id) → relative path.
+
+    Key-based deletion vectors (not row indices): valid because
+    ``image_id`` is the table's primary key and any key is live in at
+    most one fragment, so (fragment_id, image_id) identifies the row.
+    Delete files stay small between compactions (bounded by changeset
+    size); compaction materializes them away.
+    """
+    rel = os.path.join("deletes", f"del-{run_id}-{uuid.uuid4().hex[:12]}.parquet")
+    pq.write_table(records.cast(DELETE_SCHEMA), os.path.join(root, rel),
+                   compression="zstd", compression_level=ZSTD_LEVEL)
+    return rel

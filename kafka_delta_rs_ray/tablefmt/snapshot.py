@@ -1,0 +1,172 @@
+"""Snapshot reads: manifest version → ray.data.Dataset.
+
+A snapshot is immutable: the fragment list and delete files referenced
+by its manifest never change, so concurrent maintenance commits are
+invisible to an open snapshot (snapshot isolation).
+
+Scan strategy (scale notes):
+- zone-map pruning happens BEFORE any I/O: fragments whose per-column
+  min/max ranges miss the predicate are dropped from the read set
+  (driver-side metadata only).
+- fragments with no delete files are read with ``ray.data.read_parquet``
+  (block splitting, column pruning at the parquet reader).
+- fragments WITH delete files are scanned one task per fragment via
+  ``from_items(frag metas) → map_batches(reader)``: the task reads its
+  parquet (columns pruned) and anti-joins its own delete-key set.
+  Delete keys are broadcast once with ``ray.put`` (a dict
+  fragment_id → key array), not re-shipped per batch. Fragment size is
+  bounded by the compaction target, so one task per dirty fragment is
+  memory-safe; dirty-fragment count is bounded by merges since the last
+  compaction.
+"""
+
+from __future__ import annotations
+
+import os
+import typing
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+if typing.TYPE_CHECKING:
+    from .catalog import Table
+    from .manifest import Fragment, Manifest
+
+
+def _overlaps(stats: dict, col: str, lo, hi) -> bool:
+    s = stats.get(col)
+    if s is None:
+        return True  # no stats → cannot prune
+    if lo is not None and s["max"] is not None and s["max"] < lo:
+        return False
+    if hi is not None and s["min"] is not None and s["min"] > hi:
+        return False
+    return True
+
+
+class _DirtyFragmentReader:
+    """map_batches stage over fragment-meta rows: read parquet, drop
+    deleted keys. Delete sets come from a single ray.put broadcast."""
+
+    def __init__(self, root: str, columns, deletes_ref):
+        self.root = root
+        self.columns = columns
+        self.deletes_ref = deletes_ref
+        self._deletes = None  # resolved lazily once per worker
+
+    def __call__(self, meta: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import ray
+
+        if self._deletes is None:
+            self._deletes = ray.get(self.deletes_ref)
+        out = []
+        for row in meta.to_pylist():
+            cols = self.columns
+            read_cols = cols
+            if cols is not None and "image_id" not in cols:
+                read_cols = list(cols) + ["image_id"]
+            t = pq.read_table(os.path.join(self.root, row["path"]), columns=read_cols)
+            keys = self._deletes.get(row["id"])
+            if keys is not None and len(keys) > 0:
+                mask = pc.is_in(t["image_id"], value_set=pa.array(keys, pa.string()))
+                t = t.filter(pc.invert(mask))
+            if cols is not None:
+                t = t.select(cols)
+            out.append(t)
+        return pa.concat_tables(out) if out else pa.table({})
+
+
+class Snapshot:
+    def __init__(self, table: "Table", manifest: "Manifest"):
+        self.table = table
+        self.manifest = manifest
+
+    @property
+    def version(self) -> int:
+        return self.manifest.version
+
+    def _select_fragments(self, prune: dict | None) -> list["Fragment"]:
+        frags = self.manifest.fragments
+        if prune:
+            for col, (lo, hi) in prune.items():
+                frags = [f for f in frags if _overlaps(f.stats, col, lo, hi)]
+        return frags
+
+    def read_deletes(self, frags: list["Fragment"] | None = None) -> dict:
+        """fragment_id → list[str] deleted keys (driver-side; small)."""
+        frags = self.manifest.fragments if frags is None else frags
+        out: dict[str, list] = {}
+        for f in frags:
+            if not f.delete_paths:
+                continue
+            keys: list = []
+            for rel in f.delete_paths:
+                t = pq.read_table(self.table.abspath(rel), columns=["fragment_id", "image_id"])
+                import pyarrow.compute as pc
+
+                t = t.filter(pc.equal(t["fragment_id"], f.id))
+                keys.extend(t["image_id"].to_pylist())
+            if keys:
+                out[f.id] = keys
+        return out
+
+    def dataset(self, columns: list | None = None, prune: dict | None = None,
+                apply_deletes: bool = True):
+        """The snapshot as a lazy ray.data.Dataset.
+
+        ``prune``: {col: (lo, hi)} zone-map predicate (inclusive; None =
+        unbounded side). ``columns``: projection pushed to the parquet
+        reader.
+        """
+        import ray
+        import ray.data as rd
+
+        frags = self._select_fragments(prune)
+        schema = self.manifest.schema if columns is None else pa.schema(
+            [self.manifest.schema.field(c) for c in columns])
+        if not frags:
+            return rd.from_arrow(schema.empty_table())
+
+        deletes = self.read_deletes(frags) if apply_deletes else {}
+        clean = [f for f in frags if f.id not in deletes]
+        dirty = [f for f in frags if f.id in deletes]
+
+        parts = []
+        if clean:
+            parts.append(rd.read_parquet(
+                [self.table.abspath(f.path) for f in clean], columns=columns))
+        if dirty:
+            ref = ray.put(deletes)
+            meta = rd.from_items([{"id": f.id, "path": f.path} for f in dirty])
+            parts.append(meta.map_batches(
+                _DirtyFragmentReader(self.table.root, columns, ref),
+                batch_format="pyarrow", batch_size=1))
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        return ds
+
+    def to_arrow(self, columns: list | None = None, prune: dict | None = None) -> pa.Table:
+        """Materialize the snapshot driver-side — tests/small tables only."""
+        tables = []
+        deletes = self.read_deletes()
+        for f in self._select_fragments(prune):
+            cols = columns
+            if cols is not None and "image_id" not in cols:
+                cols = list(cols) + ["image_id"]
+            t = pq.read_table(self.table.abspath(f.path), columns=cols)
+            keys = deletes.get(f.id)
+            if keys:
+                import pyarrow.compute as pc
+
+                t = t.filter(pc.invert(pc.is_in(t["image_id"],
+                                                value_set=pa.array(keys, pa.string()))))
+            if columns is not None:
+                t = t.select(columns)
+            tables.append(t)
+        if not tables:
+            sch = self.manifest.schema if columns is None else pa.schema(
+                [self.manifest.schema.field(c) for c in columns])
+            return sch.empty_table()
+        return pa.concat_tables(tables)

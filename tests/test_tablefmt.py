@@ -1,0 +1,122 @@
+"""Format core: create/append/scan round-trip, snapshot isolation,
+commit CAS conflict behavior (the reference's flush/commit tests,
+src/pipeline/mod.rs:252-385, translated to table maintenance)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kafka_delta_rs_ray.codecs import decode
+from kafka_delta_rs_ray.errors import CommitConflict, StateError
+from kafka_delta_rs_ray.functions import psnr
+from kafka_delta_rs_ray.pipelines.ingest import append
+from kafka_delta_rs_ray.pipelines.synth import image_dataset, make_row
+from kafka_delta_rs_ray.tablefmt import IMAGE_SCHEMA, Manifest, Table
+
+
+@pytest.fixture
+def table(tmp_path):
+    return Table.create(str(tmp_path / "t"), IMAGE_SCHEMA)
+
+
+def test_create_and_load(table):
+    t2 = Table(table.root)
+    assert t2.latest_version() == 0
+    m = t2.read_manifest()
+    assert m.kind == "create"
+    assert m.schema.equals(IMAGE_SCHEMA)
+    assert m.fragments == []
+    with pytest.raises(StateError):
+        Table("/tmp/definitely-not-a-table-xyz")
+
+
+def test_append_scan_roundtrip(table, ray_session):
+    ds = image_dataset(100, seed=42, batch_size=40)
+    m = append(table, ds, target_fragment_rows=40)
+    assert m.version == 1 and m.kind == "append"
+    assert sum(f.rows for f in m.fragments) == 100
+    assert len(m.fragments) >= 2  # batch_size 40 → ≥3 fragments
+
+    snap = table.snapshot()
+    out = snap.dataset()
+    assert out.count() == 100
+    tbl = snap.to_arrow()
+    assert tbl.num_rows == 100
+    ids = sorted(tbl["image_id"].to_pylist())
+    assert ids[0] == "img-0000000000" and len(set(ids)) == 100
+
+    # decoded-pixel invariant: every stored row decodes to >= 40 dB vs source
+    idx = {i: n for n, i in enumerate(tbl["image_id"].to_pylist())}
+    for rid in (0, 1, 57):
+        r = make_row(rid, 42)
+        n = idx[f"img-{rid:010d}"]
+        rec = decode(tbl["bytes"][n].as_py(), tbl["fmt"][n].as_py())
+        assert psnr(r["img"], rec) >= 40.0
+        if tbl["fmt"][n].as_py() == "rawz":
+            assert np.array_equal(rec, r["img"])
+
+
+def test_zone_map_stats_present(table, ray_session):
+    append(table, image_dataset(60, batch_size=30), target_fragment_rows=30)
+    m = table.read_manifest()
+    for f in m.fragments:
+        assert "image_id" in f.stats and "phash" in f.stats and "w" in f.stats
+        assert f.stats["w"]["min"] >= 32 and f.stats["w"]["max"] <= 256
+        assert "bytes" not in f.stats  # no zone maps on binary
+
+
+def test_column_projection_scan(table, ray_session):
+    append(table, image_dataset(50, batch_size=25), target_fragment_rows=25)
+    ds = table.snapshot().dataset(columns=["image_id", "caption"])
+    sch = ds.schema()
+    assert sch.names == ["image_id", "caption"]
+    assert ds.count() == 50
+
+
+def test_snapshot_isolation(table, ray_session):
+    append(table, image_dataset(30, batch_size=30), target_fragment_rows=30)
+    snap1 = table.snapshot()  # version 1
+    append(table, image_dataset(20, seed=99, batch_size=20).map_batches(
+        lambda b: b.set_column(0, "image_id",
+                               pa.array([f"x-{i}" for i in range(b.num_rows)])),
+        batch_format="pyarrow"), target_fragment_rows=20)
+    assert table.latest_version() == 2
+    # the old snapshot still sees exactly its 30 rows
+    assert snap1.to_arrow().num_rows == 30
+    assert table.snapshot().to_arrow().num_rows == 50
+
+
+def test_commit_conflict_retry(table):
+    """Loser re-runs its builder against the fresh manifest (optimistic
+    concurrency; reference retry loop src/kafka/mod.rs:192-228)."""
+    calls = []
+
+    def sneaky_build(latest: Manifest) -> Manifest:
+        calls.append(latest.version)
+        if len(calls) == 1:
+            # simulate a concurrent winner between read and publish
+            table.commit(lambda l: Manifest(-1, None, "append", l.schema,
+                                            list(l.fragments), l.txn, l.properties))
+        return Manifest(-1, None, "append", latest.schema,
+                        list(latest.fragments), latest.txn,
+                        dict(latest.properties, who="me"))
+
+    m = table.commit(sneaky_build)
+    assert calls == [0, 1]  # second attempt saw the interloper's version
+    assert m.version == 2
+    assert table.read_manifest().properties["who"] == "me"
+
+
+def test_commit_conflict_exhausts(table):
+    def always_lose(latest: Manifest) -> Manifest:
+        table.commit(lambda l: Manifest(-1, None, "append", l.schema,
+                                        list(l.fragments), l.txn, l.properties))
+        return Manifest(-1, None, "append", latest.schema, [], latest.txn, {})
+
+    with pytest.raises(CommitConflict):
+        table.commit(always_lose, max_attempts=2)
+
+
+def test_commit_noop(table):
+    assert table.commit(lambda latest: None) is None
+    assert table.latest_version() == 0
