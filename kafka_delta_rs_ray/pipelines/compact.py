@@ -1,0 +1,183 @@
+"""Bin-packing compaction (north_star: first-fit-decreasing over the
+fragment size histogram).
+
+Plan (driver-side, manifest metadata only — no data I/O):
+  candidates = fragments smaller than the target OR carrying deletes;
+  FFD: sort candidates by bytes descending, place each into the first
+  bin with room (capacity = target_bytes); singleton bins without
+  deletes are dropped (rewriting one clean fragment is churn).
+
+Execute (Ray-Data-native fan-out): the bin list becomes a Dataset
+(``from_items``) and each bin is rewritten by one ``map_batches`` task:
+read the bin's fragments (column-complete, pyarrow), drop deleted keys,
+write ONE new fragment. A bin is bounded by target_bytes, so a task's
+working set is bounded regardless of table size; thousands of bins
+stream through the actor/task pool with backpressure. No shuffle —
+bin membership is decided from manifest stats (SURVEY §7.3).
+
+Resume: each finished bin writes a done-marker recording its output
+fragment; re-running with the same run_id skips finished bins
+(mid-compaction resumability, north_rule).
+
+Commit: one manifest CAS swaps input fragments for outputs. The
+builder revalidates against the then-latest manifest: a bin commits
+only if ALL its inputs are still live (a concurrent merge may have
+attached new deletes — then dropping the inputs would lose those
+deletes, so the bin is skipped and its output becomes an expirable
+orphan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..state.lineage import RunContext
+from ..tablefmt.catalog import Table
+from ..tablefmt.fragments import write_fragment_table
+from ..tablefmt.manifest import Fragment, Manifest
+
+DEFAULT_TARGET_BYTES = 128 << 20
+
+
+def plan_compaction(manifest: Manifest, target_bytes: int = DEFAULT_TARGET_BYTES,
+                    small_ratio: float = 0.8) -> list[dict]:
+    """FFD bin-packing over fragment sizes → list of bins (driver-side)."""
+    cand = [f for f in manifest.fragments
+            if f.bytes < target_bytes * small_ratio or f.deleted_rows > 0]
+    cand.sort(key=lambda f: f.bytes, reverse=True)  # first-fit-DECREASING
+    bins: list[dict] = []
+    for f in cand:
+        for b in bins:
+            if b["bytes"] + f.bytes <= target_bytes:
+                b["frags"].append(f)
+                b["bytes"] += f.bytes
+                break
+        else:
+            bins.append({"frags": [f], "bytes": f.bytes})
+    out = []
+    for i, b in enumerate(bins):
+        if len(b["frags"]) == 1 and b["frags"][0].deleted_rows == 0:
+            continue  # nothing to gain
+        out.append({"bin_id": i,
+                    "fragment_ids": [f.id for f in b["frags"]],
+                    "paths": [f.path for f in b["frags"]],
+                    "bytes": b["bytes"]})
+    return out
+
+
+class _RewriteBin:
+    """map_batches stage over bin-descriptor rows (batch_size=1)."""
+
+    def __init__(self, root: str, run_id: str, deletes_ref):
+        self.root = root
+        self.run_id = run_id
+        self.deletes_ref = deletes_ref
+        self._deletes = None
+        self._ctx = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import ray
+
+        if self._ctx is None:
+            self._ctx = RunContext(self.root, self.run_id, job="compact")
+            self._deletes = ray.get(self.deletes_ref)
+        out_rows = []
+        for row in batch.to_pylist():
+            bin_id = str(row["bin_id"])
+            done = self._ctx.read_marker("bin", bin_id)
+            if done is not None:  # resume: skip finished bin
+                out_rows.append({"bin_id": row["bin_id"],
+                                 "frag_json": done["frag_json"],
+                                 "input_ids": row["fragment_ids"],
+                                 "resumed": True})
+                continue
+            t0 = time.time()
+            parts = []
+            for fid, rel in zip(row["fragment_ids"], row["paths"]):
+                t = pq.read_table(os.path.join(self.root, rel))
+                keys = self._deletes.get(fid)
+                if keys:
+                    t = t.filter(pc.invert(pc.is_in(
+                        t["image_id"], value_set=pa.array(keys, pa.string()))))
+                parts.append(t)
+            merged = pa.concat_tables(parts).combine_chunks()
+            frag = write_fragment_table(merged, self.root, self.run_id)
+            fj = json.dumps(frag.to_json())
+            self._ctx.write_marker("bin", bin_id, {
+                "frag_json": fj, "rows": merged.num_rows,
+                "seconds": time.time() - t0})
+            out_rows.append({"bin_id": row["bin_id"], "frag_json": fj,
+                             "input_ids": row["fragment_ids"],
+                             "resumed": False})
+        return pa.Table.from_pylist(out_rows)
+
+
+def compact(table: Table, target_bytes: int = DEFAULT_TARGET_BYTES,
+            run_id: str | None = None, concurrency=None) -> Manifest | None:
+    """Run one compaction pass. Returns the new manifest, or None if the
+    table is already compact. Resumable: pass the previous run_id to
+    skip bins that already finished."""
+    import ray
+    import ray.data as rd
+
+    ctx = RunContext(table.root, run_id, job="compact")
+    snap = table.snapshot()
+    saved = ctx.read_plan()
+    if saved is not None:
+        bins = saved["bins"]
+    else:
+        bins = plan_compaction(snap.manifest, target_bytes)
+        ctx.write_plan({"bins": bins, "base_version": snap.version,
+                        "target_bytes": target_bytes})
+    if not bins:
+        return None
+
+    t0 = time.time()
+    planned_ids = {fid for b in bins for fid in b["fragment_ids"]}
+    frag_by_id = {f.id: f for f in snap.manifest.fragments}
+    deletes = snap.read_deletes([frag_by_id[i] for i in planned_ids
+                                 if i in frag_by_id])
+    deletes_ref = ray.put(deletes)
+
+    kwargs = {"concurrency": concurrency} if concurrency is not None else {}
+    results = rd.from_items(bins).map_batches(
+        _RewriteBin(table.root, ctx.run_id, deletes_ref),
+        batch_format="pyarrow", batch_size=1, **kwargs).take_all()
+
+    attempts = {"n": 0}
+
+    def build(latest: Manifest) -> Manifest | None:
+        attempts["n"] += 1
+        live = latest.fragment_ids()
+        keep = list(latest.fragments)
+        removed: set = set()
+        added: list[Fragment] = []
+        for r in results:
+            inputs = set(r["input_ids"])
+            if not inputs <= live:
+                continue  # conflict: an input vanished → skip this bin
+            removed |= inputs
+            added.append(Fragment.from_json(json.loads(r["frag_json"])))
+        if not added:
+            return None
+        keep = [f for f in keep if f.id not in removed] + added
+        return Manifest(version=-1, parent=None, kind="compact",
+                        schema=latest.schema, fragments=keep,
+                        txn=latest.txn, properties=latest.properties)
+
+    m = table.commit(build)
+    ctx.log_metric("compact_done",
+                   bins=len(bins),
+                   fragments_in=len(planned_ids),
+                   fragments_out=len(bins),
+                   resumed_bins=sum(1 for r in results if r["resumed"]),
+                   commit_attempts=attempts["n"],
+                   seconds=time.time() - t0,
+                   committed_version=None if m is None else m.version)
+    return m

@@ -1,0 +1,73 @@
+"""Snapshot expire: reachability GC over manifest versions.
+
+Retain the newest ``keep_last`` versions (the latest always survives);
+every data/delete file referenced by ANY retained manifest is
+reachable; everything else in data/ and deletes/ — including orphans
+from crashed or conflict-losing runs — is swept, and expired manifest
+files are removed. Retained versions keep full snapshot isolation:
+their entire file closure stays on disk.
+
+Safety valve for concurrency: files younger than ``min_age_seconds``
+are kept even if unreferenced, because an in-flight run writes
+fragments BEFORE its manifest CAS makes them reachable (the
+write-then-commit ordering, reference src/kafka/mod.rs:187-231).
+Driver-side metadata walk only — no Ray work.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from ..state.lineage import RunContext
+from ..tablefmt.catalog import Table
+
+
+def expire(table: Table, keep_last: int = 2, min_age_seconds: float = 0.0,
+           run_id: str | None = None, dry_run: bool = False) -> dict:
+    ctx = RunContext(table.root, run_id, job="expire")
+    t0 = time.time()
+    versions = table.versions()
+    keep_last = max(1, keep_last)
+    retained = versions[-keep_last:]
+    expired_versions = versions[:-keep_last]
+
+    reachable: set[str] = set()
+    for v in retained:
+        m = table.read_manifest(v)
+        for f in m.fragments:
+            reachable.add(f.path)
+            reachable.update(f.delete_paths)
+
+    removed_files: list[str] = []
+    kept_young = 0
+    now = time.time()
+    for sub in ("data", "deletes"):
+        d = os.path.join(table.root, sub)
+        for name in sorted(os.listdir(d)):
+            rel = os.path.join(sub, name)
+            if rel in reachable:
+                continue
+            full = os.path.join(d, name)
+            if now - os.path.getmtime(full) < min_age_seconds:
+                kept_young += 1
+                continue  # possibly an in-flight run's pre-commit file
+            if not dry_run:
+                os.unlink(full)
+            removed_files.append(rel)
+
+    for v in expired_versions:
+        if not dry_run:
+            os.unlink(table.manifest_path(v))
+
+    report = {
+        "retained_versions": retained,
+        "expired_versions": expired_versions,
+        "removed_files": removed_files,
+        "kept_young_files": kept_young,
+        "dry_run": dry_run,
+        "seconds": time.time() - t0,
+    }
+    ctx.log_metric("expire_done", **{k: (len(v) if isinstance(v, list) else v)
+                                     for k, v in report.items()})
+    return report

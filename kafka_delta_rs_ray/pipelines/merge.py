@@ -1,0 +1,231 @@
+"""MERGE INTO: hash-partitioned upsert/delete of a changeset by
+``image_id``, with the reference's dedup + exactly-once guarantees.
+
+Semantics ported from the reference (not its architecture):
+
+- **replay filter** — rows with ``seq <= txn[app_id][partition_id]``
+  are dropped: a crashed-and-retried producer replays harmlessly
+  (reference: offsets committed only post-flush, src/kafka/mod.rs:187-231;
+  dedup absorbs redelivery, src/pipeline/mod.rs:58-80). A fully
+  replayed changeset is a commit-level NO-OP (no new version).
+- **first-wins dedup** — within one merge, duplicate ``image_id``s keep
+  the lowest ``seq`` (the reference's BTreeMap-by-offset + skip-if-seen
+  insert, src/pipeline/mod.rs:41-80), resolved per hash bucket with a
+  vectorized kernel — no per-key Python.
+- **matched rows** — via key-based deletion vectors: a matched upsert
+  deletes the old row (delete record on its fragment) and inserts the
+  new row into a fresh fragment; a matched delete only deletes.
+  Unmatched deletes are no-ops.
+
+Physical plan:
+  1. changeset → map_batches(replay filter)            no shuffle
+  2. add bucket = hash(image_id) % B → groupby(bucket)
+     → map_groups(vectorized first-wins)               ONE shuffle of
+                                                       the (bounded)
+                                                       changeset only
+  3. changed-key min/max prunes base fragments via image_id zone maps;
+     one task per touched fragment intersects its keys with the
+     broadcast changed-key set (ray.put once)          no base shuffle
+  4. upsert rows → FragmentWriter; delete records → one delete file
+  5. single manifest CAS: attach delete files, add fragments, advance
+     watermarks. Builder revalidates touched fragments are still live
+     (a concurrent compaction moved rows → CommitConflict → caller
+     reruns the merge against the new snapshot).
+
+The base table is never shuffled and never fully scanned: work is
+proportional to the changeset + touched fragments (zone-map pruned),
+which is what makes MERGE viable on a 10^12-row table.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..errors import CommitConflict
+from ..state.lineage import RunContext
+from ..tablefmt.catalog import Table
+from ..tablefmt.fragments import (FragmentWriter, frags_from_meta,
+                                  write_delete_file)
+from ..tablefmt.manifest import Manifest
+from .synth import stable_hash_str
+
+_EXTRA_COLS = ("partition_id", "seq", "op", "bucket")
+
+
+class _ReplayFilter:
+    """Drop rows already covered by the app's committed watermarks."""
+
+    def __init__(self, watermarks: dict):
+        # {partition(str): last committed seq}
+        self.wm = {int(k): int(v) for k, v in watermarks.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.wm or batch.num_rows == 0:
+            return batch
+        part = batch["partition_id"].to_numpy(zero_copy_only=False)
+        seq = batch["seq"].to_numpy(zero_copy_only=False)
+        wm = np.full(len(part), -1, dtype=np.int64)
+        for p, s in self.wm.items():
+            wm[part == p] = s
+        return batch.filter(pa.array(seq > wm))
+
+
+def _add_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    import zlib
+
+    b = np.array([zlib.crc32(s.encode()) % n_buckets
+                  for s in batch["image_id"].to_pylist()], dtype=np.int32)
+    return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+
+def _first_wins(group: pa.Table) -> pa.Table:
+    """Vectorized first-wins-by-seq per image_id within one hash bucket."""
+    t = group.sort_by([("image_id", "ascending"), ("seq", "ascending")])
+    ids = np.asarray(t["image_id"].to_pylist(), dtype=object)
+    first = np.ones(len(ids), dtype=bool)
+    first[1:] = ids[1:] != ids[:-1]
+    return t.filter(pa.array(first))
+
+
+class _IntersectKeys:
+    """Per-touched-fragment task: which changed keys exist here?
+
+    Reads ONLY the image_id column of its fragment; the changed-key set
+    arrives once per worker via ray.put broadcast, not per batch.
+    """
+
+    def __init__(self, root: str, keys_ref):
+        self.root = root
+        self.keys_ref = keys_ref
+        self._keys = None
+
+    def __call__(self, meta: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import ray
+
+        if self._keys is None:
+            self._keys = pa.array(sorted(ray.get(self.keys_ref)), pa.string())
+        out = {"fragment_id": [], "image_id": []}
+        for row in meta.to_pylist():
+            t = pq.read_table(f"{self.root}/{row['path']}", columns=["image_id"])
+            hit = t.filter(pc.is_in(t["image_id"], value_set=self._keys))
+            ids = hit["image_id"].to_pylist()
+            out["fragment_id"].extend([row["id"]] * len(ids))
+            out["image_id"].extend(ids)
+        return pa.table({"fragment_id": pa.array(out["fragment_id"], pa.string()),
+                         "image_id": pa.array(out["image_id"], pa.string())})
+
+
+def merge(table: Table, changes_ds, app_id: str,
+          n_buckets: int = 32, run_id: str | None = None,
+          target_fragment_rows: int = 4096) -> Manifest | None:
+    """MERGE the changeset Dataset (CHANGESET_SCHEMA) into the table.
+
+    Returns the committed manifest, or None when every row was a replay
+    (idempotent no-op). Raises CommitConflict if touched fragments were
+    rewritten concurrently — rerun against the fresh snapshot.
+    """
+    import ray
+    import ray.data as rd
+
+    ctx = RunContext(table.root, run_id, job="merge")
+    t0 = time.time()
+    snap = table.snapshot()
+    m0 = snap.manifest
+
+    # 1+2: replay filter → bucket shuffle → first-wins dedup. The result
+    # is changeset-sized; materialize() pins it (it feeds 3 consumers).
+    filt = changes_ds.map_batches(_ReplayFilter(m0.txn.get(app_id, {})),
+                                  batch_format="pyarrow")
+    deduped = (filt
+               .map_batches(lambda b: _add_bucket(b, n_buckets),
+                            batch_format="pyarrow")
+               .groupby("bucket")
+               .map_groups(_first_wins, batch_format="pyarrow")
+               .materialize())
+    n_effective = deduped.count()
+    if n_effective == 0:
+        ctx.log_metric("merge_noop", app_id=app_id, seconds=time.time() - t0)
+        return None
+
+    # watermark advance: max seq per partition over post-filter rows
+    wm_rows = (deduped.groupby("partition_id").max("seq")).take_all()
+    new_wm = {str(r["partition_id"]): int(r["max(seq)"]) for r in wm_rows}
+
+    # changed-key set (driver-side; bounded by changeset size)
+    key_tbl = deduped.select_columns(["image_id"]).take_all()
+    changed_keys = {r["image_id"] for r in key_tbl}
+    kmin, kmax = min(changed_keys), max(changed_keys)
+
+    # 3: zone-map prune → per-fragment intersect
+    touched = [f for f in m0.fragments
+               if "image_id" not in f.stats
+               or not (f.stats["image_id"]["max"] < kmin
+                       or f.stats["image_id"]["min"] > kmax)]
+    del_tbl = pa.table({"fragment_id": pa.array([], pa.string()),
+                        "image_id": pa.array([], pa.string())})
+    if touched:
+        keys_ref = ray.put(changed_keys)
+        metas = rd.from_items([{"id": f.id, "path": f.path} for f in touched])
+        parts = metas.map_batches(_IntersectKeys(table.root, keys_ref),
+                                  batch_format="pyarrow", batch_size=1).take_all()
+        if parts:
+            del_tbl = pa.Table.from_pylist(
+                parts, schema=pa.schema([("fragment_id", pa.string()),
+                                         ("image_id", pa.string())]))
+
+    # Keys physically present but already dead (prior delete vectors)
+    # must not be re-deleted twice — harmless, so we keep it simple.
+    del_rel = None
+    deletes_by_frag: dict[str, int] = {}
+    if del_tbl.num_rows:
+        del_rel = write_delete_file(table.root, ctx.run_id, del_tbl)
+        for fid in del_tbl["fragment_id"].to_pylist():
+            deletes_by_frag[fid] = deletes_by_frag.get(fid, 0) + 1
+
+    # 4: new fragments from upsert rows
+    import pyarrow.compute as pc
+
+    upserts = deduped.map_batches(
+        lambda b: b.filter(pc.equal(b["op"], "upsert")).drop_columns(
+            [c for c in _EXTRA_COLS if c in b.column_names]),
+        batch_format="pyarrow")
+    meta = upserts.map_batches(FragmentWriter(table.root, ctx.run_id),
+                               batch_format="pyarrow",
+                               batch_size=target_fragment_rows).take_all()
+    new_frags = frags_from_meta(meta)
+
+    # 5: one CAS
+    def build(latest: Manifest) -> Manifest:
+        live = {f.id: f for f in latest.fragments}
+        for fid in deletes_by_frag:
+            if fid not in live:
+                raise CommitConflict(
+                    f"fragment {fid} was rewritten concurrently; rerun merge")
+        frags = []
+        for f in latest.fragments:
+            if f.id in deletes_by_frag:
+                f = type(f)(**{**f.to_json()})
+                f.delete_paths = list(f.delete_paths) + [del_rel]
+                f.deleted_rows = f.deleted_rows + deletes_by_frag[f.id]
+            frags.append(f)
+        frags += new_frags
+        txn = {k: dict(v) for k, v in latest.txn.items()}
+        cur = txn.setdefault(app_id, {})
+        for p, s in new_wm.items():
+            cur[p] = max(int(s), int(cur.get(p, -1)))
+        return Manifest(version=-1, parent=None, kind="merge",
+                        schema=latest.schema, fragments=frags,
+                        txn=txn, properties=latest.properties)
+
+    m = table.commit(build)
+    ctx.log_metric("merge_done", app_id=app_id, rows_effective=n_effective,
+                   deletes=del_tbl.num_rows,
+                   inserted_fragments=len(new_frags),
+                   touched_fragments=len(deletes_by_frag),
+                   seconds=time.time() - t0, committed_version=m.version)
+    return m

@@ -1,0 +1,78 @@
+"""Batch validation + quarantine routing (the reference's dead-letter
+path: parse error → dead-letter topic with error string + metric,
+src/kafka/mod.rs:47-81, 288-300; empty payload silently dropped,
+src/utils/mod.rs:132-134).
+
+``ValidateImages`` is an actor-pool map_batches stage: rows whose
+``bytes`` decode under their declared ``fmt`` (and match the declared
+w×h) pass through; corrupt/unknown rows are written to the table's
+``quarantine/`` directory with an ``error`` column and never reach a
+fragment. The stage outputs only valid rows, so it composes directly
+with FragmentWriter in an ingest pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..codecs import decode
+from ..errors import FormatError
+
+
+class ValidateImages:
+    """Stateful stage (actor pool): decode-validate each row's bytes.
+
+    Decode is per-row by necessity (opaque binary payloads), but all
+    row-level work is numpy inside a long-lived actor; quarantine
+    writes are batched per input batch.
+    """
+
+    def __init__(self, table_root: str | None = None, run_id: str = "adhoc",
+                 check_pixels: bool = False):
+        self.root = table_root
+        self.run_id = run_id
+        self.check_pixels = check_pixels
+        self.quarantined = 0  # per-actor dead-letter counter (A1 analog)
+
+    def _quarantine(self, batch: pa.Table, mask: np.ndarray,
+                    errors: list) -> None:
+        if self.root is None or not mask.any():
+            return
+        bad = batch.filter(pa.array(mask))
+        bad = bad.append_column(
+            "error", pa.array([e for e, m in zip(errors, mask) if m],
+                              pa.string()))
+        dest = os.path.join(self.root, "quarantine",
+                            f"q-{self.run_id}-{uuid.uuid4().hex[:12]}.parquet")
+        pq.write_table(bad, dest, compression="zstd", compression_level=3)
+        self.quarantined += int(mask.sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        bad = np.zeros(n, dtype=bool)
+        errors: list[str | None] = [None] * n
+        bufs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        for i in range(n):
+            if bufs[i] is None or len(bufs[i]) == 0:
+                bad[i] = True  # empty payload: dropped (ref: Ok(None) arm)
+                errors[i] = "empty payload"
+                continue
+            try:
+                img = decode(bufs[i], fmts[i])
+                if self.check_pixels and (img.shape[0] != hs[i]
+                                          or img.shape[1] != ws[i]):
+                    raise FormatError(
+                        f"dimension mismatch: {img.shape[:2]} != ({hs[i]}, {ws[i]})")
+            except FormatError as e:
+                bad[i] = True
+                errors[i] = str(e)
+        self._quarantine(batch, bad, errors)
+        return batch.filter(pa.array(~bad))

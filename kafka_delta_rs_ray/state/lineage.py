@@ -1,0 +1,92 @@
+"""Per-run lineage records, done-markers, and metrics.
+
+The reference's checkpoint is the Kafka committed offset plus its
+OTLP counters (src/kafka/mod.rs:187-231, src/monitoring/mod.rs:18-26).
+A maintenance run's analog lives under ``<table>/_runs/<run_id>/``:
+
+- ``plan.json``            — the frozen work plan (written once);
+- ``markers/<kind>/<key>.json`` — atomic done-markers, one per unit of
+  work (e.g. a compaction bin); resume = skip marked units and reuse
+  their recorded outputs. Markers are written tmp+rename so a crash
+  mid-write never yields a half-marker;
+- ``metrics.jsonl``        — append-only metric events (rows in/out,
+  bytes, fragments rewritten, commit attempts, stage seconds) — the
+  7-instrument monitoring surface (A1) as lineage records.
+
+Data files are run-scoped (frag-{run_id}-...), so re-executed work
+after a crash writes NEW files and the old ones stay orphans until
+snapshot-expire sweeps them; the final manifest CAS is all-or-nothing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import uuid
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:12]
+
+
+class RunContext:
+    def __init__(self, table_root: str, run_id: str | None = None,
+                 job: str = "job"):
+        self.run_id = run_id or new_run_id()
+        self.job = job
+        self.dir = os.path.join(table_root, "_runs", self.run_id)
+        os.makedirs(os.path.join(self.dir, "markers"), exist_ok=True)
+
+    # -- plan --------------------------------------------------------------
+    def write_plan(self, plan: dict) -> None:
+        p = os.path.join(self.dir, "plan.json")
+        if not os.path.exists(p):  # plans are immutable; resume reuses them
+            self._atomic_write(p, json.dumps(plan, indent=1))
+
+    def read_plan(self) -> dict | None:
+        p = os.path.join(self.dir, "plan.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    # -- markers -----------------------------------------------------------
+    def marker_path(self, kind: str, key: str) -> str:
+        d = os.path.join(self.dir, "markers", kind)
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{key}.json")
+
+    def write_marker(self, kind: str, key: str, payload: dict) -> None:
+        self._atomic_write(self.marker_path(kind, key),
+                           json.dumps({"ts": time.time(), **payload}))
+
+    def read_marker(self, kind: str, key: str) -> dict | None:
+        p = self.marker_path(kind, key)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    # -- metrics -----------------------------------------------------------
+    def log_metric(self, name: str, **fields) -> None:
+        line = json.dumps({"ts": time.time(), "run_id": self.run_id,
+                           "job": self.job, "metric": name, **fields})
+        with open(os.path.join(self.dir, "metrics.jsonl"), "a") as f:
+            f.write(line + "\n")
+
+    def read_metrics(self) -> list[dict]:
+        p = os.path.join(self.dir, "metrics.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(ln) for ln in f if ln.strip()]
+
+    @staticmethod
+    def _atomic_write(path: str, text: str) -> None:
+        d = os.path.dirname(path)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-")
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)

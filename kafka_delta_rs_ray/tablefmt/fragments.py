@@ -57,13 +57,15 @@ def new_fragment_id(run_id: str) -> str:
 
 
 def write_fragment_table(tbl: pa.Table, root: str, run_id: str,
-                         sorted_by: str | None = None) -> Fragment:
+                         sorted_by: str | None = None,
+                         stats: dict | None = None) -> Fragment:
     fid = new_fragment_id(run_id)
     rel = os.path.join("data", f"frag-{fid}.parquet")
     dest = os.path.join(root, rel)
     pq.write_table(tbl, dest, compression="zstd", compression_level=ZSTD_LEVEL)
     return Fragment(id=fid, path=rel, rows=tbl.num_rows,
-                    bytes=os.path.getsize(dest), stats=compute_stats(tbl),
+                    bytes=os.path.getsize(dest),
+                    stats=compute_stats(tbl) if stats is None else stats,
                     sorted_by=sorted_by)
 
 
@@ -95,10 +97,15 @@ class FragmentWriter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return FRAG_META_SCHEMA.empty_table()
+        # Zone maps are computed BEFORE dropping derived columns, so a
+        # cluster job can drop its zcode sort key from the file yet keep
+        # per-fragment zcode min/max in the manifest for pruned scans.
+        stats = compute_stats(batch)
         if self.drop_columns:
             batch = batch.drop_columns([c for c in self.drop_columns
                                         if c in batch.column_names])
-        frag = write_fragment_table(batch, self.root, self.run_id, self.sorted_by)
+        frag = write_fragment_table(batch, self.root, self.run_id,
+                                    self.sorted_by, stats=stats)
         return frag_meta_row(frag)
 
 

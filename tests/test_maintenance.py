@@ -1,0 +1,217 @@
+"""Maintenance operators: compact / cluster / expire / merge.
+
+The golden invariant (SURVEY §5, input_hint): after each maintenance
+operation, a full scan is row-identical under snapshot isolation —
+exact caption/byte equality for lossless rows, and for every row the
+decoded pixels stay the same stored bytes (maintenance never
+transcodes)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from kafka_delta_rs_ray.pipelines.cluster import cluster
+from kafka_delta_rs_ray.pipelines.compact import compact, plan_compaction
+from kafka_delta_rs_ray.pipelines.expire import expire
+from kafka_delta_rs_ray.pipelines.ingest import append
+from kafka_delta_rs_ray.pipelines.merge import merge
+from kafka_delta_rs_ray.pipelines.synth import changeset_dataset, image_dataset
+from kafka_delta_rs_ray.state.lineage import RunContext
+from kafka_delta_rs_ray.tablefmt import IMAGE_SCHEMA, Table
+
+N = 120
+
+
+def _sorted_rows(t: pa.Table) -> list[dict]:
+    return t.sort_by("image_id").to_pylist()
+
+
+@pytest.fixture
+def table(tmp_path, ray_session):
+    t = Table.create(str(tmp_path / "t"), IMAGE_SCHEMA)
+    append(t, image_dataset(N, batch_size=20), target_fragment_rows=20)
+    return t
+
+
+def test_compact_plan_ffd():
+    from kafka_delta_rs_ray.tablefmt.manifest import Fragment, Manifest
+
+    frags = [Fragment(id=f"f{i}", path=f"data/f{i}", rows=10, bytes=b)
+             for i, b in enumerate([70, 50, 40, 30, 10])]
+    m = Manifest(1, 0, "append", IMAGE_SCHEMA, frags)
+    bins = plan_compaction(m, target_bytes=100)
+    # FFD: 70+30 | 50+40+10 → two bins, all five fragments packed
+    assert len(bins) == 2
+    packed = sorted(f for b in bins for f in b["fragment_ids"])
+    assert packed == ["f0", "f1", "f2", "f3", "f4"]
+    for b in bins:
+        assert b["bytes"] <= 100
+
+
+def test_compact_roundtrip(table):
+    before = _sorted_rows(table.snapshot().to_arrow())
+    n_frags_before = len(table.read_manifest().fragments)
+    m = compact(table, target_bytes=64 << 20)
+    assert m is not None and m.kind == "compact"
+    assert len(m.fragments) < n_frags_before
+    after = _sorted_rows(table.snapshot().to_arrow())
+    assert before == after  # golden invariant: scan row-identical
+
+
+def test_compact_noop_when_compact(table):
+    compact(table, target_bytes=64 << 20)
+    assert compact(table, target_bytes=10) is None  # all frags >= target*0.8? tiny target → no candidates
+
+
+def test_compact_resume_skips_done_bins(table):
+    run_id = "resume-test-1"
+    compact(table, target_bytes=64 << 20, run_id=run_id)
+    ctx = RunContext(table.root, run_id, job="compact")
+    markers = os.listdir(os.path.join(ctx.dir, "markers", "bin"))
+    assert markers  # bins recorded done
+    # same run_id again: plan is reused, bins resumed, no second commit
+    # (inputs no longer live → builder returns None)
+    assert compact(table, target_bytes=64 << 20, run_id=run_id) is None
+
+
+def test_cluster_roundtrip_and_zonemap_pruning(table):
+    before = _sorted_rows(table.snapshot().to_arrow())
+    m = cluster(table, target_fragment_rows=30)
+    assert m.kind == "cluster"
+    after = _sorted_rows(table.snapshot().to_arrow())
+    assert before == after
+
+    for f in m.fragments:
+        assert f.sorted_by == "zcode"
+        assert "zcode" in f.stats  # zone map present though column dropped
+
+    # fragments cover mostly-disjoint zcode ranges → pruning selective:
+    # a point-range scan over one fragment's range must skip others
+    frags = sorted(m.fragments, key=lambda f: f.stats["zcode"]["min"])
+    lo = frags[0].stats["zcode"]["min"]
+    hi = frags[0].stats["zcode"]["max"]
+    snap = table.snapshot()
+    selected = snap._select_fragments({"zcode": (lo, hi)})
+    assert len(selected) < len(m.fragments)
+    # and the pruned scan returns every row in that zcode range
+    sub = snap.to_arrow(prune={"zcode": (lo, hi)})
+    assert sub.num_rows >= frags[0].rows
+
+
+def test_cluster_sorted_fragments_have_tight_ranges(table):
+    m = cluster(table, target_fragment_rows=30)
+    spans = sorted((f.stats["zcode"]["min"], f.stats["zcode"]["max"])
+                   for f in m.fragments)
+    overlaps = sum(1 for a, b in zip(spans, spans[1:]) if b[0] < a[1])
+    # preserve_order write → adjacent fragments shouldn't all overlap
+    assert overlaps <= len(spans) // 2
+
+
+def test_expire_reachability(table):
+    compact(table, target_bytes=64 << 20)  # v2: old fragments now unreachable
+    old_frag_paths = [f.path for f in table.read_manifest(1).fragments]
+    report = expire(table, keep_last=1)
+    assert report["expired_versions"] == [0, 1]
+    for rel in old_frag_paths:
+        assert not os.path.exists(table.abspath(rel))
+        assert rel in report["removed_files"]
+    # latest snapshot intact
+    assert table.snapshot().to_arrow().num_rows == N
+    with pytest.raises(FileNotFoundError):
+        table.read_manifest(1)
+
+
+def test_expire_keeps_retained_closure(table):
+    append(table, image_dataset(10, seed=7, batch_size=10).map_batches(
+        lambda b: b.set_column(0, "image_id", pa.array(
+            [f"zz-{i}" for i in range(b.num_rows)])), batch_format="pyarrow"))
+    report = expire(table, keep_last=2)
+    assert report["removed_files"] == []  # v1 ∪ v2 reference everything
+    assert table.snapshot(table.latest_version() - 1).to_arrow().num_rows == N
+
+
+def test_merge_upsert_insert_delete(table):
+    before = table.snapshot().to_arrow()
+    changes = changeset_dataset(N, 40, seed=43, n_partitions=4)
+    ch = changes.materialize()
+    m = merge(table, ch, app_id="app1")
+    assert m is not None and m.kind == "merge"
+
+    after = table.snapshot().to_arrow()
+    cht = pa.concat_tables([b for b in ch.iter_batches(batch_format="pyarrow",
+                                                       batch_size=1000)])
+    # expected via a plain-dict oracle (pandas coerces int64→float on
+    # row assignment, corrupting phash low bits)
+    expect = {r["image_id"]: r for r in before.to_pylist()}
+    seen = set()
+    for r in sorted(cht.to_pylist(), key=lambda r: (r["image_id"], r["seq"])):
+        iid = r["image_id"]
+        if iid in seen:
+            continue  # first-wins by seq
+        seen.add(iid)
+        if r["op"] == "delete":
+            expect.pop(iid, None)
+        else:
+            expect[iid] = {k: r[k] for k in
+                           ("image_id", "bytes", "w", "h", "fmt",
+                            "caption", "phash")}
+    got = {r["image_id"]: r for r in after.to_pylist()}
+    assert sorted(got) == sorted(expect)
+    for iid in expect:
+        for col in ("caption", "phash", "bytes", "w", "h", "fmt"):
+            assert got[iid][col] == expect[iid][col], (iid, col)
+
+
+def test_merge_replay_is_noop(table):
+    ch = changeset_dataset(N, 30, seed=44, n_partitions=4).materialize()
+    m1 = merge(table, ch, app_id="app1")
+    assert m1 is not None
+    v = table.latest_version()
+    snap_rows = _sorted_rows(table.snapshot().to_arrow())
+    # replay the exact same changeset: watermarks absorb every row
+    assert merge(table, ch, app_id="app1") is None
+    assert table.latest_version() == v  # no new version
+    assert _sorted_rows(table.snapshot().to_arrow()) == snap_rows
+
+
+def test_merge_different_app_id_not_filtered(table):
+    ch = changeset_dataset(N, 10, seed=45, n_partitions=4).materialize()
+    assert merge(table, ch, app_id="appA") is not None
+    # another writer identity: same seqs are NOT replays for it
+    assert merge(table, ch, app_id="appB") is not None
+
+
+def test_merge_first_wins_within_changeset(table, tmp_path):
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.tablefmt.schema import CHANGESET_SCHEMA
+
+    iid = "img-0000000005"
+    rows = [
+        {"image_id": iid, "bytes": b"x", "w": 1, "h": 1, "fmt": "rawz",
+         "caption": "first", "phash": 1, "partition_id": 0, "seq": 100,
+         "op": "upsert"},
+        {"image_id": iid, "bytes": b"y", "w": 1, "h": 1, "fmt": "rawz",
+         "caption": "second", "phash": 2, "partition_id": 0, "seq": 101,
+         "op": "upsert"},
+    ]
+    ch = rd.from_arrow(pa.Table.from_pylist(rows, schema=CHANGESET_SCHEMA))
+    merge(table, ch, app_id="fw")
+    t = table.snapshot().to_arrow()
+    row = t.filter(pc.equal(t["image_id"], iid)).to_pylist()
+    assert len(row) == 1
+    assert row[0]["caption"] == "first"  # lowest seq wins (D1 semantics)
+
+
+def test_merge_then_compact_materializes_deletes(table):
+    ch = changeset_dataset(N, 40, seed=46, n_partitions=4).materialize()
+    merge(table, ch, app_id="app1")
+    rows_before = _sorted_rows(table.snapshot().to_arrow())
+    assert any(f.delete_paths for f in table.read_manifest().fragments)
+    compact(table, target_bytes=64 << 20)
+    m = table.read_manifest()
+    assert not any(f.delete_paths for f in m.fragments)  # deletes gone
+    assert _sorted_rows(table.snapshot().to_arrow()) == rows_before
