@@ -3,14 +3,10 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Nothing here (or in the library) calls ray.init()/ray.shutdown(); only
+bench.py and the test fixture own a Ray session.
 """
 
 from __future__ import annotations
@@ -20,25 +16,42 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full maintenance lifecycle (append → merge →
+    replay no-op → compact → cluster → expire) on a deterministic
+    synthetic image+caption table, plus a smoke read of the sf0.001
+    events table. Returns the per-stage summary as a pyarrow Table."""
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.pipelines.lifecycle import maintenance_lifecycle
+
+    # smoke: the driver's testdata is readable as a Dataset
+    n_events = rd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet").count()
+    summary = maintenance_lifecycle(n_rows=300, n_changes=80)
+    return summary.append_column(
+        "sf0001_events", [[int(n_events)] * summary.num_rows])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline (SURVEY.md §2 plus
+    the training-data ops). Callables take sf_dir and return a
+    Dataset / DataFrame / pyarrow Table."""
+    from kafka_delta_rs_ray.ops.queries import QUERIES
+    from kafka_delta_rs_ray.pipelines.lifecycle import maintenance_lifecycle
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = dict(QUERIES)
+    # rows-only (non-SQL-expressible) maintenance lifecycle: stage
+    # summary over the synthetic image table (deterministic per seed)
+    q["image_maintenance_lifecycle"] = (
+        lambda sf_dir: maintenance_lifecycle(n_rows=300, n_changes=80))
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracles for every SQL-expressible query (same column
+    names as the Ray results). Non-SQL ops (maintenance lifecycle,
+    LSH/simhash pairs, lang-id, fingerprints, IVF ANN) are omitted →
+    rows-only checks."""
+    from kafka_delta_rs_ray.ops.queries import ORACLES
+
+    return dict(ORACLES)

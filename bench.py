@@ -1,0 +1,140 @@
+"""Benchmark harness (driver contract).
+
+Headline pipelines, timed over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at $RAY_GRAFT_CPUS (default 32):
+
+- image-table maintenance: synth ingest → MERGE INTO → compact →
+  Z-order cluster on a deterministic image+caption table (the
+  BASELINE.json metric: maintenance images/sec, merge rows/sec);
+- representative testdata queries (pricing summary, first-wins dedup,
+  window agg, brute-force knn, minhash pairs).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "maintenance_images_per_sec": ..., "merge_rows_per_sec": ...}
+
+--scaling: run the same job in TWO fresh subprocesses at 8 and 32
+CPUs on identical input and report both throughputs + scaling
+efficiency (the sandbox proxy for the north_rule's N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("GRAFT_IMAGES", "4000"))
+N_CHANGES = int(os.environ.get("GRAFT_CHANGES", "1200"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from kafka_delta_rs_ray.ops import queries as Q
+    from kafka_delta_rs_ray.pipelines.cluster import cluster
+    from kafka_delta_rs_ray.pipelines.compact import compact
+    from kafka_delta_rs_ray.pipelines.ingest import append
+    from kafka_delta_rs_ray.pipelines.merge import merge
+    from kafka_delta_rs_ray.pipelines.synth import (changeset_dataset,
+                                                    image_dataset)
+    from kafka_delta_rs_ray.tablefmt import IMAGE_SCHEMA, Table
+
+    timings: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="kdr-bench-")
+    try:
+        t = Table.create(f"{root}/table", IMAGE_SCHEMA)
+
+        t0 = time.time()
+        append(t, image_dataset(N_IMAGES, batch_size=256),
+               target_fragment_rows=256)
+        timings["ingest"] = time.time() - t0
+
+        ch = changeset_dataset(N_IMAGES, N_CHANGES, n_partitions=32,
+                               batch_size=256).materialize()
+        t0 = time.time()
+        merge(t, ch, app_id="bench", target_fragment_rows=256)
+        timings["merge"] = time.time() - t0
+
+        t0 = time.time()
+        compact(t, target_bytes=32 << 20)
+        timings["compact"] = time.time() - t0
+
+        t0 = time.time()
+        cluster(t, target_fragment_rows=512)
+        timings["cluster"] = time.time() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    def consume(ds):
+        # consume without driver materialization of data payloads
+        if hasattr(ds, "count"):
+            return ds.count()
+        return len(ds)
+
+    for name, fn in [("q_pricing", Q.lineitem_pricing_summary),
+                     ("q_first_wins", Q.events_first_wins),
+                     ("q_window_agg", Q.events_window_agg),
+                     ("q_knn", Q.embedding_knn),
+                     ("q_minhash", Q.doc_minhash_pairs)]:
+        t0 = time.time()
+        consume(fn(SF_DIR))
+        timings[name] = time.time() - t0
+
+    maint_sec = timings["compact"] + timings["cluster"]
+    result = {
+        "metric": "image-table maintenance + merge + testdata queries, total sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_images": N_IMAGES,
+        "maintenance_images_per_sec": round(N_IMAGES / maint_sec, 1),
+        "merge_rows_per_sec": round(N_CHANGES / timings["merge"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, 8 vs 32 CPUs, identical input."""
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    one(8)  # warm the OS page cache (untimed)
+    lo, hi = one(8), one(32)
+    # throughput scaling on the parallel maintenance phase
+    thr_lo = lo["maintenance_images_per_sec"]
+    thr_hi = hi["maintenance_images_per_sec"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    return {"metric": "scaling efficiency 8→32 CPUs (maintenance images/sec)",
+            "cpus_lo": 8, "cpus_hi": 32,
+            "images_per_sec_lo": thr_lo, "images_per_sec_hi": thr_hi,
+            "total_sec_lo": lo["value"], "total_sec_hi": hi["value"],
+            "scaling_efficiency": round(eff, 3)}
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

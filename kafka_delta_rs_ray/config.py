@@ -1,0 +1,77 @@
+"""Maintenance job configuration (the reference's C1 surface:
+YAML load + validate-early with specific error messages,
+src/config/mod.rs:96-177; defaults warned, not silently applied).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+from .errors import ConfigError
+
+log = logging.getLogger(__name__)
+
+JOBS = ("append", "merge", "compact", "cluster", "expire", "lifecycle")
+
+DEFAULT_TARGET_FRAGMENT_BYTES = 128 << 20
+DEFAULT_TARGET_FRAGMENT_ROWS = 4096
+DEFAULT_KEEP_LAST = 2
+
+
+@dataclass
+class MaintenanceConfig:
+    table_root: str
+    job: str
+    app_id: str = "default-app"
+    target_fragment_bytes: int = DEFAULT_TARGET_FRAGMENT_BYTES
+    target_fragment_rows: int = DEFAULT_TARGET_FRAGMENT_ROWS
+    keep_last: int = DEFAULT_KEEP_LAST
+    salt_buckets: int = 4096
+    merge_buckets: int = 32
+    changeset_path: str | None = None
+    run_id: str | None = None
+    options: dict = field(default_factory=dict)
+
+    @classmethod
+    def load(cls, path: str) -> "MaintenanceConfig":
+        import yaml
+
+        try:
+            with open(path) as f:
+                raw = yaml.safe_load(f) or {}
+        except FileNotFoundError:
+            raise ConfigError(f"config file not found: {path}") from None
+        except yaml.YAMLError as e:
+            raise ConfigError(f"invalid YAML in {path}: {e}") from None
+        known = {f_.name for f_ in cls.__dataclass_fields__.values()}
+        unknown = set(raw) - known
+        if unknown:
+            raise ConfigError(f"unknown config keys: {sorted(unknown)}")
+        try:
+            cfg = cls(**raw)
+        except TypeError as e:
+            raise ConfigError(f"missing required config key: {e}") from None
+        cfg.validate()
+        return cfg
+
+    def validate(self) -> None:
+        # reference parity: each empty required field gets its own
+        # message (src/config/mod.rs:120-139)
+        if not self.table_root:
+            raise ConfigError("table_root must not be empty")
+        if not self.job:
+            raise ConfigError("job must not be empty")
+        if self.job not in JOBS:
+            raise ConfigError(f"unknown job {self.job!r}; one of {JOBS}")
+        if not self.app_id:
+            raise ConfigError("app_id must not be empty")
+        if self.job == "merge" and not self.changeset_path:
+            raise ConfigError("merge requires changeset_path")
+        if self.target_fragment_bytes <= 0 or self.target_fragment_rows <= 0:
+            raise ConfigError("fragment targets must be positive")
+        if self.target_fragment_bytes == DEFAULT_TARGET_FRAGMENT_BYTES:
+            log.warning("target_fragment_bytes not set; using default %d",
+                        DEFAULT_TARGET_FRAGMENT_BYTES)
+        if self.keep_last < 1:
+            raise ConfigError("keep_last must be >= 1")

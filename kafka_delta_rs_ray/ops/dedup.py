@@ -102,7 +102,7 @@ class MinhashBands:
             for b in range(N_BANDS):
                 band = sig[b * rows_per:(b + 1) * rows_per]
                 out["band_id"].append(b)
-                out["band_hash"].append(int(_crc(band.tobytes())))
+                out["band_hash"].append(int(zlib.crc32(band.tobytes())))
                 out["doc_id"].append(did)
                 out["sig"].append(sig_l)
         return pa.table({

@@ -1,0 +1,433 @@
+"""Driver-contract queries: every entry returns a (Ray result,
+DuckDB oracle SQL) pair runnable over the /root/testdata parquet
+tables. Column names match the oracle exactly (the driver's compare
+hashes values after sorting columns by name).
+
+The events-table queries pin the reference's streaming semantics in
+SQL-checkable form (FIXTURES.md F5): first-wins dedup by key ordered
+by offset (D1, reference src/pipeline/mod.rs:58-80), offset-ascending
+batch order (D2, BTreeMap drain), schema-projected JSON field
+extraction (P1, src/utils/mod.rs:122-153), and micro-batch window
+aggregation (D4 flush windows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ------------------------------------------------------ events (D1/D2/P1/D4)
+def events_first_wins(sf_dir: str):
+    """First event per user_id by event_id order — the reference's
+    offset-ordered, first-wins dedup. Bucketed groupby; per-bucket
+    work is one vectorized pandas dedup, not per-key Python."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        return b.append_column("bucket", pa.array(
+            (b["user_id"].to_numpy() % 64).astype(np.int32)))
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["user_id", "event_id"])
+                 .drop_duplicates("user_id", keep="first")
+                 [["user_id", "event_id", "event_type", "value"]])
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket").map_groups(dedup, batch_format="pandas"))
+
+
+def events_first_wins_sql() -> str:
+    return """
+        SELECT user_id,
+               min(event_id) AS event_id,
+               arg_min(event_type, event_id) AS event_type,
+               arg_min(value, event_id) AS value
+        FROM events GROUP BY user_id
+    """
+
+
+def events_ordered_head(sf_dir: str):
+    """Offset-ascending drain order (D2): first 100 events by event_id."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    return ds.sort("event_id").limit(100)
+
+
+def events_ordered_head_sql() -> str:
+    return ("SELECT event_id, user_id, event_type FROM events "
+            "ORDER BY event_id LIMIT 100")
+
+
+def events_json_projection(sf_dir: str):
+    """Schema-projected JSON parse (P1): extract props.k, keep k > 50.
+    Vectorized regex extraction — no per-row json.loads."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].str.extract(r'"k"\s*:\s*(-?\d+)')[0].astype("int64")
+        out = pd.DataFrame({"event_id": b["event_id"], "k_value": k})
+        return out[out["k_value"] > 50]
+
+    return ds.map_batches(extract, batch_format="pandas")
+
+
+def events_json_projection_sql() -> str:
+    return """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """
+
+
+def events_window_agg(sf_dir: str):
+    """Tumbling 1-hour micro-batch windows (D4 flush-window analog):
+    per (window, event_type) count + sum. Partial aggregation inside
+    map_batches BEFORE the groupby — the shuffle moves one row per
+    (window, type) per batch, not every event."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(window_start=b["ts"].dt.floor("h"))
+        g = (b.groupby(["window_start", "event_type"], as_index=False)
+             .agg(n_events=("value", "size"), sum_value=("value", "sum")))
+        return g
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = (partials.groupby(["window_start", "event_type"])
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("sum_value", alias_name="sum_value")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_events"] = b["n_events"].astype("int64")
+        b["sum_value"] = b["sum_value"].round(6)
+        return b
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def events_window_agg_sql() -> str:
+    return """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+
+
+def events_count_by_type(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type"])
+    from ray.data.aggregate import Count
+
+    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def events_count_by_type_sql() -> str:
+    return "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
+# --------------------------------------------------------------- lineitem
+def lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary; per-batch partial aggregation
+    then a tiny groupby (pre-aggregate pattern from the Ray guide)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+        if b.empty:
+            return pd.DataFrame(columns=["l_returnflag", "l_linestatus",
+                                         "sum_qty", "sum_base_price",
+                                         "sum_disc_price", "count_order"])
+        b = b.assign(disc_price=b["l_extendedprice"] * (1 - b["l_discount"]))
+        return (b.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+                .agg(sum_qty=("l_quantity", "sum"),
+                     sum_base_price=("l_extendedprice", "sum"),
+                     sum_disc_price=("disc_price", "sum"),
+                     count_order=("l_quantity", "size")))
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                      Sum("sum_base_price", alias_name="sum_base_price"),
+                      Sum("sum_disc_price", alias_name="sum_disc_price"),
+                      Sum("count_order", alias_name="count_order")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            b[c] = b[c].round(4)
+        b["count_order"] = b["count_order"].astype("int64")
+        return b
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def lineitem_pricing_summary_sql() -> str:
+    return """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def top_customers(sf_dir: str):
+    """Top 10 customers by order total — broadcast hash join: the
+    customer dimension is ray.put once and looked up per batch; only
+    the small aggregated side ever shuffles."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("o_custkey", as_index=False)
+                .agg(total=("o_totalprice", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    agg = (orders.map_batches(partial, batch_format="pandas")
+           .groupby("o_custkey").aggregate(Sum("total", alias_name="total")))
+    top = agg.sort("total", descending=True).limit(10)
+
+    class AttachName:
+        def __init__(self):
+            self._names = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self._names is None:
+                self._names = ray.get(name_ref)
+            b["c_name"] = b["o_custkey"].map(self._names)
+            b["total"] = b["total"].round(4)
+            return b.rename(columns={"o_custkey": "c_custkey"})
+
+    return top.map_batches(AttachName, batch_format="pandas", concurrency=1)
+
+
+def top_customers_sql() -> str:
+    return """
+        SELECT o_custkey AS c_custkey, round(sum(o_totalprice), 4) AS total,
+               any_value(c_name) AS c_name
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY o_custkey
+        ORDER BY total DESC, c_custkey LIMIT 10
+    """
+
+
+# -------------------------------------------------------------- documents
+def doc_token_stats(sf_dir: str):
+    from .textops import TokenCount
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(TokenCount, batch_format="pandas",
+                          concurrency=2)
+
+
+def doc_token_stats_sql() -> str:
+    return """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+               len(regexp_extract_all(text, '\\S+')) AS n_words,
+               length(text) AS n_chars
+        FROM documents
+    """
+
+
+def doc_quality(sf_dir: str):
+    from .textops import QualityScore
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(QualityScore, batch_format="pandas", concurrency=2)
+    return out.select_columns(["doc_id", "n_words", "stop_ratio", "keep"])
+
+
+def doc_quality_sql() -> str:
+    stop = "(?:the|a|of|and|to|in|is|for|on|with)"
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\\S+')) AS n_words,
+               round(len(regexp_extract_all(lower(text), '\\b{stop}\\b'))
+                     / greatest(len(regexp_extract_all(text, '\\S+')), 1), 6)
+                   AS stop_ratio,
+               (len(regexp_extract_all(text, '\\S+')) >= 10
+                AND len(regexp_extract_all(lower(text), '\\b{stop}\\b')) > 0)
+                   AS keep
+        FROM documents
+    """
+
+
+def doc_exact_dedup(sf_dir: str):
+    from .dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+def doc_exact_dedup_sql() -> str:
+    return "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def doc_lang_id(sf_dir: str):
+    """Rows-only check (heuristic output, not SQL-expressible)."""
+    from .textops import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+
+
+def doc_fingerprint(sf_dir: str):
+    from .textops import Fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(Fingerprint, batch_format="pandas", concurrency=2)
+
+
+def doc_minhash_pairs(sf_dir: str):
+    from .dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def doc_simhash_pairs(sf_dir: str):
+    from .dedup import simhash_pairs
+
+    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def doc_ngram_jaccard_pairs(sf_dir: str):
+    from .dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+# ------------------------------------------------------------- embeddings
+def embedding_knn(sf_dir: str):
+    from .similarity import knn_bruteforce
+
+    return knn_bruteforce(_read(sf_dir, "embeddings"), n_queries=10, k=10)
+
+
+def embedding_knn_sql() -> str:
+    return """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                   FROM embeddings ORDER BY vec_id LIMIT 10),
+        s AS (SELECT q.qid, e.vec_id AS nid,
+                     round(list_cosine_similarity(q.qe, e.embedding), 6) AS sim
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+        r AS (SELECT qid AS query_id, nid AS neighbor_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, nid) AS rank
+              FROM s)
+        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+    """
+
+
+def embedding_knn_ivf(sf_dir: str):
+    from .similarity import knn_ivf
+
+    return knn_ivf(_read(sf_dir, "embeddings"), n_queries=10, k=10)
+
+
+def embedding_near_dup(sf_dir: str):
+    from .dedup import embedding_near_dup as near
+
+    return near(_read(sf_dir, "embeddings"), threshold=0.9)
+
+
+def embedding_centroid_norms(sf_dir: str):
+    """Per-label centroid norms — mergeable partial sums then one tiny
+    groupby; SQL oracle via element-wise list aggregation."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lab = b["label"].to_numpy()
+        m = np.stack([np.asarray(v) for v in b["embedding"]]).astype(np.float64)
+        rows = []
+        for lb in np.unique(lab):
+            sel = m[lab == lb]
+            rows.append({"label": int(lb), "n": int(sel.shape[0]),
+                         "vec_sum": sel.sum(axis=0).tolist()})
+        return pd.DataFrame(rows)
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        v = np.sum(np.stack([np.asarray(x) for x in g["vec_sum"]]), axis=0)
+        centroid = v / n
+        return pd.DataFrame({"label": [int(g["label"].iloc[0])], "n": [n],
+                             "centroid_norm":
+                                 [round(float(np.linalg.norm(centroid)), 6)]})
+
+    return partials.groupby("label").map_groups(combine, batch_format="pandas")
+
+
+def embedding_centroid_norms_sql() -> str:
+    return """
+        WITH e AS (SELECT label, unnest(embedding) AS v,
+                          generate_subscripts(embedding, 1) AS dim
+                   FROM embeddings),
+        c AS (SELECT label, dim, avg(v) AS m FROM e GROUP BY label, dim)
+        SELECT label,
+               (SELECT count(*) FROM embeddings e2
+                WHERE e2.label = c.label) AS n,
+               round(sqrt(sum(m * m)), 6) AS centroid_norm
+        FROM c GROUP BY label
+    """
+
+
+# -------------------------------------------------- registry for the driver
+QUERIES = {
+    "events_first_wins": events_first_wins,
+    "events_ordered_head": events_ordered_head,
+    "events_json_projection": events_json_projection,
+    "events_window_agg": events_window_agg,
+    "events_count_by_type": events_count_by_type,
+    "lineitem_pricing_summary": lineitem_pricing_summary,
+    "top_customers": top_customers,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_minhash_pairs": doc_minhash_pairs,
+    "doc_simhash_pairs": doc_simhash_pairs,
+    "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+    "embedding_knn": embedding_knn,
+    "embedding_knn_ivf": embedding_knn_ivf,
+    "embedding_near_dup": embedding_near_dup,
+    "embedding_centroid_norms": embedding_centroid_norms,
+}
+
+ORACLES = {
+    "events_first_wins": events_first_wins_sql(),
+    "events_ordered_head": events_ordered_head_sql(),
+    "events_json_projection": events_json_projection_sql(),
+    "events_window_agg": events_window_agg_sql(),
+    "events_count_by_type": events_count_by_type_sql(),
+    "lineitem_pricing_summary": lineitem_pricing_summary_sql(),
+    "top_customers": top_customers_sql(),
+    "doc_token_stats": doc_token_stats_sql(),
+    "doc_quality": doc_quality_sql(),
+    "doc_exact_dedup": doc_exact_dedup_sql(),
+    "embedding_knn": embedding_knn_sql(),
+    "embedding_centroid_norms": embedding_centroid_norms_sql(),
+}

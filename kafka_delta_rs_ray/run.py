@@ -1,0 +1,79 @@
+"""CLI entry (the reference's C4: argv[1] = config path, default
+config fallback, wires everything — src/main.rs:27-60).
+
+    python -m kafka_delta_rs_ray.run my_job.yaml
+
+Owns the Ray session (guarded init) — library code never does.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+
+from .config import MaintenanceConfig
+
+
+def init_logging(level: str = "INFO") -> None:
+    """C3 analog (src/logging/mod.rs:6-10)."""
+    logging.basicConfig(
+        level=getattr(logging, level.upper(), logging.INFO),
+        format="%(asctime)s %(levelname)s %(name)s %(message)s")
+
+
+def run(cfg: MaintenanceConfig) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from .pipelines import cluster as cl
+    from .pipelines import compact as cp
+    from .pipelines import expire as ex
+    from .pipelines import lifecycle as lc
+    from .pipelines import merge as mg
+    from .tablefmt import Table
+
+    if cfg.job == "lifecycle":
+        out = lc.maintenance_lifecycle()
+        return {"job": "lifecycle", "stages": out.to_pylist()}
+
+    table = Table(cfg.table_root)
+    if cfg.job == "compact":
+        m = cp.compact(table, cfg.target_fragment_bytes, run_id=cfg.run_id)
+    elif cfg.job == "cluster":
+        m = cl.cluster(table, cfg.target_fragment_rows,
+                       salt_buckets=cfg.salt_buckets, run_id=cfg.run_id)
+    elif cfg.job == "expire":
+        rep = ex.expire(table, keep_last=cfg.keep_last, run_id=cfg.run_id)
+        return {"job": "expire", **{k: v for k, v in rep.items()
+                                    if k != "removed_files"},
+                "removed": len(rep["removed_files"])}
+    elif cfg.job == "merge":
+        import ray.data as rd
+
+        ch = rd.read_parquet(cfg.changeset_path)
+        m = mg.merge(table, ch, app_id=cfg.app_id,
+                     n_buckets=cfg.merge_buckets, run_id=cfg.run_id,
+                     target_fragment_rows=cfg.target_fragment_rows)
+    else:
+        raise ValueError(cfg.job)
+    return {"job": cfg.job,
+            "committed_version": None if m is None else m.version}
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    path = argv[0] if argv else "maintenance.yaml"
+    init_logging()
+    cfg = MaintenanceConfig.load(path)
+    print(json.dumps(run(cfg)))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,214 @@
+"""Training-data ops: dedup family, similarity search, text analysis,
+multimodal stages — on synthetic inputs with KNOWN duplicates/neighbors."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds():
+    """12 docs: 0/1 exact dups; 2/3 near dups (one word changed);
+    4..9 distinct; 10/11 another exact dup pair."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest while birds sing loudly")
+    near = base.replace("green", "blue")
+    texts = [base, base, base + " extra tail words here", near,
+             "completely different content about spark and ray data engines",
+             "another unrelated document mentioning tables and manifests",
+             "short one", "lorem ipsum dolor sit amet consectetur",
+             "数据处理引擎测试文档", "el rapido zorro marron que salta",
+             "dup pair two identical text", "dup pair two identical text"]
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(12)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+
+def _emb_ds(n=60, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    m[1] = m[0] + 0.001 * rng.normal(size=d).astype(np.float32)  # near-dup
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(list(range(n)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 4 for i in range(n)], pa.int32())}))
+
+
+def test_exact_dedup_first_wins(ray_session):
+    from kafka_delta_rs_ray.ops.dedup import exact_dedup
+
+    out = exact_dedup(_docs_ds()).to_pandas()
+    ids = sorted(out["doc_id"])
+    assert 0 in ids and 1 not in ids      # first-wins: min doc_id kept
+    assert 10 in ids and 11 not in ids
+    assert len(ids) == 10
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    from kafka_delta_rs_ray.ops.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(_docs_ds(), threshold=0.5).to_pandas()
+    pairs = set(map(tuple, out[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert (0, 1) in pairs      # exact dup
+    assert (10, 11) in pairs
+    assert (0, 3) in pairs or (1, 3) in pairs  # near dup
+    assert (4, 5) not in pairs  # unrelated docs
+
+
+def test_simhash_finds_exact_dups(ray_session):
+    from kafka_delta_rs_ray.ops.dedup import simhash_pairs
+
+    out = simhash_pairs(_docs_ds(), max_dist=3).to_pandas()
+    pairs = set(map(tuple, out[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert (0, 1) in pairs and (10, 11) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard_verifies(ray_session):
+    from kafka_delta_rs_ray.ops.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs_ds(), threshold=0.5).to_pandas()
+    pairs = {(a, b): j for a, b, j in
+             out[["doc_a", "doc_b", "jaccard"]].itertuples(index=False)}
+    assert pairs.get((0, 1)) == 1.0  # exact dup → jaccard exactly 1
+    assert all(j >= 0.5 for j in pairs.values())
+
+
+def test_embedding_near_dup(ray_session):
+    from kafka_delta_rs_ray.ops.dedup import embedding_near_dup
+
+    out = embedding_near_dup(_emb_ds(), threshold=0.99).to_pandas()
+    pairs = set(map(tuple, out[["vec_a", "vec_b"]].itertuples(index=False)))
+    assert (0, 1) in pairs
+    assert len(pairs) < 5  # random vectors are not near-dups
+
+
+def test_knn_bruteforce_matches_numpy(ray_session):
+    from kafka_delta_rs_ray.ops.similarity import knn_bruteforce
+
+    ds = _emb_ds()
+    out = knn_bruteforce(ds, n_queries=3, k=5).to_pandas()
+    # numpy oracle
+    m = np.stack([np.asarray(r["embedding"]) for r in ds.take_all()]).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    for q in range(3):
+        sims = np.round(m @ m[q], 6)
+        order = sorted((int(i) for i in range(len(m)) if i != q),
+                       key=lambda i: (-sims[i], i))[:5]
+        got = out[out["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert got == order, q
+    assert out.groupby("query_id").size().tolist() == [5, 5, 5]
+
+
+def test_knn_ivf_recall(ray_session):
+    from kafka_delta_rs_ray.ops.similarity import knn_bruteforce, knn_ivf
+
+    ds = _emb_ds(n=120)
+    exact = knn_bruteforce(ds, n_queries=5, k=5).to_pandas()
+    approx = knn_ivf(ds, n_queries=5, k=5, n_centroids=8, nprobe=4).to_pandas()
+    hits = tot = 0
+    for q in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.8, f"IVF recall {hits/tot:.2f}"
+
+
+def test_token_count_and_quality():
+    from kafka_delta_rs_ray.ops.textops import QualityScore, TokenCount
+
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["Hello world, foo bar!", "a b"]})
+    tc = TokenCount()(df)
+    assert tc["n_tokens"].tolist() == [4, 2]
+    assert tc["n_words"].tolist() == [4, 2]
+    q = QualityScore()(df)
+    assert q["keep"].tolist() == [False, False]  # both < 10 words
+
+
+def test_lang_id_heuristic():
+    from kafka_delta_rs_ray.ops.textops import LangId
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["the cat and the dog is here",
+                                "数据处理引擎", "xyzzy plugh"]})
+    out = LangId()(df)
+    assert out["lang_pred"].tolist() == ["en", "zh", "und"]
+
+
+def test_fingerprint_order_sensitive():
+    from kafka_delta_rs_ray.ops.textops import Fingerprint
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["alpha beta gamma", "gamma beta alpha",
+                                "alpha beta gamma"]})
+    out = Fingerprint()(df)
+    fps = out["fingerprint"].tolist()
+    assert fps[0] == fps[2] and fps[0] != fps[1]
+
+
+def test_decode_stats_stage(ray_session):
+    from kafka_delta_rs_ray.pipelines.synth import image_dataset
+    from kafka_delta_rs_ray.stages.codec_stage import DecodeStats
+
+    out = (image_dataset(20, batch_size=10)
+           .map_batches(DecodeStats, batch_format="pyarrow", batch_size=10,
+                        concurrency=2)
+           .to_pandas())
+    assert len(out) == 20
+    assert (out["lum_mean"] >= 0).all() and (out["lum_mean"] <= 255).all()
+    # phash recomputed from decoded pixels must be close to stored one
+    # (identical for rawz rows)
+
+
+def test_resize_transcode_stage(ray_session):
+    from kafka_delta_rs_ray.codecs import decode
+    from kafka_delta_rs_ray.pipelines.synth import image_dataset
+    from kafka_delta_rs_ray.stages.codec_stage import ResizeTranscode
+
+    out = (image_dataset(10, batch_size=5)
+           .map_batches(ResizeTranscode, batch_format="pyarrow", batch_size=5,
+                        concurrency=2)
+           .take_all())
+    for r in out:
+        img = decode(r["bytes"], r["fmt"])
+        assert img.shape == (32, 32, 3)
+        assert r["w"] == 32 and r["h"] == 32
+
+
+def test_frame_sample_is_declared_stub():
+    from kafka_delta_rs_ray.stages.codec_stage import FrameSample
+
+    with pytest.raises(NotImplementedError):
+        FrameSample()
+
+
+def test_changeset_source_schema_first(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.errors import ValidationError
+    from kafka_delta_rs_ray.sources import read_changeset
+    from kafka_delta_rs_ray.tablefmt.schema import CHANGESET_SCHEMA
+
+    good = pa.Table.from_pylist([{
+        "image_id": "a", "bytes": b"x", "w": 1, "h": 1, "fmt": "rawz",
+        "caption": "c", "phash": 0, "partition_id": 0, "seq": 1,
+        "op": "upsert", "extra_column": "dropme"}])
+    p = tmp_path / "ch.parquet"
+    pq.write_table(good, p)
+    out = read_changeset(str(p)).take_all()
+    assert len(out) == 1 and "extra_column" not in out[0]  # projection
+
+    bad = good.drop_columns(["seq"])
+    p2 = tmp_path / "bad.parquet"
+    pq.write_table(bad, p2)
+    with pytest.raises(Exception) as ei:  # Ray wraps ValidationError
+        read_changeset(str(p2)).take_all()
+    assert "missing required column" in str(ei.value)

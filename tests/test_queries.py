@@ -1,0 +1,64 @@
+"""Every SQL-expressible query vs its DuckDB oracle at sf0.001 —
+mirrors the driver's compare (row count + schema-insensitive,
+order-insensitive value comparison)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from kafka_delta_rs_ray.ops.queries import ORACLES, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * "
+                  f"FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if hasattr(result, "to_pandas"):
+        return result.to_pandas()
+    raise TypeError(type(result))
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, con, ray_session):
+    ray_df = _canon(_to_pandas(QUERIES[name](SF_DIR)))
+    sql_df = _canon(con.execute(ORACLES[name]).df())
+    assert len(ray_df) == len(sql_df), f"{name}: row count"
+    assert list(ray_df.columns) == list(sql_df.columns), f"{name}: columns"
+    for col in ray_df.columns:
+        a, b = ray_df[col], sql_df[col]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert np.allclose(a.astype(float), b.astype(float),
+                               rtol=1e-9, atol=1e-9), f"{name}.{col}"
+        else:
+            assert a.astype(str).tolist() == b.astype(str).tolist(), \
+                f"{name}.{col}"
+
+
+def test_rows_only_queries_run(ray_session):
+    """Non-SQL queries at least produce stable, non-erroring output."""
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        out = _to_pandas(QUERIES[name](SF_DIR))
+        assert out is not None, name
+        # deterministic across two runs
+        out2 = _to_pandas(QUERIES[name](SF_DIR))
+        pd.testing.assert_frame_equal(
+            _canon(out), _canon(out2), check_dtype=False)
