@@ -59,9 +59,12 @@ def run_bench() -> dict:
     try:
         t = Table.create(f"{root}/table", IMAGE_SCHEMA)
 
+        # batch_size bounds task granularity; keep ~4 tasks per CPU so
+        # the synth+write stage saturates the pool
+        gran = max(32, N_IMAGES // (NUM_CPUS * 4))
         t0 = time.time()
-        append(t, image_dataset(N_IMAGES, batch_size=256),
-               target_fragment_rows=256)
+        append(t, image_dataset(N_IMAGES, batch_size=gran),
+               target_fragment_rows=gran)
         timings["ingest"] = time.time() - t0
 
         ch = changeset_dataset(N_IMAGES, N_CHANGES, n_partitions=32,

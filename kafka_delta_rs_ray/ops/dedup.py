@@ -88,58 +88,123 @@ def minhash_sig(text: str) -> np.ndarray:
     return m.min(axis=0)
 
 
-class MinhashBands:
-    """map_batches: doc → N_BANDS rows (band_id, band_hash, doc_id).
-    The band explode IS the LSH bucketing key for the groupby."""
+class ComputeSigs:
+    """map_batches: doc → (doc_id, sig list<int64>[N_PERM])."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {"band_id": [], "band_hash": [], "doc_id": [], "sig": []}
-        for did, text in zip(batch["doc_id"].to_pylist(),
-                             batch["text"].to_pylist()):
-            sig = minhash_sig(text or "")
-            rows_per = N_PERM // N_BANDS
-            sig_l = sig.view(np.int64).tolist()
+        ids = batch["doc_id"].to_pylist()
+        sigs = [minhash_sig(t or "").view(np.int64).tolist()
+                for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "sig": pa.array(sigs, pa.list_(pa.int64()))})
+
+
+class MinhashBands:
+    """map_batches over signatures: doc → N_BANDS rows
+    (band_id, band_hash, doc_id). The band rows carry NO signature —
+    shipping the 64-hash signature into every band row would multiply
+    the shuffle volume ×N_BANDS; verification looks signatures up from
+    a broadcast dict instead."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows_per = N_PERM // N_BANDS
+        out = {"band_id": [], "band_hash": [], "doc_id": []}
+        for did, sig_l in zip(batch["doc_id"].to_pylist(),
+                              batch["sig"].to_pylist()):
+            sig = np.asarray(sig_l, dtype=np.int64).view(np.uint64)
             for b in range(N_BANDS):
                 band = sig[b * rows_per:(b + 1) * rows_per]
                 out["band_id"].append(b)
                 out["band_hash"].append(int(zlib.crc32(band.tobytes())))
                 out["doc_id"].append(did)
-                out["sig"].append(sig_l)
         return pa.table({
             "band_id": pa.array(out["band_id"], pa.int32()),
             "band_hash": pa.array(out["band_hash"], pa.int64()),
             "doc_id": pa.array(out["doc_id"], pa.int64()),
-            "sig": pa.array(out["sig"], pa.list_(pa.int64())),
         })
 
 
-def _bucket_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """All same-bucket pairs whose signature agreement >= threshold.
-    Buckets are tiny (docs sharing one band), so the quadratic is local."""
-    g = g.drop_duplicates("doc_id").sort_values("doc_id")
-    n = len(g)
-    if n < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-    sigs = np.stack([np.asarray(s, dtype=np.int64) for s in g["sig"]])
-    ids = g["doc_id"].to_numpy()
-    ai, bi = np.triu_indices(n, k=1)
-    est = (sigs[ai] == sigs[bi]).mean(axis=1)
-    keep = est >= threshold
-    return pd.DataFrame({"doc_a": ids[ai][keep], "doc_b": ids[bi][keep],
-                         "est_jaccard": np.round(est[keep], 6)})
+_PAIR_COLS = ["doc_a", "doc_b", "est_jaccard"]
+
+
+class _BandPairs:
+    """One map_groups call per band (N_BANDS total): inner vectorized
+    pandas groupby over band_hash — never a Python call per key.
+    Single-doc buckets (the vast majority) are mask-filtered up front;
+    signatures for verification come from one ray.put broadcast
+    (bounded: N_PERM int64 per doc)."""
+
+    def __init__(self, sigs_ref, threshold: float):
+        self.sigs_ref = sigs_ref
+        self.threshold = threshold
+        self._sigs = None
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id")
+        g = g[g["band_hash"].duplicated(keep=False)]  # only shared buckets
+        if g.empty:  # typed empty frame: schema must match non-empty groups
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "est_jaccard": pd.Series([], dtype="float64")})
+        if self._sigs is None:
+            import ray
+
+            self._sigs = ray.get(self.sigs_ref)  # {doc_id: np.int64[64]}
+        out = {c: [] for c in _PAIR_COLS}
+        for _, grp in g.groupby("band_hash", sort=False):
+            ids = np.sort(grp["doc_id"].to_numpy())
+            sigs = np.stack([self._sigs[d] for d in ids])
+            ai, bi = np.triu_indices(len(ids), k=1)
+            est = (sigs[ai] == sigs[bi]).mean(axis=1)
+            keep = est >= self.threshold
+            out["doc_a"].extend(ids[ai][keep])
+            out["doc_b"].extend(ids[bi][keep])
+            out["est_jaccard"].extend(np.round(est[keep], 6))
+        return pd.DataFrame(out)
+
+
+def _dedup_pairs(ds, value_cols: list[str]):
+    """Drop duplicate (doc_a, doc_b) rows. The pair set is
+    OUTPUT-sized (near-dup pairs ≪ corpus), so one coalesced block +
+    a vectorized drop_duplicates beats a groupby shuffle; if near-dup
+    pairs ever approached corpus scale, swap this for a
+    hash-bucketed groupby."""
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["doc_a", "doc_b"])
+                 .drop_duplicates(["doc_a", "doc_b"])
+                 [["doc_a", "doc_b"] + value_cols])
+
+    return ds.repartition(1).map_batches(dd, batch_format="pandas",
+                                         batch_size=None)
 
 
 def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
     """Near-duplicate pairs (doc_a < doc_b, est_jaccard) via
-    MinHash+LSH: band groupby → in-bucket verify → global dedup of
-    pairs (same pair can surface from several bands)."""
-    pairs = (docs_ds
-             .map_batches(MinhashBands(), batch_format="pyarrow")
-             .groupby(["band_id", "band_hash"])
-             .map_groups(lambda g: _bucket_pairs(g, threshold),
-                         batch_format="pandas"))
-    return (pairs.groupby(["doc_a", "doc_b"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    MinHash+LSH: signatures once per doc → slim band rows → per-band
+    groupby (N_BANDS groups) → vectorized in-band bucket pairing with
+    broadcast-signature verification → pair dedup (a pair can surface
+    from several bands)."""
+    import ray
+
+    sigs = docs_ds.map_batches(ComputeSigs(), batch_format="pyarrow",
+                               batch_size=None).materialize()
+    sig_lookup = {}
+    for b in sigs.iter_batches(batch_format="pyarrow", batch_size=8192):
+        for d, s in zip(b["doc_id"].to_pylist(), b["sig"].to_pylist()):
+            sig_lookup[d] = np.asarray(s, dtype=np.int64)
+    sigs_ref = ray.put(sig_lookup)
+
+    inst = _BandPairs(sigs_ref, threshold)
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return inst(g)
+
+    pairs = (sigs
+             .map_batches(MinhashBands(), batch_format="pyarrow",
+                          batch_size=None)
+             .groupby("band_id")
+             .map_groups(band_pairs, batch_format="pandas"))
+    return _dedup_pairs(pairs, ["est_jaccard"])
 
 
 # -------------------------------------------------------------- simhash
@@ -182,29 +247,37 @@ class SimhashBlocks:
         })
 
 
-def _hamming_pairs(g: pd.DataFrame, max_dist: int) -> pd.DataFrame:
-    g = g.drop_duplicates("doc_id").sort_values("doc_id")
-    n = len(g)
-    if n < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-    hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-    ids = g["doc_id"].to_numpy()
-    ai, bi = np.triu_indices(n, k=1)
-    x = hs[ai] ^ hs[bi]
-    dist = np.array([bin(int(v)).count("1") for v in x])
-    keep = dist <= max_dist
-    return pd.DataFrame({"doc_a": ids[ai][keep], "doc_b": ids[bi][keep],
-                         "hamming": dist[keep].astype(np.int64)})
+def _block_pairs(g: pd.DataFrame, max_dist: int) -> pd.DataFrame:
+    """One BLOCK position's rows → Hamming-verified pairs (inner
+    vectorized groupby over block_val; single-doc buckets filtered)."""
+    g = g.drop_duplicates("doc_id")
+    g = g[g["block_val"].duplicated(keep=False)]
+    if g.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    out = {"doc_a": [], "doc_b": [], "hamming": []}
+    for _, grp in g.groupby("block_val", sort=False):
+        grp = grp.sort_values("doc_id")
+        hs = grp["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        ids = grp["doc_id"].to_numpy()
+        ai, bi = np.triu_indices(len(grp), k=1)
+        x = hs[ai] ^ hs[bi]
+        dist = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        keep = dist <= max_dist
+        out["doc_a"].extend(ids[ai][keep])
+        out["doc_b"].extend(ids[bi][keep])
+        out["hamming"].extend(dist[keep])
+    return pd.DataFrame(out)
 
 
 def simhash_pairs(docs_ds, max_dist: int = 3):
     pairs = (docs_ds
              .map_batches(SimhashBlocks(), batch_format="pyarrow")
-             .groupby(["block_id", "block_val"])
-             .map_groups(lambda g: _hamming_pairs(g, max_dist),
+             .groupby("block_id")
+             .map_groups(lambda g: _block_pairs(g, max_dist),
                          batch_format="pandas"))
-    return (pairs.groupby(["doc_a", "doc_b"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    return _dedup_pairs(pairs, ["hamming"])
 
 
 # ------------------------------------------------------- exact jaccard

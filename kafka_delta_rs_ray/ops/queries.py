@@ -18,10 +18,16 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _read(sf_dir: str, name: str, columns=None):
+_SPLIT = 32  # the testdata files are single-row-group parquet, so the
+# reader yields ONE block; split it so map stages parallelize. (Real
+# tables at scale have many files/row groups and skip this.)
+
+
+def _read(sf_dir: str, name: str, columns=None, split: int = _SPLIT):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return ds.repartition(split) if split else ds
 
 
 # ------------------------------------------------------ events (D1/D2/P1/D4)
@@ -40,7 +46,7 @@ def events_first_wins(sf_dir: str):
                  .drop_duplicates("user_id", keep="first")
                  [["user_id", "event_id", "event_type", "value"]])
 
-    return (ds.map_batches(bucketize, batch_format="pyarrow")
+    return (ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
             .groupby("bucket").map_groups(dedup, batch_format="pandas"))
 
 
@@ -75,7 +81,7 @@ def events_json_projection(sf_dir: str):
         out = pd.DataFrame({"event_id": b["event_id"], "k_value": k})
         return out[out["k_value"] > 50]
 
-    return ds.map_batches(extract, batch_format="pandas")
+    return ds.map_batches(extract, batch_format="pandas", batch_size=None)
 
 
 def events_json_projection_sql() -> str:
@@ -102,7 +108,7 @@ def events_window_agg(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
     out = (partials.groupby(["window_start", "event_type"])
            .aggregate(Sum("n_events", alias_name="n_events"),
                       Sum("sum_value", alias_name="sum_value")))
@@ -112,7 +118,7 @@ def events_window_agg(sf_dir: str):
         b["sum_value"] = b["sum_value"].round(6)
         return b
 
-    return out.map_batches(finish, batch_format="pandas")
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
 def events_window_agg_sql() -> str:
@@ -157,7 +163,7 @@ def lineitem_pricing_summary(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    out = (ds.map_batches(partial, batch_format="pandas")
+    out = (ds.map_batches(partial, batch_format="pandas", batch_size=None)
            .groupby(["l_returnflag", "l_linestatus"])
            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
                       Sum("sum_base_price", alias_name="sum_base_price"),
@@ -170,7 +176,7 @@ def lineitem_pricing_summary(sf_dir: str):
         b["count_order"] = b["count_order"].astype("int64")
         return b
 
-    return out.map_batches(finish, batch_format="pandas")
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
 def lineitem_pricing_summary_sql() -> str:
@@ -202,7 +208,7 @@ def top_customers(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    agg = (orders.map_batches(partial, batch_format="pandas")
+    agg = (orders.map_batches(partial, batch_format="pandas", batch_size=None)
            .groupby("o_custkey").aggregate(Sum("total", alias_name="total")))
     top = agg.sort("total", descending=True).limit(10)
 
@@ -367,7 +373,7 @@ def embedding_centroid_norms(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         n = int(g["n"].sum())

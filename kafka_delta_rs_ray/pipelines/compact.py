@@ -146,7 +146,9 @@ def compact(table: Table, target_bytes: int = DEFAULT_TARGET_BYTES,
     deletes_ref = ray.put(deletes)
 
     kwargs = {"concurrency": concurrency} if concurrency is not None else {}
-    results = rd.from_items(bins).map_batches(
+    # one block per bin — from_items yields a single block otherwise,
+    # which would serialize every rewrite into one task
+    results = rd.from_items(bins, override_num_blocks=len(bins)).map_batches(
         _RewriteBin(table.root, ctx.run_id, deletes_ref),
         batch_format="pyarrow", batch_size=1, **kwargs).take_all()
 

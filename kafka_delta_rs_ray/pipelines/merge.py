@@ -91,6 +91,22 @@ def _first_wins(group: pa.Table) -> pa.Table:
     return t.filter(pa.array(first))
 
 
+def _seq_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    b = (batch["seq"].to_numpy(zero_copy_only=False) % n_buckets).astype(np.int32)
+    return batch.append_column("seq_bucket", pa.array(b, pa.int32()))
+
+
+def _first_wins_seq(group: pa.Table) -> pa.Table:
+    """Drop rows whose seq was already seen (the reference's OFFSET
+    uniqueness domain — HashSet<i64> over offsets regardless of key,
+    src/pipeline/mod.rs:58-80). Deterministic keep: lowest image_id."""
+    t = group.sort_by([("seq", "ascending"), ("image_id", "ascending")])
+    seqs = t["seq"].to_numpy(zero_copy_only=False)
+    first = np.ones(len(seqs), dtype=bool)
+    first[1:] = seqs[1:] != seqs[:-1]
+    return t.filter(pa.array(first)).drop_columns(["seq_bucket"])
+
+
 class _IntersectKeys:
     """Per-touched-fragment task: which changed keys exist here?
 
@@ -141,7 +157,16 @@ def merge(table: Table, changes_ds, app_id: str,
     # is changeset-sized; materialize() pins it (it feeds 3 consumers).
     filt = changes_ds.map_batches(_ReplayFilter(m0.txn.get(app_id, {})),
                                   batch_format="pyarrow")
-    deduped = (filt
+    # dual-domain dedup, both first-wins (reference D1): seq domain
+    # first (duplicate offsets dropped regardless of key), then key
+    # domain (duplicate image_ids keep lowest seq). Two bucketed
+    # shuffles of the (bounded) changeset.
+    seq_deduped = (filt
+                   .map_batches(lambda b: _seq_bucket(b, n_buckets),
+                                batch_format="pyarrow")
+                   .groupby("seq_bucket")
+                   .map_groups(_first_wins_seq, batch_format="pyarrow"))
+    deduped = (seq_deduped
                .map_batches(lambda b: _add_bucket(b, n_buckets),
                             batch_format="pyarrow")
                .groupby("bucket")
@@ -170,7 +195,8 @@ def merge(table: Table, changes_ds, app_id: str,
                         "image_id": pa.array([], pa.string())})
     if touched:
         keys_ref = ray.put(changed_keys)
-        metas = rd.from_items([{"id": f.id, "path": f.path} for f in touched])
+        metas = rd.from_items([{"id": f.id, "path": f.path} for f in touched],
+                              override_num_blocks=len(touched))
         parts = metas.map_batches(_IntersectKeys(table.root, keys_ref),
                                   batch_format="pyarrow", batch_size=1).take_all()
         if parts:

@@ -118,8 +118,13 @@ class SynthImages:
 
 
 def image_dataset(n_rows: int, seed: int = 42, hot_fraction: float = 0.2,
-                  batch_size: int = 512, concurrency=None):
-    """Lazy Dataset of n synthetic image rows."""
+                  batch_size: int = 128, concurrency=None):
+    """Lazy Dataset of n synthetic image rows.
+
+    batch_size bounds task granularity (map_batches bundles range
+    blocks up to batch_size, so smaller batches → more concurrent
+    synth tasks); keep it well under n_rows / available CPUs.
+    """
     import ray.data as rd
 
     kwargs = {}

@@ -138,7 +138,8 @@ class Snapshot:
                 [self.table.abspath(f.path) for f in clean], columns=columns))
         if dirty:
             ref = ray.put(deletes)
-            meta = rd.from_items([{"id": f.id, "path": f.path} for f in dirty])
+            meta = rd.from_items([{"id": f.id, "path": f.path} for f in dirty],
+                                 override_num_blocks=len(dirty))
             parts.append(meta.map_batches(
                 _DirtyFragmentReader(self.table.root, columns, ref),
                 batch_format="pyarrow", batch_size=1))

@@ -1,0 +1,118 @@
+"""Reference-parity tests (SURVEY §5 translation table): the Rust
+suite's semantics re-pinned against table maintenance.
+
+- dup-offset test (src/pipeline/mod.rs:314-332) → duplicate seq in one
+  changeset: second row dropped regardless of key
+- dup-key test (src/pipeline/mod.rs:334-352) → duplicate image_id:
+  lowest seq wins
+- null-handling (src/pipeline/mod.rs:370-384, utils:424-459) → nullable
+  caption round-trips through fragments
+- mock-sink flush/commit tests (src/pipeline/mod.rs:283-293) → commit
+  atomicity under fault injection: data files written but CAS never
+  run → old snapshot intact, orphans invisible, expire sweeps them
+"""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from kafka_delta_rs_ray.pipelines.expire import expire
+from kafka_delta_rs_ray.pipelines.ingest import append
+from kafka_delta_rs_ray.pipelines.merge import merge
+from kafka_delta_rs_ray.pipelines.synth import image_dataset
+from kafka_delta_rs_ray.tablefmt import IMAGE_SCHEMA, Table
+from kafka_delta_rs_ray.tablefmt.fragments import write_fragment_table
+from kafka_delta_rs_ray.tablefmt.schema import CHANGESET_SCHEMA
+
+
+@pytest.fixture
+def table(tmp_path, ray_session):
+    t = Table.create(str(tmp_path / "t"), IMAGE_SCHEMA)
+    append(t, image_dataset(40, batch_size=20), target_fragment_rows=20)
+    return t
+
+
+def _chrow(iid, seq, caption, partition=0, op="upsert"):
+    return {"image_id": iid, "bytes": b"x", "w": 1, "h": 1, "fmt": "rawz",
+            "caption": caption, "phash": 7, "partition_id": partition,
+            "seq": seq, "op": op}
+
+
+def test_duplicate_seq_dropped(table):
+    """Reference: insert with an already-seen offset is skipped even
+    for a different key (offset uniqueness domain)."""
+    ch = rd.from_arrow(pa.Table.from_pylist(
+        [_chrow("new-a", 100, "row a"),
+         _chrow("new-b", 100, "row b (dup offset)")],
+        schema=CHANGESET_SCHEMA))
+    merge(table, ch, app_id="dup-seq")
+    t = table.snapshot().to_arrow()
+    ids = set(t["image_id"].to_pylist())
+    assert "new-a" in ids          # first (lowest image_id) wins
+    assert "new-b" not in ids      # duplicate offset dropped
+
+
+def test_duplicate_key_keeps_lowest_seq(table):
+    ch = rd.from_arrow(pa.Table.from_pylist(
+        [_chrow("new-k", 201, "second"), _chrow("new-k", 200, "first")],
+        schema=CHANGESET_SCHEMA))
+    merge(table, ch, app_id="dup-key")
+    t = table.snapshot().to_arrow()
+    rows = [r for r in t.to_pylist() if r["image_id"] == "new-k"]
+    assert len(rows) == 1 and rows[0]["caption"] == "first"
+
+
+def test_null_caption_roundtrip(table):
+    ch = rd.from_arrow(pa.Table.from_pylist(
+        [_chrow("null-cap", 300, None)], schema=CHANGESET_SCHEMA))
+    merge(table, ch, app_id="nulls")
+    t = table.snapshot().to_arrow()
+    row = [r for r in t.to_pylist() if r["image_id"] == "null-cap"]
+    assert len(row) == 1 and row[0]["caption"] is None
+
+
+def test_commit_atomicity_fault_injection(table):
+    """Crash between fragment write and CAS: the fragment exists on
+    disk but no manifest references it → every snapshot unchanged;
+    expire sweeps the orphan; a later retry (re-write + commit)
+    succeeds and the orphan never resurfaces."""
+    v_before = table.latest_version()
+    rows_before = table.snapshot().to_arrow().num_rows
+
+    # simulate the crash: fragment written, commit never runs
+    orphan_tbl = pa.Table.from_pylist(
+        [{"image_id": "orphan", "bytes": b"x", "w": 1, "h": 1,
+          "fmt": "rawz", "caption": "c", "phash": 0}], schema=IMAGE_SCHEMA)
+    frag = write_fragment_table(orphan_tbl, table.root, "crashed-run")
+    assert os.path.exists(table.abspath(frag.path))
+
+    assert table.latest_version() == v_before
+    assert table.snapshot().to_arrow().num_rows == rows_before  # invisible
+
+    report = expire(table, keep_last=1)
+    assert frag.path in report["removed_files"]  # orphan swept
+    assert not os.path.exists(table.abspath(frag.path))
+    assert table.snapshot().to_arrow().num_rows == rows_before
+
+    # the retry path: same logical work, new run-scoped file, commits
+    ch = rd.from_arrow(pa.Table.from_pylist(
+        [_chrow("orphan", 400, "retried")], schema=CHANGESET_SCHEMA))
+    m = merge(table, ch, app_id="retry")
+    assert m is not None
+    t = table.snapshot().to_arrow()
+    assert "orphan" in set(t["image_id"].to_pylist())
+
+
+def test_expire_min_age_protects_inflight(table):
+    """A just-written pre-commit file survives expire when
+    min_age_seconds exceeds its age (in-flight writer protection)."""
+    orphan_tbl = pa.Table.from_pylist(
+        [{"image_id": "inflight", "bytes": b"x", "w": 1, "h": 1,
+          "fmt": "rawz", "caption": "c", "phash": 0}], schema=IMAGE_SCHEMA)
+    frag = write_fragment_table(orphan_tbl, table.root, "inflight-run")
+    report = expire(table, keep_last=1, min_age_seconds=3600)
+    assert frag.path not in report["removed_files"]
+    assert os.path.exists(table.abspath(frag.path))
