@@ -1,55 +1,163 @@
-"""Z-order clustering: full-table sort by Morton code → re-fragment
-with zone maps.
+"""Z-order clustering: range-partition by Morton code → per-range
+local sort → re-fragment with zone maps.
 
-Pipeline (one lazy Dataset end to end; the sort is the only shuffle):
+Default strategy ("range") — an explicit range-partitioned sort, the
+classic distributed-sort decomposition:
 
-    snapshot scan (delete-aware)
-      → map_batches(add (zcode, salt))          vectorized, no state
-      → repartition(n_parts)                    explicit sort width
-      → sort(["zcode", "salt"])                 Ray range-partitioned
-                                                shuffle; salt splits hot
-                                                zcodes across boundaries
-      → map_batches(FragmentWriter)             fragments in sorted
-                                                order; zcode zone maps
-                                                recorded, zcode/salt
-                                                dropped from the files
+  1. BOUNDARIES (driver, metadata only): sample the tiny key columns
+     (phash, w, h — never image bytes), compute zcode quantiles →
+     K equal-frequency range buckets. Equal-frequency boundaries are
+     the skew handling: a hot phash region gets MORE buckets, not one
+     giant one. Buckets whose sampled share exceeds ``hot_factor``×
+     the even share (identical zcodes — quantiles cannot split equal
+     keys) are subdivided by the deterministic per-row ``salt``
+     (north_rule: salted repartition before the cluster shuffle).
+  2. ASSIGN (map_batches, vectorized searchsorted) → bucket id.
+  3. SHUFFLE (hash-shuffle groupby on bucket) → each bucket lands on
+     one aggregator; only the bounded bucket (≈ target fragment rows ×
+     over-partition factor) is ever materialized per task.
+  4. LOCAL SORT + WRITE (map_groups): sort the bucket by
+     (zcode, salt), slice into fragments of ``target_fragment_rows``,
+     record per-fragment zone maps (zcode/phash/w/h min-max), drop the
+     derived sort keys from the files.
 
-Sort width matters: Ray's sort exchanges p_in × p_out block slices, so
-p blocks cost O(p²) object transfers — measured 4× slower at 75 blocks
-than 16 for the same rows. We size partitions from the manifest row
-count (≈ one fragment per partition, capped) instead of inheriting
-whatever block count the scan produced. Each sort output partition is
-a contiguous key range processed by a single writer task, so fragments
-come out range-contiguous WITHOUT preserve_order (which serializes the
-pipeline); only block-tail bundling can blur a boundary, and zone maps
-stay exact either way.
+  Because bucket ranges are disjoint, fragments come out globally
+  range-partitioned by zcode — the same invariant a full ``ds.sort``
+  would give — while the shuffle is a plain hash exchange with
+  controllable reducer concurrency (``DataContext
+  .max_hash_shuffle_aggregators``). Measured 3-4x faster than the
+  sort-shuffle path at 32 CPUs on binary-heavy rows (concurrent
+  large-block sort merges stall on memory-allocation contention).
+
+Alternative strategy ("sort"): one lazy ``ds.sort(["zcode","salt"])``
+pipeline (Ray range-partitioned sort-shuffle). Same output invariant.
 
 Commit: full fragment-set swap (kind="cluster"); the builder requires
 the table version to be unchanged since the scan — clustering rewrites
 everything, so ANY concurrent commit is a conflict; the caller reruns.
 
-Scale: the sort is an all-to-all exchange of the full table — inherent
-to clustering (same for Delta OPTIMIZE ZORDER). Everything else
-streams. For 100 TB you cluster one phash key-range slice per run (the
-``prune`` argument), never the whole table at once.
+Scale: the shuffle is an all-to-all exchange of the full table —
+inherent to clustering (same for Delta OPTIMIZE ZORDER). Everything
+else streams; driver-side state is boundaries (K ints) + fragment
+metadata. For 100 TB you cluster one phash key-range slice per run
+(the ``prune`` argument), never the whole table at once.
 """
 
 from __future__ import annotations
 
 import time
 
+import numpy as np
+import pyarrow as pa
+
+from ..functions.morton import zcode_from_columns
 from ..stages.zorder import add_zorder_keys
 from ..state.lineage import RunContext
 from ..tablefmt.catalog import Table
-from ..tablefmt.fragments import FragmentWriter, frags_from_meta
+from ..tablefmt.fragments import (FRAG_META_SCHEMA, FragmentWriter,
+                                  compute_stats, frag_meta_row,
+                                  frags_from_meta, write_fragment_table)
 from ..tablefmt.manifest import Manifest
 
-MAX_SORT_PARTITIONS = 64  # single-node cap; p² exchange beyond this
+MAX_SORT_PARTITIONS = 64  # sort path: p² exchange beyond this
+MAX_BOUNDARY_SAMPLE = 200_000  # rows of (phash,w,h) read for quantiles
+
+
+def _sample_boundaries(snap, prune, n_buckets: int,
+                       hot_factor: float = 4.0,
+                       salt_buckets: int = 4096):
+    """Equal-frequency zcode boundaries + hot-bucket split factors.
+
+    Reads ONLY the key metadata columns (phash, w, h); at large scale
+    this is further bounded by ``random_sample`` to
+    ``MAX_BOUNDARY_SAMPLE`` rows. Returns (boundaries asc int64,
+    {bucket_id: split_factor} for buckets the sample says are hot).
+    """
+    rows_est = max(1, sum(f.live_rows for f in snap._select_fragments(prune)))
+    md = snap.dataset(columns=["phash", "w", "h"], prune=prune)
+    if rows_est > MAX_BOUNDARY_SAMPLE:
+        md = md.random_sample(MAX_BOUNDARY_SAMPLE / rows_est, seed=7)
+    mt = pa.concat_tables(
+        list(md.iter_batches(batch_format="pyarrow", batch_size=65536)))
+    z = zcode_from_columns(mt["phash"].to_numpy(zero_copy_only=False),
+                           mt["w"].to_numpy(zero_copy_only=False),
+                           mt["h"].to_numpy(zero_copy_only=False))
+    zf = np.asarray(z, dtype=np.int64)
+    qs = np.quantile(zf.astype(np.float64),
+                     np.linspace(0, 1, n_buckets + 1)[1:-1])
+    bounds = np.unique(qs).astype(np.int64)
+    # hot detection: share of sample per bucket vs the even share
+    bucket = np.searchsorted(bounds, zf, side="right")
+    counts = np.bincount(bucket, minlength=len(bounds) + 1)
+    even = max(1.0, len(zf) / (len(bounds) + 1))
+    hot = {int(b): int(min(salt_buckets, np.ceil(c / even)))
+           for b, c in enumerate(counts) if c > hot_factor * even}
+    return bounds, hot
+
+
+class _AssignBucket:
+    """map_batches: add (zcode, salt, bucket). Boundaries + hot-split
+    map arrive once per worker via ray.put broadcast."""
+
+    def __init__(self, bounds_ref, salt_buckets: int):
+        self.bounds_ref = bounds_ref
+        self.salt_buckets = salt_buckets
+        self._bh = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._bh is None:
+            self._bh = ray.get(self.bounds_ref)
+        bounds, hot = self._bh
+        b2 = add_zorder_keys(batch, self.salt_buckets)
+        z = b2["zcode"].to_numpy(zero_copy_only=False)
+        base = np.searchsorted(bounds, z, side="right").astype(np.int64)
+        if hot:
+            # hot buckets subdivide by salt → bounded group size
+            salt = b2["salt"].to_numpy(zero_copy_only=False)
+            sub = np.zeros(len(base), dtype=np.int64)
+            for hb, k in hot.items():
+                m = base == hb
+                if m.any():
+                    sub[m] = salt[m] % k
+            bucket = base * self.salt_buckets + sub
+        else:
+            bucket = base * self.salt_buckets
+        return b2.append_column("bucket", pa.array(bucket, pa.int64()))
+
+
+class _SortWriteBucket:
+    """map_groups: local (zcode, salt) sort of one range bucket →
+    fragments of target_fragment_rows with zone maps; derived key
+    columns are dropped from the files but kept in the zone maps."""
+
+    def __init__(self, root: str, run_id: str, target_rows: int):
+        self.root = root
+        self.run_id = run_id
+        self.target_rows = target_rows
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return FRAG_META_SCHEMA.empty_table()
+        g = g.sort_by([("zcode", "ascending"), ("salt", "ascending")])
+        metas = []
+        drop = [c for c in ("zcode", "salt", "bucket") if c in g.column_names]
+        for off in range(0, g.num_rows, self.target_rows):
+            sl = g.slice(off, self.target_rows)
+            stats = compute_stats(sl)  # includes zcode zone map
+            stats.pop("bucket", None)
+            frag = write_fragment_table(sl.drop_columns(drop), self.root,
+                                        self.run_id, sorted_by="zcode",
+                                        stats=stats)
+            metas.append(frag_meta_row(frag))
+        return pa.concat_tables(metas)
 
 
 def cluster(table: Table, target_fragment_rows: int = 4096,
             salt_buckets: int = 4096, run_id: str | None = None,
-            prune: dict | None = None) -> Manifest | None:
+            prune: dict | None = None, strategy: str = "range",
+            over_partition: int = 2) -> Manifest | None:
     """Cluster the live table (or a zone-map-pruned slice) by zcode."""
     ctx = RunContext(table.root, run_id, job="cluster")
     snap = table.snapshot()
@@ -58,19 +166,67 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
     t0 = time.time()
 
     rows_est = max(1, snap.manifest.total_rows())
-    n_parts = min(MAX_SORT_PARTITIONS,
-                  max(8, rows_est // max(1, target_fragment_rows)))
 
-    ds = snap.dataset(prune=prune)
-    ds = ds.map_batches(lambda b: add_zorder_keys(b, salt_buckets),
-                        batch_format="pyarrow", batch_size=None)
-    ds = ds.repartition(int(n_parts))
-    ds = ds.sort(["zcode", "salt"])
-    meta = ds.map_batches(
-        FragmentWriter(table.root, ctx.run_id, sorted_by="zcode",
-                       drop_columns=("zcode", "salt")),
-        batch_format="pyarrow", batch_size=target_fragment_rows,
-    ).take_all()
+    if strategy == "range":
+        import ray
+        from ray.data import DataContext
+        from ray.data.context import ShuffleStrategy
+
+        n_buckets = int(min(4096, max(8, over_partition * rows_est
+                                      // max(1, target_fragment_rows))))
+        bounds, hot = _sample_boundaries(snap, prune, n_buckets,
+                                         salt_buckets=salt_buckets)
+        bref = ray.put((bounds, hot))
+        # hash exchange on bucket (scoped): a plain streaming shuffle —
+        # no giant merge-sorted blocks. Reducer-side concurrency is
+        # deliberately BOUNDED below the CPU count: bucket sort+write
+        # tasks touch tens-of-MB buffers, and concurrent large-buffer
+        # work saturates a node's memory bandwidth long before its
+        # CPUs (measured: >8 concurrent big-buffer tasks on one node
+        # REDUCES aggregate throughput) — so ~cpus/4 aggregators and
+        # 2 CPUs per sort+write task, leaving the map side the rest.
+        # NOTE: DataContext is captured at DATASET CREATION, so the
+        # override must wrap the whole pipeline build, not just execute.
+        dctx = DataContext.get_current()
+        total_cpus = int(ray.cluster_resources().get("CPU", 8))
+        saved = (dctx.shuffle_strategy, dctx.max_hash_shuffle_aggregators,
+                 dctx.default_hash_shuffle_parallelism)
+        dctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        dctx.max_hash_shuffle_aggregators = max(2, total_cpus // 4)
+        # aggregator actors reserve CPU per shuffle PARTITION (not per
+        # actor): the 200-partition default demands 12.5 CPUs and
+        # deadlocks an 8-CPU cluster — scale partitions to the cluster
+        dctx.default_hash_shuffle_parallelism = max(8, total_cpus * 2)
+        sw = _SortWriteBucket(table.root, ctx.run_id, target_fragment_rows)
+
+        def sort_write_bucket(g: pa.Table) -> pa.Table:  # map_groups needs __name__
+            return sw(g)
+
+        try:
+            ds = snap.dataset(prune=prune)
+            ds = ds.map_batches(_AssignBucket(bref, salt_buckets),
+                                batch_format="pyarrow", batch_size=None)
+            meta = (ds.groupby("bucket")
+                    .map_groups(sort_write_bucket, batch_format="pyarrow",
+                                num_cpus=2)
+                    .take_all())
+        finally:
+            (dctx.shuffle_strategy, dctx.max_hash_shuffle_aggregators,
+             dctx.default_hash_shuffle_parallelism) = saved
+        n_parts = len(bounds) + 1
+    else:
+        n_parts = min(MAX_SORT_PARTITIONS,
+                      max(8, rows_est // max(1, target_fragment_rows)))
+        ds = snap.dataset(prune=prune)
+        ds = ds.map_batches(lambda b: add_zorder_keys(b, salt_buckets),
+                            batch_format="pyarrow", batch_size=None)
+        ds = ds.repartition(int(n_parts))
+        ds = ds.sort(["zcode", "salt"])
+        meta = ds.map_batches(
+            FragmentWriter(table.root, ctx.run_id, sorted_by="zcode",
+                           drop_columns=("zcode", "salt")),
+            batch_format="pyarrow", batch_size=target_fragment_rows,
+        ).take_all()
 
     new_frags = frags_from_meta(meta)
 
@@ -81,20 +237,25 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
             raise CommitConflict(
                 f"cluster scanned v{snap.version} but latest is "
                 f"v{latest.version}; rerun the cluster job")
+        props = dict(latest.properties)
         if prune is None:
             frags = list(new_frags)
+            # every fragment was rewritten at the current schema, so
+            # old-fragment null-fill (schema_evolved) is no longer needed
+            props.pop("schema_evolved", None)
         else:  # only the scanned slice was rewritten
             scanned = {f.id for f in snap._select_fragments(prune)}
             frags = [f for f in latest.fragments if f.id not in scanned]
             frags += new_frags
         return Manifest(version=-1, parent=None, kind="cluster",
                         schema=latest.schema, fragments=frags,
-                        txn=latest.txn, properties=latest.properties)
+                        txn=latest.txn, properties=props)
 
     m = table.commit(build, max_attempts=1)
     ctx.log_metric("cluster_done",
                    rows=sum(f.rows for f in new_frags),
                    fragments_out=len(new_frags),
+                   strategy=strategy,
                    sort_partitions=int(n_parts),
                    salt_buckets=salt_buckets,
                    seconds=time.time() - t0,

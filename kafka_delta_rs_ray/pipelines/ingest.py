@@ -17,17 +17,31 @@ import uuid
 from ..tablefmt.catalog import Table
 from ..tablefmt.fragments import FragmentWriter, frags_from_meta
 from ..tablefmt.manifest import Manifest
+from ..tablefmt.schema import merge_schemas, validate_subset
 
 
 def append(table: Table, ds, run_id: str | None = None,
            target_fragment_rows: int = 4096, txn: dict | None = None,
-           kind: str = "append") -> Manifest:
+           kind: str = "append", mode: str = "default") -> Manifest:
     """Append a Dataset's rows to the table as new fragments.
 
     ``txn``: optional {app_id: {partition: seq}} watermarks to merge
     into the ledger in the same commit (idempotent-writer identity).
+
+    ``mode``: the reference's write-mode seam (config ``Insert`` →
+    ``WriteMode::Default``, ``Upsert`` → ``WriteMode::MergeSchema``,
+    src/pipeline/mod.rs:224-227 + src/config/mod.rs:52-57):
+    ``"default"`` rejects columns missing from the table schema;
+    ``"merge_schema"`` evolves the schema in the same commit — new
+    columns are appended as nullable, and older fragments surface
+    nulls for them at read time.
     """
     run_id = run_id or uuid.uuid4().hex[:8]
+    incoming = ds.schema().base_schema  # Ray Dataset schema → pa.Schema
+    if mode == "default":
+        validate_subset(table.schema(), incoming)
+    elif mode != "merge_schema":
+        raise ValueError(f"unknown write mode {mode!r}")
     meta = ds.map_batches(
         FragmentWriter(table.root, run_id),
         batch_format="pyarrow", batch_size=target_fragment_rows,
@@ -40,9 +54,16 @@ def append(table: Table, ds, run_id: str | None = None,
             cur = merged_txn.setdefault(app, {})
             for p, s in parts.items():
                 cur[str(p)] = max(int(s), int(cur.get(str(p), -1)))
+        schema = (merge_schemas(latest.schema, incoming)
+                  if mode == "merge_schema" else latest.schema)
+        props = dict(latest.properties)
+        if schema != latest.schema:
+            # older fragments now need null-fill at read time (see
+            # Snapshot.dataset); a full re-cluster clears this
+            props["schema_evolved"] = True
         return Manifest(version=-1, parent=None, kind=kind,
-                        schema=latest.schema,
+                        schema=schema,
                         fragments=list(latest.fragments) + new_frags,
-                        txn=merged_txn, properties=latest.properties)
+                        txn=merged_txn, properties=props)
 
     return table.commit(build)

@@ -74,6 +74,52 @@ def write_fragment_table(tbl: pa.Table, root: str, run_id: str,
                     sorted_by=sorted_by)
 
 
+class StreamingFragmentWriter:
+    """Incremental fragment writer: append tables as parquet row groups
+    without ever materializing the whole fragment (bounded memory for
+    terabyte bins; avoids concurrent whole-bin concat+write, which
+    measured 10-20x slower under 32-way concurrency). Zone maps are
+    accumulated per appended table."""
+
+    def __init__(self, root: str, run_id: str,
+                 sorted_by: str | None = None):
+        self.fid = new_fragment_id(run_id)
+        self.rel = os.path.join("data", f"frag-{self.fid}.parquet")
+        self.dest = os.path.join(root, self.rel)
+        self.sorted_by = sorted_by
+        self._writer = None
+        self._rows = 0
+        self._stats: dict = {}
+
+    def write(self, tbl: pa.Table) -> None:
+        if tbl.num_rows == 0:
+            return
+        if self._writer is None:
+            self._writer = pq.ParquetWriter(
+                self.dest, tbl.schema, compression="zstd",
+                compression_level=ZSTD_LEVEL, use_dictionary=False,
+                write_statistics=False)
+        self._writer.write_table(tbl)
+        self._rows += tbl.num_rows
+        for col, mm in compute_stats(tbl).items():
+            cur = self._stats.get(col)
+            if cur is None:
+                self._stats[col] = dict(mm)
+            else:
+                cur["min"] = min(cur["min"], mm["min"])
+                cur["max"] = max(cur["max"], mm["max"])
+
+    def close(self) -> Fragment | None:
+        """Returns None when no rows were written (e.g. a bin whose
+        rows were all deleted — the inputs simply disappear)."""
+        if self._writer is None:
+            return None
+        self._writer.close()
+        return Fragment(id=self.fid, path=self.rel, rows=self._rows,
+                        bytes=os.path.getsize(self.dest),
+                        stats=self._stats, sorted_by=self.sorted_by)
+
+
 FRAG_META_SCHEMA = pa.schema([pa.field("frag_json", pa.string())])
 
 

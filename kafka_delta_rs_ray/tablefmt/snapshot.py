@@ -28,6 +28,8 @@ import typing
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from .schema import conform_table
+
 if typing.TYPE_CHECKING:
     from .catalog import Table
     from .manifest import Fragment, Manifest
@@ -48,10 +50,11 @@ class _DirtyFragmentReader:
     """map_batches stage over fragment-meta rows: read parquet, drop
     deleted keys. Delete sets come from a single ray.put broadcast."""
 
-    def __init__(self, root: str, columns, deletes_ref):
+    def __init__(self, root: str, columns, deletes_ref, schema=None):
         self.root = root
         self.columns = columns
         self.deletes_ref = deletes_ref
+        self.schema = schema  # target schema for evolved tables, or None
         self._deletes = None  # resolved lazily once per worker
 
     def __call__(self, meta: pa.Table) -> pa.Table:
@@ -66,12 +69,21 @@ class _DirtyFragmentReader:
             read_cols = cols
             if cols is not None and "image_id" not in cols:
                 read_cols = list(cols) + ["image_id"]
+            if read_cols is not None and self.schema is not None:
+                # evolved table: an old fragment may lack a projected col
+                have = set(pq.read_schema(
+                    os.path.join(self.root, row["path"])).names)
+                read_cols = [c for c in read_cols if c in have]
             t = pq.read_table(os.path.join(self.root, row["path"]), columns=read_cols)
             keys = self._deletes.get(row["id"])
             if keys is not None and len(keys) > 0:
                 mask = pc.is_in(t["image_id"], value_set=pa.array(keys, pa.string()))
                 t = t.filter(pc.invert(mask))
-            if cols is not None:
+            if self.schema is not None:
+                proj = (self.schema if cols is None else
+                        pa.schema([self.schema.field(c) for c in cols]))
+                t = conform_table(t, proj)
+            elif cols is not None:
                 t = t.select(cols)
             out.append(t)
         return pa.concat_tables(out) if out else pa.table({})
@@ -131,17 +143,37 @@ class Snapshot:
         deletes = self.read_deletes(frags) if apply_deletes else {}
         clean = [f for f in frags if f.id not in deletes]
         dirty = [f for f in frags if f.id in deletes]
+        # set once schema evolution has happened (see ingest.append
+        # mode="merge_schema"); older fragments then need null-fill +
+        # column reorder, which costs one extra map stage — tables that
+        # never evolved skip it entirely
+        evolved = bool(self.manifest.properties.get("schema_evolved"))
+        conform_schema = schema if evolved else None
 
         parts = []
         if clean:
-            parts.append(rd.read_parquet(
-                [self.table.abspath(f.path) for f in clean], columns=columns))
+            if evolved:
+                # per-fragment read tasks (parquet column sets differ
+                # per fragment, so push projection per file)
+                ref = ray.put({})
+                meta = rd.from_items(
+                    [{"id": f.id, "path": f.path} for f in clean],
+                    override_num_blocks=len(clean))
+                parts.append(meta.map_batches(
+                    _DirtyFragmentReader(self.table.root, columns, ref,
+                                         schema=conform_schema),
+                    batch_format="pyarrow", batch_size=1))
+            else:
+                parts.append(rd.read_parquet(
+                    [self.table.abspath(f.path) for f in clean],
+                    columns=columns))
         if dirty:
             ref = ray.put(deletes)
             meta = rd.from_items([{"id": f.id, "path": f.path} for f in dirty],
                                  override_num_blocks=len(dirty))
             parts.append(meta.map_batches(
-                _DirtyFragmentReader(self.table.root, columns, ref),
+                _DirtyFragmentReader(self.table.root, columns, ref,
+                                     schema=conform_schema),
                 batch_format="pyarrow", batch_size=1))
         ds = parts[0]
         for p in parts[1:]:
@@ -152,10 +184,15 @@ class Snapshot:
         """Materialize the snapshot driver-side — tests/small tables only."""
         tables = []
         deletes = self.read_deletes()
+        proj = self.manifest.schema if columns is None else pa.schema(
+            [self.manifest.schema.field(c) for c in columns])
         for f in self._select_fragments(prune):
             cols = columns
             if cols is not None and "image_id" not in cols:
                 cols = list(cols) + ["image_id"]
+            if cols is not None:
+                have = set(pq.read_schema(self.table.abspath(f.path)).names)
+                cols = [c for c in cols if c in have]
             t = pq.read_table(self.table.abspath(f.path), columns=cols)
             keys = deletes.get(f.id)
             if keys:
@@ -163,11 +200,7 @@ class Snapshot:
 
                 t = t.filter(pc.invert(pc.is_in(t["image_id"],
                                                 value_set=pa.array(keys, pa.string()))))
-            if columns is not None:
-                t = t.select(columns)
-            tables.append(t)
+            tables.append(conform_table(t, proj))
         if not tables:
-            sch = self.manifest.schema if columns is None else pa.schema(
-                [self.manifest.schema.field(c) for c in columns])
-            return sch.empty_table()
+            return proj.empty_table()
         return pa.concat_tables(tables)

@@ -120,3 +120,66 @@ def test_commit_conflict_exhausts(table):
 def test_commit_noop(table):
     assert table.commit(lambda latest: None) is None
     assert table.latest_version() == 0
+
+
+# inline lambdas below are cloudpickled by value (a module-level helper
+# would be pickled by reference, which workers can't import from tests/)
+def _license_ds(n, seed, prefix):
+    return image_dataset(n, seed=seed, batch_size=n).map_batches(
+        lambda b: b.set_column(
+            0, "image_id",
+            pa.array([f"{prefix}-{i}" for i in range(b.num_rows)])
+        ).append_column(
+            "license", pa.array(["cc0"] * b.num_rows, pa.string())),
+        batch_format="pyarrow")
+
+
+def test_schema_evolution_merge_schema(table, ray_session):
+    """Reference W2: Insert → Default rejects new columns; Upsert →
+    MergeSchema evolves (src/pipeline/mod.rs:224-227). Old fragments
+    surface nulls for the new column in every read path."""
+    from kafka_delta_rs_ray.errors import ValidationError
+
+    append(table, image_dataset(30, batch_size=30), target_fragment_rows=30)
+    extra = _license_ds(10, 99, "x")
+
+    with pytest.raises(ValidationError):
+        append(table, extra, target_fragment_rows=10)  # mode="default"
+
+    m = append(table, extra, target_fragment_rows=10, mode="merge_schema")
+    assert m.schema.field("license").type == pa.string()
+    assert m.properties.get("schema_evolved") is True
+
+    tbl = table.snapshot().to_arrow().sort_by("image_id")
+    assert tbl.num_rows == 40 and "license" in tbl.column_names
+    lic = tbl["license"].to_pylist()
+    assert lic.count("cc0") == 10 and lic.count(None) == 30
+
+    # distributed scan conforms too, including projections
+    ds = table.snapshot().dataset(columns=["image_id", "license"])
+    assert ds.count() == 40
+    got = ds.take_all()
+    assert sum(1 for r in got if r["license"] == "cc0") == 10
+
+    # type conflict is rejected in either mode
+    bad = image_dataset(5, seed=3, batch_size=5).map_batches(
+        lambda b: b.append_column("license",
+                                  pa.array([1] * b.num_rows, pa.int64())),
+        batch_format="pyarrow")
+    with pytest.raises(ValidationError):
+        append(table, bad, target_fragment_rows=5, mode="merge_schema")
+
+
+def test_schema_evolution_cleared_by_cluster(table, ray_session):
+    from kafka_delta_rs_ray.pipelines.cluster import cluster
+
+    append(table, image_dataset(20, batch_size=20), target_fragment_rows=20)
+    append(table, _license_ds(5, 98, "y"), target_fragment_rows=5,
+           mode="merge_schema")
+    before = table.snapshot().to_arrow().sort_by("image_id")
+
+    cluster(table, target_fragment_rows=16)
+    m = table.read_manifest()
+    assert "schema_evolved" not in m.properties  # full rewrite conformed
+    after = table.snapshot().to_arrow().sort_by("image_id")
+    assert after.equals(before)
