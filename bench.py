@@ -14,9 +14,15 @@ Prints ONE JSON line:
    "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
    "maintenance_images_per_sec": ..., "merge_rows_per_sec": ...}
 
---scaling: run the same job in TWO fresh subprocesses at 8 and 32
-CPUs on identical input and report both throughputs + scaling
-efficiency (the sandbox proxy for the north_rule's N vs 4N nodes).
+--scaling: the north_rule's N-vs-4N evidence, sandbox proxy — the full
+maintenance transaction (synth ingest → validated MERGE → compact with
+dctq recompression → Z-order cluster) over a FIXED 48k-image layout in
+fresh subprocesses at 8 and 32 CPUs, arms interleaved lo,hi,lo,hi with
+best-of-3 per arm (this host's noisy-neighbor variance is 2-3x between
+time windows). Reports both lifecycle throughputs + efficiency.
+
+--lifecycle-only: one arm of the scaling run (used by --scaling's
+subprocesses; also handy standalone).
 """
 
 from __future__ import annotations
@@ -36,6 +42,13 @@ N_CHANGES = int(os.environ.get("GRAFT_CHANGES", "4800"))
 # this sandbox has heavy noisy-neighbor variance (identical runs differ
 # 2x); the lifecycle is run REPS times and per-stage MIN is reported
 REPS = int(os.environ.get("GRAFT_REPS", "2"))
+
+# Benchmark tables live on tmpfs: the design target is object storage
+# whose aggregate bandwidth scales with the cluster, which this VM's
+# single ~15 MB/s-writeback disk does not represent. Override with
+# GRAFT_SCRATCH to measure against a real filesystem.
+SCRATCH = os.environ.get(
+    "GRAFT_SCRATCH", "/dev/shm" if os.path.isdir("/dev/shm") else None)
 
 
 def run_bench() -> dict:
@@ -66,7 +79,7 @@ def run_bench() -> dict:
 
     def lifecycle() -> dict[str, float]:
         tm: dict[str, float] = {}
-        root = tempfile.mkdtemp(prefix="kdr-bench-")
+        root = tempfile.mkdtemp(prefix="kdr-bench-", dir=SCRATCH)
         try:
             t = Table.create(f"{root}/table", IMAGE_SCHEMA)
             t0 = time.time()
@@ -124,30 +137,101 @@ def run_bench() -> dict:
     return result
 
 
+def run_lifecycle_only() -> dict:
+    """One maintenance transaction (ingest → MERGE → compact → cluster)
+    at $RAY_GRAFT_CPUS over $GRAFT_SCALING_IMAGES synthetic images —
+    the scaling-probe payload (no testdata queries)."""
+    import ray
+
+    n = int(os.environ.get("GRAFT_SCALING_IMAGES", "48000"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from kafka_delta_rs_ray.pipelines.cluster import cluster
+    from kafka_delta_rs_ray.pipelines.compact import compact
+    from kafka_delta_rs_ray.pipelines.ingest import append
+    from kafka_delta_rs_ray.pipelines.merge import merge
+    from kafka_delta_rs_ray.pipelines.synth import (changeset_dataset,
+                                                    image_dataset)
+    from kafka_delta_rs_ray.tablefmt import IMAGE_SCHEMA, Table
+
+    tm: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="kdr-scale-", dir=SCRATCH)
+    gran = max(32, n // 128)  # fixed layout: independent of CPU count
+    try:
+        t = Table.create(f"{root}/table", IMAGE_SCHEMA)
+        t0 = time.time()
+        append(t, image_dataset(n, batch_size=gran),
+               target_fragment_rows=gran)
+        tm["ingest"] = time.time() - t0
+        ch = changeset_dataset(n, n // 4, n_partitions=32,
+                               batch_size=512).materialize()
+        t0 = time.time()
+        merge(t, ch, app_id="scale", target_fragment_rows=512)
+        tm["merge"] = time.time() - t0
+        t0 = time.time()
+        # rewrite-with-recompression: the full-featured compaction
+        # (every image re-encoded to the lossy codec during rewrite)
+        compact(t, target_bytes=32 << 20, transcode_fmt="dctq")
+        tm["compact"] = time.time() - t0
+        t0 = time.time()
+        cluster(t, target_fragment_rows=2048)
+        tm["cluster"] = time.time() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    total = sum(tm.values())
+    maint = tm["compact"] + tm["cluster"]
+    ray.shutdown()
+    return {"num_cpus": NUM_CPUS, "n_images": n,
+            "stages": {k: round(v, 3) for k, v in tm.items()},
+            "lifecycle_sec": round(total, 3),
+            "lifecycle_images_per_sec": round(n / total, 1),
+            "maintenance_images_per_sec": round(n / maint, 1),
+            "merge_rows_per_sec": round((n // 4) / tm["merge"], 1)}
+
+
 def run_scaling() -> dict:
-    """Same job, fresh processes, 8 vs 32 CPUs, identical input."""
+    """North-rule scaling evidence, sandbox proxy: the SAME maintenance
+    lifecycle on the SAME input layout in fresh processes at 8 and 32
+    CPUs (N vs 4N). This host has heavy noisy-neighbor variance
+    (identical runs differ 2-3x between time windows), so the arms are
+    INTERLEAVED lo,hi,lo,hi and each arm reports its best rep."""
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--lifecycle-only"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    one(8)  # warm the OS page cache (untimed)
-    lo, hi = one(8), one(32)
-    # throughput scaling on the parallel maintenance phase
-    thr_lo = lo["maintenance_images_per_sec"]
-    thr_hi = hi["maintenance_images_per_sec"]
-    eff = (thr_hi / thr_lo) / (32 / 8)
-    return {"metric": "scaling efficiency 8→32 CPUs (maintenance images/sec)",
+    one(8)  # warm page cache + module import (untimed)
+    reps = [(one(8), one(32)) for _ in range(3)]
+    lo = max((r[0] for r in reps), key=lambda r: r["lifecycle_images_per_sec"])
+    hi = max((r[1] for r in reps), key=lambda r: r["lifecycle_images_per_sec"])
+    eff = ((hi["lifecycle_images_per_sec"] / lo["lifecycle_images_per_sec"])
+           / (32 / 8))
+    eff_maint = ((hi["maintenance_images_per_sec"]
+                  / lo["maintenance_images_per_sec"]) / (32 / 8))
+    return {"metric": "scaling efficiency 8→32 CPUs "
+                      "(maintenance lifecycle images/sec, best of 3 "
+                      "interleaved reps per arm)",
             "cpus_lo": 8, "cpus_hi": 32,
-            "images_per_sec_lo": thr_lo, "images_per_sec_hi": thr_hi,
-            "total_sec_lo": lo["value"], "total_sec_hi": hi["value"],
-            "scaling_efficiency": round(eff, 3)}
+            "n_images": lo["n_images"],
+            "lo": lo, "hi": hi,
+            "images_per_sec_lo": lo["lifecycle_images_per_sec"],
+            "images_per_sec_hi": hi["lifecycle_images_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "scaling_efficiency_compact_cluster_only": round(eff_maint, 3)}
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--lifecycle-only" in sys.argv:
+        print(json.dumps(run_lifecycle_only()))
     else:
         print(json.dumps(run_bench()))

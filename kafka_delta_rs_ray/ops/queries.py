@@ -121,6 +121,63 @@ def events_window_agg(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
+def events_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min idle gap): the stateful
+    windowed operator the reference's time-triggered flush hints at
+    (D4), generalized per user. Users are hash-bucketed so one
+    map_groups call sessionizes a whole bucket VECTORIZED (sort +
+    shift + cumsum) — never a Python call per user; the shuffle key
+    co-locates each user's events, which is the partitioning
+    assumption sessionization requires."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array((uid % 64).astype("int32")))
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        gap = g["ts"] - g["ts"].shift()
+        new = (g["user_id"] != g["user_id"].shift()) | \
+              (gap > pd.Timedelta(minutes=30))
+        g = g.assign(session_id=new.groupby(g["user_id"]).cumsum().astype("int64"))
+        out = (g.groupby(["user_id", "session_id"], as_index=False)
+               .agg(n_events=("event_id", "size"),
+                    session_start=("ts", "min"),
+                    session_end=("ts", "max"),
+                    sum_value=("value", "sum")))
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = out["sum_value"].round(6)
+        return out
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+            .groupby("bucket").map_groups(sessionize, batch_format="pandas"))
+
+
+def events_sessionize_sql() -> str:
+    return """
+        WITH marked AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end,
+               round(sum(value), 6) AS sum_value
+        FROM sessions GROUP BY user_id, session_id
+    """
+
+
 def events_window_agg_sql() -> str:
     return """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -138,6 +195,34 @@ def events_count_by_type(sf_dir: str):
 
 def events_count_by_type_sql() -> str:
     return "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
+def events_distinct_users(sf_dir: str):
+    """COUNT DISTINCT per group, pre-deduplicated: each batch first
+    drops its own (event_type, user_id) duplicates, so the shuffle
+    moves one row per distinct pair per batch rather than every event;
+    the groupby then dedups across batches and counts. This is the
+    scalable `unique` decomposition (partial dedup → exchange → final
+    dedup), never a driver-side set."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def local_dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["event_type", "user_id"])
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_users": [g["user_id"].nunique()]})
+
+    return (ds.map_batches(local_dedup, batch_format="pandas",
+                           batch_size=None)
+            .groupby("event_type")
+            .map_groups(count_distinct, batch_format="pandas"))
+
+
+def events_distinct_users_sql() -> str:
+    return ("SELECT event_type, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type")
 
 
 # --------------------------------------------------------------- lineitem
@@ -406,7 +491,9 @@ QUERIES = {
     "events_ordered_head": events_ordered_head,
     "events_json_projection": events_json_projection,
     "events_window_agg": events_window_agg,
+    "events_sessionize": events_sessionize,
     "events_count_by_type": events_count_by_type,
+    "events_distinct_users": events_distinct_users,
     "lineitem_pricing_summary": lineitem_pricing_summary,
     "top_customers": top_customers,
     "doc_token_stats": doc_token_stats,
@@ -428,6 +515,8 @@ ORACLES = {
     "events_ordered_head": events_ordered_head_sql(),
     "events_json_projection": events_json_projection_sql(),
     "events_window_agg": events_window_agg_sql(),
+    "events_sessionize": events_sessionize_sql(),
+    "events_distinct_users": events_distinct_users_sql(),
     "events_count_by_type": events_count_by_type_sql(),
     "lineitem_pricing_summary": lineitem_pricing_summary_sql(),
     "top_customers": top_customers_sql(),

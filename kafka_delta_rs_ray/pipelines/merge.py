@@ -107,6 +107,32 @@ def _first_wins_seq(group: pa.Table) -> pa.Table:
     return t.filter(pa.array(first)).drop_columns(["seq_bucket"])
 
 
+class _ValidateChanges:
+    """Decode-validate incoming upsert payloads (the reference's
+    per-message parse step, src/utils/mod.rs:122-153: every message is
+    parsed against the schema BEFORE entering the dedup buffer; parse
+    failures go to the dead-letter topic, src/kafka/mod.rs:288-300).
+    Delete ops carry no payload and pass through untouched."""
+
+    def __init__(self, root: str, run_id: str):
+        from ..stages.validate import ValidateImages
+
+        self.inner = ValidateImages(root, run_id=run_id, check_pixels=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_del = pc.equal(batch["op"], "delete")
+        deletes = batch.filter(is_del)
+        upserts = batch.filter(pc.invert(is_del))
+        if upserts.num_rows == 0:
+            return batch
+        valid = self.inner(upserts)
+        if deletes.num_rows == 0:
+            return valid
+        return pa.concat_tables([valid, deletes])
+
+
 class _IntersectKeys:
     """Per-touched-fragment task: which changed keys exist here?
 
@@ -136,14 +162,35 @@ class _IntersectKeys:
                          "image_id": pa.array(out["image_id"], pa.string())})
 
 
+def merge_backlog(table: Table, changes_ds, app_id: str) -> dict:
+    """Staged-but-unmerged rows per partition — the reference's
+    offset-lag gauge (fetch_watermarks → consumer-lag metric,
+    src/kafka/mod.rs:199-208) re-expressed for changesets: how far each
+    partition's staged seq range runs ahead of the committed watermark.
+    Returns {partition_id: pending_row_count}."""
+    wm = table.read_manifest().txn.get(app_id, {})
+    pending = changes_ds.map_batches(_ReplayFilter(wm),
+                                     batch_format="pyarrow")
+    rows = pending.groupby("partition_id").count().take_all()
+    return {int(r["partition_id"]): int(r["count()"]) for r in rows}
+
+
 def merge(table: Table, changes_ds, app_id: str,
           n_buckets: int = 32, run_id: str | None = None,
-          target_fragment_rows: int = 4096) -> Manifest | None:
+          target_fragment_rows: int = 4096,
+          validate: bool = True) -> Manifest | None:
     """MERGE the changeset Dataset (CHANGESET_SCHEMA) into the table.
 
     Returns the committed manifest, or None when every row was a replay
     (idempotent no-op). Raises CommitConflict if touched fragments were
     rewritten concurrently — rerun against the fresh snapshot.
+
+    ``validate``: decode-validate every incoming upsert payload before
+    it can touch the table (the reference parses every message against
+    the schema before insert, src/utils/mod.rs:122-153); failures go to
+    ``quarantine/`` and — like the reference's dead-letter path — still
+    advance the watermark (their offsets are committed, they are just
+    never applied).
     """
     import ray
     import ray.data as rd
@@ -153,15 +200,34 @@ def merge(table: Table, changes_ds, app_id: str,
     snap = table.snapshot()
     m0 = snap.manifest
 
-    # 1+2: replay filter → bucket shuffle → first-wins dedup. The result
-    # is changeset-sized; materialize() pins it (it feeds 3 consumers).
+    # 1: replay filter; materialized because it feeds both the
+    # watermark computation and the dedup/write path (changeset-sized,
+    # bounded — never the base table)
     filt = changes_ds.map_batches(_ReplayFilter(m0.txn.get(app_id, {})),
-                                  batch_format="pyarrow")
-    # dual-domain dedup, both first-wins (reference D1): seq domain
-    # first (duplicate offsets dropped regardless of key), then key
-    # domain (duplicate image_ids keep lowest seq). Two bucketed
-    # shuffles of the (bounded) changeset.
-    seq_deduped = (filt
+                                  batch_format="pyarrow").materialize()
+    n_fresh = filt.count()
+    if n_fresh == 0:
+        ctx.log_metric("merge_noop", app_id=app_id, seconds=time.time() - t0)
+        return None
+
+    # watermark advance: max seq per partition over post-REPLAY rows —
+    # quarantined rows advance it too (reference: offsets are committed
+    # for dead-lettered messages, src/kafka/mod.rs:187-231)
+    wm_rows = (filt.groupby("partition_id").max("seq")).take_all()
+    new_wm = {str(r["partition_id"]): int(r["max(seq)"]) for r in wm_rows}
+
+    validated = filt
+    if validate:
+        validated = filt.map_batches(
+            _ValidateChanges(table.root, ctx.run_id),
+            batch_format="pyarrow")
+
+    # 2: bucket shuffle → first-wins dedup. Dual-domain, both
+    # first-wins (reference D1): seq domain first (duplicate offsets
+    # dropped regardless of key), then key domain (duplicate image_ids
+    # keep lowest seq). Two bucketed shuffles of the (bounded)
+    # changeset.
+    seq_deduped = (validated
                    .map_batches(lambda b: _seq_bucket(b, n_buckets),
                                 batch_format="pyarrow")
                    .groupby("seq_bucket")
@@ -174,12 +240,22 @@ def merge(table: Table, changes_ds, app_id: str,
                .materialize())
     n_effective = deduped.count()
     if n_effective == 0:
-        ctx.log_metric("merge_noop", app_id=app_id, seconds=time.time() - t0)
-        return None
+        # nothing applicable (e.g. everything quarantined) — but the
+        # watermark still advances so the batch is not replayed forever
+        def build_wm_only(latest: Manifest) -> Manifest:
+            txn = {k: dict(v) for k, v in latest.txn.items()}
+            cur = txn.setdefault(app_id, {})
+            for p, s in new_wm.items():
+                cur[p] = max(int(s), int(cur.get(p, -1)))
+            return Manifest(version=-1, parent=None, kind="merge",
+                            schema=latest.schema,
+                            fragments=list(latest.fragments),
+                            txn=txn, properties=latest.properties)
 
-    # watermark advance: max seq per partition over post-filter rows
-    wm_rows = (deduped.groupby("partition_id").max("seq")).take_all()
-    new_wm = {str(r["partition_id"]): int(r["max(seq)"]) for r in wm_rows}
+        m = table.commit(build_wm_only)
+        ctx.log_metric("merge_all_quarantined", app_id=app_id,
+                       rows_fresh=n_fresh, seconds=time.time() - t0)
+        return m
 
     # changed-key set (driver-side; bounded by changeset size)
     key_tbl = deduped.select_columns(["image_id"]).take_all()

@@ -189,12 +189,17 @@ def test_merge_first_wins_within_changeset(table, tmp_path):
 
     from kafka_delta_rs_ray.tablefmt.schema import CHANGESET_SCHEMA
 
+    import numpy as np
+
+    from kafka_delta_rs_ray.codecs import encode
+
+    pixel = encode(np.zeros((1, 1, 3), dtype=np.uint8), "rawz")
     iid = "img-0000000005"
     rows = [
-        {"image_id": iid, "bytes": b"x", "w": 1, "h": 1, "fmt": "rawz",
+        {"image_id": iid, "bytes": pixel, "w": 1, "h": 1, "fmt": "rawz",
          "caption": "first", "phash": 1, "partition_id": 0, "seq": 100,
          "op": "upsert"},
-        {"image_id": iid, "bytes": b"y", "w": 1, "h": 1, "fmt": "rawz",
+        {"image_id": iid, "bytes": pixel, "w": 1, "h": 1, "fmt": "rawz",
          "caption": "second", "phash": 2, "partition_id": 0, "seq": 101,
          "op": "upsert"},
     ]
@@ -215,3 +220,30 @@ def test_merge_then_compact_materializes_deletes(table):
     m = table.read_manifest()
     assert not any(f.delete_paths for f in m.fragments)  # deletes gone
     assert _sorted_rows(table.snapshot().to_arrow()) == rows_before
+
+
+def test_compact_transcode_recompression(table):
+    """Rewrite-with-recompression: compact(transcode_fmt='dctq')
+    re-encodes every image; captions stay byte-identical, decoded
+    pixels stay PSNR >= 40 dB vs the original source (input_hint
+    invariant), and row count is unchanged."""
+    import numpy as np
+
+    from kafka_delta_rs_ray.codecs import decode
+    from kafka_delta_rs_ray.functions.psnr import psnr
+    from kafka_delta_rs_ray.pipelines.synth import make_row
+
+    before = table.snapshot().to_arrow().sort_by("image_id")
+    m = compact(table, target_bytes=64 << 20, transcode_fmt="dctq")
+    assert m is not None and m.kind == "compact"
+    after = table.snapshot().to_arrow().sort_by("image_id")
+
+    assert after.num_rows == before.num_rows
+    assert set(after["fmt"].to_pylist()) == {"dctq"}
+    assert after["caption"].to_pylist() == before["caption"].to_pylist()
+    assert after["phash"].to_pylist() == before["phash"].to_pylist()
+    for i in (0, 7, after.num_rows - 1):
+        rid = int(after["image_id"][i].as_py()[4:])
+        src = make_row(rid, 42)["img"]
+        dec = decode(after["bytes"][i].as_py(), "dctq")
+        assert psnr(dec, src) >= 40.0

@@ -35,8 +35,15 @@ def table(tmp_path, ray_session):
     return t
 
 
-def _chrow(iid, seq, caption, partition=0, op="upsert"):
-    return {"image_id": iid, "bytes": b"x", "w": 1, "h": 1, "fmt": "rawz",
+import numpy as np
+
+from kafka_delta_rs_ray.codecs import encode
+
+_PIXEL = encode(np.zeros((1, 1, 3), dtype=np.uint8), "rawz")
+
+
+def _chrow(iid, seq, caption, partition=0, op="upsert", bytes_=_PIXEL):
+    return {"image_id": iid, "bytes": bytes_, "w": 1, "h": 1, "fmt": "rawz",
             "caption": caption, "phash": 7, "partition_id": partition,
             "seq": seq, "op": op}
 
@@ -116,3 +123,58 @@ def test_expire_min_age_protects_inflight(table):
     report = expire(table, keep_last=1, min_age_seconds=3600)
     assert frag.path not in report["removed_files"]
     assert os.path.exists(table.abspath(frag.path))
+
+
+def test_corrupt_payload_quarantined_watermark_advances(table, tmp_path):
+    """Dead-letter parity (src/kafka/mod.rs:288-300): a corrupt payload
+    never reaches the table, lands in quarantine/ with its error, and
+    its seq still advances the watermark (the reference commits offsets
+    for dead-lettered messages too) — so the batch is not replayed."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ch = rd.from_arrow(pa.Table.from_pylist(
+        [_chrow("good-1", 500, "fine"),
+         _chrow("bad-1", 501, "corrupt", bytes_=b"not-an-image")],
+        schema=CHANGESET_SCHEMA))
+    m = merge(table, ch, app_id="dlq")
+    assert m is not None
+    ids = set(table.snapshot().to_arrow()["image_id"].to_pylist())
+    assert "good-1" in ids and "bad-1" not in ids
+
+    q = glob.glob(os.path.join(table.root, "quarantine", "*.parquet"))
+    assert q, "quarantine file missing"
+    qt = pa.concat_tables([pq.read_table(p) for p in q])
+    assert "bad-1" in set(qt["image_id"].to_pylist())
+    assert qt.num_rows >= 1 and "error" in qt.column_names
+
+    # watermark covers the quarantined seq → replay is a no-op
+    assert m.watermark("dlq", 0) == 501
+    assert merge(table, ch, app_id="dlq") is None
+
+
+def test_all_quarantined_still_advances_watermark(table):
+    ch = rd.from_arrow(pa.Table.from_pylist(
+        [_chrow("bad-2", 600, "corrupt", bytes_=b"")],
+        schema=CHANGESET_SCHEMA))
+    m = merge(table, ch, app_id="dlq2")
+    assert m is not None and m.watermark("dlq2", 0) == 600
+    assert "bad-2" not in set(table.snapshot().to_arrow()["image_id"].to_pylist())
+    assert merge(table, ch, app_id="dlq2") is None  # no infinite replay
+
+
+def test_merge_backlog_gauge(table):
+    """Offset-lag parity (src/kafka/mod.rs:199-208): pending = staged
+    rows above the committed watermark, per partition; drained to zero
+    by the merge, reported per partition before it."""
+    from kafka_delta_rs_ray.pipelines.merge import merge_backlog
+
+    ch = rd.from_arrow(pa.Table.from_pylist(
+        [_chrow("bl-1", 700, "a", partition=0),
+         _chrow("bl-2", 701, "b", partition=0),
+         _chrow("bl-3", 50, "c", partition=1)],
+        schema=CHANGESET_SCHEMA))
+    assert merge_backlog(table, ch, "bl") == {0: 2, 1: 1}
+    merge(table, ch, app_id="bl")
+    assert merge_backlog(table, ch, "bl") == {}
