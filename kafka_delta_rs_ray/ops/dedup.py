@@ -163,16 +163,17 @@ class _BandPairs:
         return pd.DataFrame(out)
 
 
-def _dedup_pairs(ds, value_cols: list[str]):
-    """Drop duplicate (doc_a, doc_b) rows. The pair set is
-    OUTPUT-sized (near-dup pairs ≪ corpus), so one coalesced block +
-    a vectorized drop_duplicates beats a groupby shuffle; if near-dup
-    pairs ever approached corpus scale, swap this for a
-    hash-bucketed groupby."""
+def _dedup_pairs(ds, value_cols: list[str],
+                 keys: tuple = ("doc_a", "doc_b")):
+    """Drop duplicate pair rows. The pair set is OUTPUT-sized
+    (near-dup pairs ≪ corpus), so one coalesced block + a vectorized
+    drop_duplicates beats a groupby shuffle; if near-dup pairs ever
+    approached corpus scale, swap this for a hash-bucketed groupby."""
+    keys = list(keys)
+
     def dd(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.sort_values(["doc_a", "doc_b"])
-                 .drop_duplicates(["doc_a", "doc_b"])
-                 [["doc_a", "doc_b"] + value_cols])
+        return (g.sort_values(keys).drop_duplicates(keys)
+                 [keys + value_cols])
 
     return ds.repartition(1).map_batches(dd, batch_format="pandas",
                                          batch_size=None)
@@ -385,3 +386,69 @@ def embedding_near_dup(emb_ds, threshold: float = 0.95):
     ref = ray.put((np.array(ids), m))
     return emb_ds.map_batches(_CosinePairs(ref, threshold),
                               batch_format="pyarrow", batch_size=1024)
+
+
+# ------------------------------------------------- image phash near-dup
+class PhashBlocks:
+    """Image row → 4 rows (block_id, block_val, image_id, phash) —
+    the SimHash 16-bit-block pigeonhole applied to the image table's
+    perceptual hash column. Fully vectorized: phash is already an
+    int64 column, so banding is numpy shifts, no per-row Python."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ph = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        phu = ph.view(np.uint64)
+        n = len(ph)
+        ids = batch["image_id"]
+        parts = []
+        for b in range(4):
+            bv = ((phu >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int32)
+            parts.append(pa.table({
+                "block_id": pa.array(np.full(n, b, dtype=np.int32)),
+                "block_val": pa.array(bv),
+                "image_id": ids,
+                "phash": pa.array(ph, pa.int64()),
+            }))
+        return pa.concat_tables(parts)
+
+
+def _phash_block_pairs(g: pd.DataFrame, max_dist: int) -> pd.DataFrame:
+    g = g.drop_duplicates("image_id")
+    g = g[g["block_val"].duplicated(keep=False)]
+    empty = pd.DataFrame({"img_a": pd.Series([], dtype="object"),
+                          "img_b": pd.Series([], dtype="object"),
+                          "hamming": pd.Series([], dtype="int64")})
+    if g.empty:
+        return empty
+    out = {"img_a": [], "img_b": [], "hamming": []}
+    for _, grp in g.groupby("block_val", sort=False):
+        grp = grp.sort_values("image_id")
+        hs = grp["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        ids = grp["image_id"].to_numpy()
+        ai, bi = np.triu_indices(len(grp), k=1)
+        x = (hs[ai] ^ hs[bi]).astype(np.uint64)
+        # vectorized popcount via 8-bit lookup over the 8 bytes
+        bytes_ = x.view(np.uint8).reshape(-1, 8)
+        dist = _POPCNT8[bytes_].sum(axis=1).astype(np.int64)
+        keep = dist <= max_dist
+        out["img_a"].extend(ids[ai][keep])
+        out["img_b"].extend(ids[bi][keep])
+        out["hamming"].extend(dist[keep])
+    return pd.DataFrame(out) if out["img_a"] else empty
+
+
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def phash_near_dup_pairs(image_ds, max_dist: int = 3):
+    """Near-duplicate image pairs by perceptual-hash Hamming distance:
+    16-bit block LSH (pigeonhole: distance <= 3 shares a block) →
+    per-block candidate buckets → vectorized popcount verify. The
+    all-pairs quadratic only ever runs inside one shared 16-bit bucket."""
+    pairs = (image_ds
+             .map_batches(PhashBlocks(), batch_format="pyarrow",
+                          batch_size=None)
+             .groupby("block_id")
+             .map_groups(lambda g: _phash_block_pairs(g, max_dist),
+                         batch_format="pandas"))
+    return _dedup_pairs(pairs, ["hamming"], keys=("img_a", "img_b"))

@@ -401,6 +401,19 @@ def doc_simhash_pairs(sf_dir: str):
     return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def image_phash_near_dup(sf_dir: str):
+    """Near-duplicate images by perceptual-hash Hamming LSH over the
+    deterministic synthetic image table (the image-payload member of
+    the dedup family; sf_dir unused — the image table is ours).
+    Metadata-only: reads no image bytes, only (image_id, phash)."""
+    from ..pipelines.synth import image_dataset
+    from .dedup import phash_near_dup_pairs
+
+    ds = image_dataset(2000, batch_size=250).select_columns(
+        ["image_id", "phash"])
+    return phash_near_dup_pairs(ds, max_dist=3)
+
+
 def doc_ngram_jaccard_pairs(sf_dir: str):
     from .dedup import ngram_jaccard_pairs
 
@@ -503,6 +516,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_minhash_pairs": doc_minhash_pairs,
     "doc_simhash_pairs": doc_simhash_pairs,
+    "image_phash_near_dup": image_phash_near_dup,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "embedding_knn": embedding_knn,
     "embedding_knn_ivf": embedding_knn_ivf,

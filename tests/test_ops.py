@@ -212,3 +212,34 @@ def test_changeset_source_schema_first(ray_session, tmp_path):
     with pytest.raises(Exception) as ei:  # Ray wraps ValidationError
         read_changeset(str(p2)).take_all()
     assert "missing required column" in str(ei.value)
+
+
+def test_image_phash_near_dup(ray_session):
+    """Hot synthetic images are byte-identical within a hot bucket →
+    hamming-0 pairs; the LSH must find them and verify distances."""
+    import numpy as np
+
+    from kafka_delta_rs_ray.ops.queries import image_phash_near_dup
+
+    df = image_phash_near_dup(None).to_pandas()
+    assert len(df) > 0
+    assert (df["hamming"] <= 3).all()
+    assert (df["img_a"] < df["img_b"]).all()  # canonical order, no dups
+    assert not df.duplicated(["img_a", "img_b"]).any()
+
+    # brute-force oracle on the same 2000-row table (metadata only)
+    from kafka_delta_rs_ray.pipelines.synth import image_dataset
+
+    meta = image_dataset(2000, batch_size=500).select_columns(
+        ["image_id", "phash"]).to_pandas()
+    ph = meta["phash"].to_numpy().astype(np.int64).view(np.uint64)
+    ids = meta["image_id"].to_numpy()
+    order = np.argsort(ids)
+    ph, ids = ph[order], ids[order]
+    ai, bi = np.triu_indices(len(ids), k=1)
+    x = (ph[ai] ^ ph[bi]).astype(np.uint64)
+    dist = np.array([bin(int(v)).count("1") for v in x])
+    keep = dist <= 3
+    expected = set(zip(ids[ai][keep], ids[bi][keep]))
+    got = set(zip(df["img_a"], df["img_b"]))
+    assert got == expected

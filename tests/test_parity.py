@@ -178,3 +178,39 @@ def test_merge_backlog_gauge(table):
     assert merge_backlog(table, ch, "bl") == {0: 2, 1: 1}
     merge(table, ch, app_id="bl")
     assert merge_backlog(table, ch, "bl") == {}
+
+
+def test_concurrent_merges_both_commit(table):
+    """Two writers race the manifest CAS (the reference's commit-retry
+    loop, src/kafka/mod.rs:192-228): the loser re-reads, revalidates,
+    retries; both changesets land; the ledger carries both app_ids."""
+    import threading
+
+    ch_a = rd.from_arrow(pa.Table.from_pylist(
+        [_chrow(f"cc-a-{i}", 800 + i, "a") for i in range(5)],
+        schema=CHANGESET_SCHEMA)).materialize()
+    ch_b = rd.from_arrow(pa.Table.from_pylist(
+        [_chrow(f"cc-b-{i}", 900 + i, "b") for i in range(5)],
+        schema=CHANGESET_SCHEMA)).materialize()
+
+    errs = []
+
+    def go(ch, app):
+        try:
+            assert merge(table, ch, app_id=app) is not None
+        except Exception as e:  # noqa: BLE001 - collected for the assert
+            errs.append((app, e))
+
+    threads = [threading.Thread(target=go, args=(ch_a, "ccA")),
+               threading.Thread(target=go, args=(ch_b, "ccB"))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+
+    snap = table.snapshot()
+    ids = set(snap.to_arrow()["image_id"].to_pylist())
+    assert all(f"cc-a-{i}" in ids and f"cc-b-{i}" in ids for i in range(5))
+    txn = snap.manifest.txn
+    assert txn["ccA"]["0"] == 804 and txn["ccB"]["0"] == 904
