@@ -17,6 +17,7 @@ import pyarrow as pa
 from ..tablefmt import IMAGE_SCHEMA, Table
 from .cluster import cluster
 from .compact import compact
+from .delete import delete_where, rollback
 from .expire import expire
 from .ingest import append
 from .merge import merge
@@ -57,6 +58,17 @@ def maintenance_lifecycle(n_rows: int = 300, n_changes: int = 80,
         snap_counts("cluster")
         after = t.snapshot().to_arrow().sort_by("image_id")
         assert before.equals(after), "maintenance changed table contents"
+
+        # predicate delete (zone-map classified) then time-travel write
+        v_pre_delete = t.latest_version()
+        delete_where(t, {"w": (128, None)})
+        snap_counts("delete")
+        n_after_delete = t.snapshot().to_arrow().num_rows
+        assert n_after_delete < after.num_rows
+        rollback(t, v_pre_delete)
+        snap_counts("rollback")
+        restored = t.snapshot().to_arrow().sort_by("image_id")
+        assert restored.equals(after), "rollback did not restore the snapshot"
 
         expire(t, keep_last=1)
         snap_counts("expire")

@@ -247,3 +247,53 @@ def test_compact_transcode_recompression(table):
         src = make_row(rid, 42)["img"]
         dec = decode(after["bytes"][i].as_py(), "dctq")
         assert psnr(dec, src) >= 40.0
+
+
+def test_delete_where_and_rollback(table):
+    """Predicate delete: zone-map classified (disjoint pruned,
+    contained dropped wholesale, overlap scanned into DVs); rollback
+    restores the prior snapshot as a NEW version and keeps writer
+    watermarks (replay stays a no-op after restore)."""
+    from kafka_delta_rs_ray.pipelines.delete import delete_where, rollback
+
+    before = table.snapshot().to_arrow()
+    v_before = table.latest_version()
+    w = before["w"].to_numpy(zero_copy_only=False)
+    n_match = int(((w >= 128)).sum())
+    assert 0 < n_match < before.num_rows
+
+    m = delete_where(table, {"w": (128, None)})
+    assert m is not None and m.kind == "delete"
+    after = table.snapshot().to_arrow()
+    assert after.num_rows == before.num_rows - n_match
+    assert (after["w"].to_numpy(zero_copy_only=False) < 128).all()
+
+    # idempotent-ish: nothing left to delete in that range
+    assert delete_where(table, {"w": (128, None)}) is None
+
+    # compact materializes the DVs away; scan identity holds
+    sorted_after = after.sort_by("image_id")
+    compact(table, target_bytes=64 << 20)
+    assert table.snapshot().to_arrow().sort_by("image_id").equals(sorted_after)
+
+    # rollback to the pre-delete version: all rows visible again
+    m2 = rollback(table, v_before)
+    assert m2.kind == "rollback"
+    restored = table.snapshot().to_arrow().sort_by("image_id")
+    assert restored.equals(before.sort_by("image_id"))
+    # history intact: the delete-era snapshot still reads its own view
+    assert table.snapshot(m.version).to_arrow().num_rows == after.num_rows
+
+
+def test_rollback_keeps_watermarks(table):
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.pipelines.delete import rollback
+    from kafka_delta_rs_ray.tablefmt.schema import CHANGESET_SCHEMA
+
+    ch = changeset_dataset(N, 10, seed=51, n_partitions=2).materialize()
+    assert merge(table, ch, app_id="rb") is not None
+    v_mid = table.latest_version()
+    rollback(table, v_mid - 1)  # undo the merge's data...
+    # ...but NOT its watermark: the replay must stay a no-op
+    assert merge(table, ch, app_id="rb") is None
