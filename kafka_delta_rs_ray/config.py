@@ -12,7 +12,8 @@ from .errors import ConfigError
 
 log = logging.getLogger(__name__)
 
-JOBS = ("append", "merge", "compact", "cluster", "expire", "lifecycle")
+JOBS = ("append", "merge", "compact", "cluster", "expire", "lifecycle",
+        "delete", "rollback")
 
 DEFAULT_TARGET_FRAGMENT_BYTES = 128 << 20
 DEFAULT_TARGET_FRAGMENT_ROWS = 4096
@@ -31,6 +32,9 @@ class MaintenanceConfig:
     merge_buckets: int = 32
     changeset_path: str | None = None
     run_id: str | None = None
+    transcode_fmt: str | None = None  # compact: rewrite-with-recompression
+    predicate: dict | None = None     # delete: {col: [lo, hi]}
+    restore_version: int | None = None  # rollback target
     options: dict = field(default_factory=dict)
 
     @classmethod
@@ -68,6 +72,10 @@ class MaintenanceConfig:
             raise ConfigError("app_id must not be empty")
         if self.job == "merge" and not self.changeset_path:
             raise ConfigError("merge requires changeset_path")
+        if self.job == "delete" and not self.predicate:
+            raise ConfigError("delete requires predicate ({col: [lo, hi]})")
+        if self.job == "rollback" and self.restore_version is None:
+            raise ConfigError("rollback requires restore_version")
         if self.target_fragment_bytes <= 0 or self.target_fragment_rows <= 0:
             raise ConfigError("fragment targets must be positive")
         if self.target_fragment_bytes == DEFAULT_TARGET_FRAGMENT_BYTES:

@@ -39,9 +39,17 @@ def run(cfg: MaintenanceConfig) -> dict:
         out = lc.maintenance_lifecycle()
         return {"job": "lifecycle", "stages": out.to_pylist()}
 
+    from .pipelines import delete as dl
+
     table = Table(cfg.table_root)
     if cfg.job == "compact":
-        m = cp.compact(table, cfg.target_fragment_bytes, run_id=cfg.run_id)
+        m = cp.compact(table, cfg.target_fragment_bytes, run_id=cfg.run_id,
+                       transcode_fmt=cfg.transcode_fmt)
+    elif cfg.job == "delete":
+        pred = {k: (v[0], v[1]) for k, v in cfg.predicate.items()}
+        m = dl.delete_where(table, pred, run_id=cfg.run_id)
+    elif cfg.job == "rollback":
+        m = dl.rollback(table, cfg.restore_version)
     elif cfg.job == "cluster":
         m = cl.cluster(table, cfg.target_fragment_rows,
                        salt_buckets=cfg.salt_buckets, run_id=cfg.run_id)
