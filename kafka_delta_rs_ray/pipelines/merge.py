@@ -19,6 +19,8 @@ Semantics ported from the reference (not its architecture):
 
 Physical plan:
   1. changeset → map_batches(replay filter)            no shuffle
+  1b. map_batches(decode-validation; corrupt → quarantine,
+     watermark still advances)                         no shuffle
   2. add bucket = hash(image_id) % B → groupby(bucket)
      → map_groups(vectorized first-wins)               ONE shuffle of
                                                        the (bounded)

@@ -50,11 +50,13 @@ class _DirtyFragmentReader:
     """map_batches stage over fragment-meta rows: read parquet, drop
     deleted keys. Delete sets come from a single ray.put broadcast."""
 
-    def __init__(self, root: str, columns, deletes_ref, schema=None):
+    def __init__(self, root: str, columns, deletes_ref, schema=None,
+                 row_filter=None):
         self.root = root
         self.columns = columns
         self.deletes_ref = deletes_ref
         self.schema = schema  # target schema for evolved tables, or None
+        self.row_filter = row_filter  # pyarrow.dataset expression
         self._deletes = None  # resolved lazily once per worker
 
     def __call__(self, meta: pa.Table) -> pa.Table:
@@ -74,7 +76,8 @@ class _DirtyFragmentReader:
                 have = set(pq.read_schema(
                     os.path.join(self.root, row["path"])).names)
                 read_cols = [c for c in read_cols if c in have]
-            t = pq.read_table(os.path.join(self.root, row["path"]), columns=read_cols)
+            t = pq.read_table(os.path.join(self.root, row["path"]),
+                              columns=read_cols, filters=self.row_filter)
             keys = self._deletes.get(row["id"])
             if keys is not None and len(keys) > 0:
                 mask = pc.is_in(t["image_id"], value_set=pa.array(keys, pa.string()))
@@ -124,12 +127,16 @@ class Snapshot:
         return out
 
     def dataset(self, columns: list | None = None, prune: dict | None = None,
-                apply_deletes: bool = True):
+                apply_deletes: bool = True, row_filter=None):
         """The snapshot as a lazy ray.data.Dataset.
 
         ``prune``: {col: (lo, hi)} zone-map predicate (inclusive; None =
-        unbounded side). ``columns``: projection pushed to the parquet
-        reader.
+        unbounded side) — drops whole fragments BEFORE any I/O.
+        ``columns``: projection pushed to the parquet reader.
+        ``row_filter``: a ``pyarrow.dataset`` expression pushed into the
+        parquet scan of the surviving fragments (row-group/page-level
+        filtering inside fragments; compose with ``prune`` for the full
+        two-level pushdown).
         """
         import ray
         import ray.data as rd
@@ -161,19 +168,22 @@ class Snapshot:
                     override_num_blocks=len(clean))
                 parts.append(meta.map_batches(
                     _DirtyFragmentReader(self.table.root, columns, ref,
-                                         schema=conform_schema),
+                                         schema=conform_schema,
+                                         row_filter=row_filter),
                     batch_format="pyarrow", batch_size=1))
             else:
+                kw = {"filter": row_filter} if row_filter is not None else {}
                 parts.append(rd.read_parquet(
                     [self.table.abspath(f.path) for f in clean],
-                    columns=columns))
+                    columns=columns, **kw))
         if dirty:
             ref = ray.put(deletes)
             meta = rd.from_items([{"id": f.id, "path": f.path} for f in dirty],
                                  override_num_blocks=len(dirty))
             parts.append(meta.map_batches(
                 _DirtyFragmentReader(self.table.root, columns, ref,
-                                     schema=conform_schema),
+                                     schema=conform_schema,
+                                     row_filter=row_filter),
                 batch_format="pyarrow", batch_size=1))
         ds = parts[0]
         for p in parts[1:]:

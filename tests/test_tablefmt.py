@@ -183,3 +183,30 @@ def test_schema_evolution_cleared_by_cluster(table, ray_session):
     assert "schema_evolved" not in m.properties  # full rewrite conformed
     after = table.snapshot().to_arrow().sort_by("image_id")
     assert after.equals(before)
+
+
+def test_row_filter_pushdown(table, ray_session):
+    """row_filter pushes a pyarrow.dataset expression into the parquet
+    scan (inside fragments), composing with zone-map pruning; results
+    equal post-hoc filtering — including through the delete-aware path."""
+    import pyarrow.dataset as pads
+
+    from kafka_delta_rs_ray.pipelines.delete import delete_where
+
+    append(table, image_dataset(80, batch_size=20), target_fragment_rows=20)
+    full = table.snapshot().to_arrow()
+    expected = full.filter(pa.compute.greater_equal(full["w"], 128))
+
+    ds = table.snapshot().dataset(row_filter=pads.field("w") >= 128)
+    got = pa.Table.from_pylist(ds.take_all(), schema=full.schema)
+    assert got.sort_by("image_id").equals(expected.sort_by("image_id"))
+
+    # dirty path: add deletion vectors, filter must still apply
+    delete_where(table, {"h": (None, 40)})
+    snap = table.snapshot()
+    full2 = snap.to_arrow()
+    exp2 = full2.filter(pa.compute.greater_equal(full2["w"], 128))
+    got2 = pa.Table.from_pylist(
+        snap.dataset(row_filter=pads.field("w") >= 128).take_all(),
+        schema=full2.schema)
+    assert got2.sort_by("image_id").equals(exp2.sort_by("image_id"))
