@@ -214,3 +214,35 @@ def test_concurrent_merges_both_commit(table):
     assert all(f"cc-a-{i}" in ids and f"cc-b-{i}" in ids for i in range(5))
     txn = snap.manifest.txn
     assert txn["ccA"]["0"] == 804 and txn["ccB"]["0"] == 904
+
+
+def test_stream_ingest_flush_and_crash_replay(table):
+    """The reference's consumer loop (size-triggered flush, final flush
+    at stream end, crash-replay absorbed): a 'crashed' consumer re-sends
+    its whole stream; every replayed micro-batch is a no-op, fresh rows
+    still land."""
+    from kafka_delta_rs_ray.pipelines.stream import stream_ingest
+
+    def mb(lo, hi, part=0):
+        return pa.Table.from_pylist(
+            [_chrow(f"st-{s}", s, f"cap {s}", partition=part)
+             for s in range(lo, hi)], schema=CHANGESET_SCHEMA)
+
+    src = [mb(1000, 1004), mb(1004, 1008), mb(1008, 1010)]
+    stats = stream_ingest(table, src, app_id="stream",
+                          max_buffer_rows=6, max_wait_secs=3600)
+    # 4+4 rows trip the 6-row trigger → flush; the 2-row tail flushes
+    # at stream end (reference: final flush, src/kafka/mod.rs:243-250)
+    assert stats["flushes"] == 2 and stats["rows_in"] == 10
+    assert len(stats["committed_versions"]) == 2
+    ids = set(table.snapshot().to_arrow()["image_id"].to_pylist())
+    assert all(f"st-{s}" in ids for s in range(1000, 1010))
+
+    # crash replay: same stream + one genuinely new micro-batch
+    stats2 = stream_ingest(table, src + [mb(1010, 1012)], app_id="stream",
+                           max_buffer_rows=6, max_wait_secs=3600)
+    assert len(stats2["committed_versions"]) >= 1  # only fresh rows commit
+    t2 = table.snapshot().to_arrow()
+    ids2 = [i for i in t2["image_id"].to_pylist() if i.startswith("st-")]
+    assert sorted(ids2) == sorted({f"st-{s}" for s in range(1000, 1012)})
+    assert len(ids2) == len(set(ids2))  # no duplicates from the replay
