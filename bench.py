@@ -41,7 +41,7 @@ N_IMAGES = int(os.environ.get("GRAFT_IMAGES", "16000"))
 N_CHANGES = int(os.environ.get("GRAFT_CHANGES", "4800"))
 # this sandbox has heavy noisy-neighbor variance (identical runs differ
 # 2x); the lifecycle is run REPS times and per-stage MIN is reported
-REPS = int(os.environ.get("GRAFT_REPS", "2"))
+REPS = int(os.environ.get("GRAFT_REPS", "3"))
 
 # Benchmark tables live on tmpfs: the design target is object storage
 # whose aggregate bandwidth scales with the cluster, which this VM's
@@ -117,9 +117,12 @@ def run_bench() -> dict:
                      ("q_window_agg", Q.events_window_agg),
                      ("q_knn", Q.embedding_knn),
                      ("q_minhash", Q.doc_minhash_pairs)]:
-        t0 = time.time()
-        consume(fn(SF_DIR))
-        timings[name] = time.time() - t0
+        best = float("inf")
+        for _ in range(min(2, REPS)):  # same noise policy as the lifecycle
+            t0 = time.time()
+            consume(fn(SF_DIR))
+            best = min(best, time.time() - t0)
+        timings[name] = best
 
     maint_sec = timings["compact"] + timings["cluster"]
     result = {
