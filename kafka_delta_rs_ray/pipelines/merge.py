@@ -41,6 +41,7 @@ which is what makes MERGE viable on a 10^12-row table.
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -327,7 +328,18 @@ def merge(table: Table, changes_ds, app_id: str,
                         txn=txn, properties=latest.properties)
 
     m = table.commit(build)
+    # dead-letter count (A1 parity: the reference counts dead letters,
+    # src/monitoring/mod.rs:150-202): quarantine files are run-scoped,
+    # so this run's total is a cheap metadata read
+    quarantined = 0
+    if validate:
+        import glob as _glob
+
+        for p in _glob.glob(os.path.join(table.root, "quarantine",
+                                         f"q-{ctx.run_id}-*.parquet")):
+            quarantined += pq.read_metadata(p).num_rows
     ctx.log_metric("merge_done", app_id=app_id, rows_effective=n_effective,
+                   quarantined=quarantined,
                    deletes=del_tbl.num_rows,
                    inserted_fragments=len(new_frags),
                    touched_fragments=len(deletes_by_frag),
