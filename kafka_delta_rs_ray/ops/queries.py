@@ -414,6 +414,25 @@ def image_phash_near_dup(sf_dir: str):
     return phash_near_dup_pairs(ds, max_dist=3)
 
 
+def image_exact_dedup(sf_dir: str):
+    """Keep one representative per exact perceptual hash (the image
+    analog of hash-partitioned exact dedup): groupby(phash) →
+    vectorized first-wins by image_id. What a training pipeline runs
+    BEFORE the near-dup pass; survivors ≪ inputs on duplicate-heavy
+    corpora. Metadata-only (no image bytes)."""
+    from ..pipelines.synth import image_dataset
+
+    ds = image_dataset(2000, batch_size=250).select_columns(
+        ["image_id", "phash"])
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values("image_id")
+                 .drop_duplicates("phash", keep="first")
+                 [["image_id", "phash"]])
+
+    return ds.groupby("phash").map_groups(keep_first, batch_format="pandas")
+
+
 def doc_ngram_jaccard_pairs(sf_dir: str):
     from .dedup import ngram_jaccard_pairs
 
@@ -517,6 +536,7 @@ QUERIES = {
     "doc_minhash_pairs": doc_minhash_pairs,
     "doc_simhash_pairs": doc_simhash_pairs,
     "image_phash_near_dup": image_phash_near_dup,
+    "image_exact_dedup": image_exact_dedup,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "embedding_knn": embedding_knn,
     "embedding_knn_ivf": embedding_knn_ivf,

@@ -243,3 +243,20 @@ def test_image_phash_near_dup(ray_session):
     expected = set(zip(ids[ai][keep], ids[bi][keep]))
     got = set(zip(df["img_a"], df["img_b"]))
     assert got == expected
+
+
+def test_image_exact_dedup(ray_session):
+    import pandas as pd
+
+    from kafka_delta_rs_ray.ops.queries import image_exact_dedup
+    from kafka_delta_rs_ray.pipelines.synth import image_dataset
+
+    got = image_exact_dedup(None).to_pandas().sort_values("image_id")
+    meta = image_dataset(2000, batch_size=500).select_columns(
+        ["image_id", "phash"]).to_pandas()
+    expected = (meta.sort_values("image_id")
+                .drop_duplicates("phash", keep="first"))
+    assert len(got) == len(expected) < 2000  # hot dups collapsed
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[["image_id", "phash"]],
+        expected.reset_index(drop=True)[["image_id", "phash"]])
