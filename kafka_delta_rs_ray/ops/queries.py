@@ -321,6 +321,57 @@ def top_customers_sql() -> str:
     """
 
 
+def supplier_counts_by_region(sf_dir: str):
+    """Three-table chain (supplier ⋈ nation ⋈ region) as a broadcast
+    join: nation and region are dimension tables — composed driver-side
+    into one nation→region_name dict, ray.put once, mapped per batch;
+    the only shuffle is the final tiny groupby. At 100 TB the fact side
+    (supplier) streams; the broadcast stays KB-sized."""
+    import ray
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_regionkey"], split=0).to_pandas()
+    reg = _read(sf_dir, "region",
+                ["r_regionkey", "r_name"], split=0).to_pandas()
+    r_name = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    nat2reg = {nk: r_name[rk] for nk, rk in
+               zip(nat["n_nationkey"], nat["n_regionkey"])}
+    ref = ray.put(nat2reg)
+
+    class Attach:
+        def __init__(self):
+            self._m = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self._m is None:
+                self._m = ray.get(ref)
+            return pd.DataFrame({"r_name": b["s_nationkey"].map(self._m),
+                                 "n": 1})
+
+    from ray.data.aggregate import Sum
+
+    out = (sup.map_batches(Attach, batch_format="pandas", batch_size=None,
+                           concurrency=2)
+           .groupby("r_name").aggregate(Sum("n", alias_name="n_suppliers")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_suppliers"] = b["n_suppliers"].astype("int64")
+        return b
+
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def supplier_counts_by_region_sql() -> str:
+    return """
+        SELECT r_name, count(*) AS n_suppliers
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+
+
 # -------------------------------------------------------------- documents
 def doc_token_stats(sf_dir: str):
     from .textops import TokenCount
@@ -528,6 +579,7 @@ QUERIES = {
     "events_distinct_users": events_distinct_users,
     "lineitem_pricing_summary": lineitem_pricing_summary,
     "top_customers": top_customers,
+    "supplier_counts_by_region": supplier_counts_by_region,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_exact_dedup": doc_exact_dedup,
@@ -554,6 +606,7 @@ ORACLES = {
     "events_count_by_type": events_count_by_type_sql(),
     "lineitem_pricing_summary": lineitem_pricing_summary_sql(),
     "top_customers": top_customers_sql(),
+    "supplier_counts_by_region": supplier_counts_by_region_sql(),
     "doc_token_stats": doc_token_stats_sql(),
     "doc_quality": doc_quality_sql(),
     "doc_exact_dedup": doc_exact_dedup_sql(),

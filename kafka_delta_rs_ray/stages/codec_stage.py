@@ -93,6 +93,28 @@ class ResizeTranscode:
         })
 
 
+class AudioFeatures:
+    """STUB: audio feature extraction (e.g. log-mel frames) — audio
+    codecs need external libraries not present here. The stage contract
+    is the real one: input (media_id, bytes, fmt, sample_rate), output
+    one row per window (media_id, window_idx, features list<float>).
+    Like all media stages it belongs in an actor pool with a SMALL
+    bytes-budgeted batch_size."""
+
+    OUTPUT_SCHEMA = pa.schema([
+        pa.field("media_id", pa.string()),
+        pa.field("window_idx", pa.int32()),
+        pa.field("features", pa.list_(pa.float32())),
+    ])
+
+    def __init__(self, window_ms: int = 25, hop_ms: int = 10):
+        raise NotImplementedError(
+            "audio decode requires external codec libraries; plumbing only")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
+        raise NotImplementedError
+
+
 class FrameSample:
     """STUB: video frame sampling — container demux needs external
     libraries not present here. The stage contract is the real one:
