@@ -37,16 +37,22 @@ def events_first_wins(sf_dir: str):
     work is one vectorized pandas dedup, not per-key Python."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
 
-    def bucketize(b: pa.Table) -> pa.Table:
-        return b.append_column("bucket", pa.array(
-            (b["user_id"].to_numpy() % 64).astype(np.int32)))
+    def local_first(b: pd.DataFrame) -> pd.DataFrame:
+        # pre-aggregate BEFORE the shuffle: each batch keeps its own
+        # per-user first, so the exchange moves ≤ one row per (user,
+        # batch) instead of every event
+        b = (b.sort_values(["user_id", "event_id"])
+              .drop_duplicates("user_id", keep="first"))
+        b["bucket"] = (b["user_id"] % 64).astype("int32")
+        return b
 
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values(["user_id", "event_id"])
                  .drop_duplicates("user_id", keep="first")
                  [["user_id", "event_id", "event_type", "value"]])
 
-    return (ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+    return (ds.map_batches(local_first, batch_format="pandas",
+                           batch_size=None)
             .groupby("bucket").map_groups(dedup, batch_format="pandas"))
 
 
