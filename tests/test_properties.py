@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis): codec round-trips, Morton code
+invariants, FFD bin-packing invariants. No Ray — pure kernels."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_delta_rs_ray.codecs import decode, dctq, encode, rawz
+from kafka_delta_rs_ray.functions.morton import morton3_21, zcode_from_columns
+from kafka_delta_rs_ray.functions.psnr import psnr
+from kafka_delta_rs_ray.pipelines.compact import plan_compaction
+from kafka_delta_rs_ray.tablefmt.manifest import Fragment, Manifest
+from kafka_delta_rs_ray.tablefmt.schema import IMAGE_SCHEMA
+
+dims = st.integers(min_value=1, max_value=80)
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=dims, h=dims, seed=st.integers(0, 2**32 - 1))
+def test_rawz_roundtrip_exact(w, h, seed):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), np.uint8)
+    assert np.array_equal(decode(encode(img, "rawz"), "rawz"), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=dims, h=dims, seed=st.integers(0, 2**32 - 1),
+       kind=st.sampled_from(["noise", "flat", "gradient"]))
+def test_dctq_psnr_gate(w, h, seed, kind):
+    rng = np.random.default_rng(seed)
+    if kind == "noise":
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    elif kind == "flat":
+        img = np.full((h, w, 3), rng.integers(0, 256, 3, np.uint8), np.uint8)
+    else:
+        g = (np.linspace(0, 255, w)[None, :] * np.ones((h, 1)))
+        img = np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8)
+    rec = decode(encode(img, "dctq"), "dctq")
+    assert rec.shape == img.shape
+    assert psnr(rec, img) >= 40.0
+
+
+u21 = st.integers(0, (1 << 21) - 1)
+
+
+@settings(max_examples=50, deadline=None)
+@given(a=u21, b=u21, c=u21)
+def test_morton_bijective_and_nonneg(a, b, c):
+    arr = lambda x: np.array([x], dtype=np.uint64)  # noqa: E731
+    z = morton3_21(arr(a), arr(b), arr(c))[0]
+    assert int(z) >= 0  # fits int64 sort key
+    # de-interleave and recover all three inputs
+    bits = [(int(z) >> i) & 1 for i in range(63)]
+    ra = sum(bits[3 * i] << i for i in range(21))
+    rb = sum(bits[3 * i + 1] << i for i in range(21))
+    rc = sum(bits[3 * i + 2] << i for i in range(21))
+    assert (ra, rb, rc) == (a, b, c)
+
+
+@settings(max_examples=20, deadline=None)
+@given(ph=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=64))
+def test_zcode_int64_safe(ph):
+    p = np.array(ph, dtype=np.int64)
+    w = np.full(len(p), 64, dtype=np.int32)
+    h = np.full(len(p), 64, dtype=np.int32)
+    z = zcode_from_columns(p, w, h)
+    assert z.dtype == np.int64 and (z >= 0).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(sizes=st.lists(st.integers(1, 100 << 20), min_size=0, max_size=40),
+       target=st.integers(1 << 20, 128 << 20))
+def test_ffd_invariants(sizes, target):
+    frags = [Fragment(id=f"f{i}", path=f"data/f{i}.parquet", rows=1,
+                      bytes=s, stats={}) for i, s in enumerate(sizes)]
+    m = Manifest(version=1, parent=0, kind="append", schema=IMAGE_SCHEMA,
+                 fragments=frags, txn={}, properties={})
+    bins = plan_compaction(m, target_bytes=target)
+    seen = [fid for b in bins for fid in b["fragment_ids"]]
+    assert len(seen) == len(set(seen))  # each fragment in at most one bin
+    by_id = {f.id: f.bytes for f in frags}
+    for b in bins:
+        total = sum(by_id[fid] for fid in b["fragment_ids"])
+        # clean fragments: singleton bins are dropped (churn guard), so
+        # every emitted bin merges >= 2 fragments within the target
+        # (an oversized fragment forms a singleton bin and is dropped)
+        assert len(b["fragment_ids"]) >= 2
+        assert total <= target
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-q"]))
