@@ -63,22 +63,34 @@ MAX_SORT_PARTITIONS = 64  # sort path: p² exchange beyond this
 MAX_BOUNDARY_SAMPLE = 200_000  # rows of (phash,w,h) read for quantiles
 
 
+MAX_BOUNDARY_FRAGMENTS = 64  # fragments whose key columns are sampled
+
+
 def _sample_boundaries(snap, prune, n_buckets: int,
                        hot_factor: float = 4.0,
                        salt_buckets: int = 4096):
     """Equal-frequency zcode boundaries + hot-bucket split factors.
 
-    Reads ONLY the key metadata columns (phash, w, h); at large scale
-    this is further bounded by ``random_sample`` to
-    ``MAX_BOUNDARY_SAMPLE`` rows. Returns (boundaries asc int64,
-    {bucket_id: split_factor} for buckets the sample says are hot).
+    I/O is bounded BY CONSTRUCTION, not by post-read sampling: at most
+    ``MAX_BOUNDARY_FRAGMENTS`` fragments (deterministic stride over the
+    fragment list ≈ uniform, since fragment order carries no zcode
+    structure pre-cluster) contribute, and only their tiny key columns
+    (phash, w, h) are read — a 10^12-row table costs the same sample as
+    a 10^6-row one. Returns (boundaries asc int64, {bucket_id:
+    split_factor} for buckets the sample says are hot).
     """
-    rows_est = max(1, sum(f.live_rows for f in snap._select_fragments(prune)))
-    md = snap.dataset(columns=["phash", "w", "h"], prune=prune)
-    if rows_est > MAX_BOUNDARY_SAMPLE:
-        md = md.random_sample(MAX_BOUNDARY_SAMPLE / rows_est, seed=7)
-    mt = pa.concat_tables(
-        list(md.iter_batches(batch_format="pyarrow", batch_size=65536)))
+    import pyarrow.parquet as _pq
+
+    frags = snap._select_fragments(prune)
+    stride = max(1, len(frags) // MAX_BOUNDARY_FRAGMENTS)
+    chosen = frags[::stride][:MAX_BOUNDARY_FRAGMENTS]
+    parts = [_pq.read_table(snap.table.abspath(f.path),
+                            columns=["phash", "w", "h"]) for f in chosen]
+    mt = pa.concat_tables(parts)
+    if mt.num_rows > MAX_BOUNDARY_SAMPLE:  # bound the quantile compute
+        idx = np.linspace(0, mt.num_rows - 1, MAX_BOUNDARY_SAMPLE,
+                          dtype=np.int64)
+        mt = mt.take(pa.array(idx))
     z = zcode_from_columns(mt["phash"].to_numpy(zero_copy_only=False),
                            mt["w"].to_numpy(zero_copy_only=False),
                            mt["h"].to_numpy(zero_copy_only=False))
