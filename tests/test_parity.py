@@ -246,3 +246,17 @@ def test_stream_ingest_flush_and_crash_replay(table):
     ids2 = [i for i in t2["image_id"].to_pylist() if i.startswith("st-")]
     assert sorted(ids2) == sorted({f"st-{s}" for s in range(1000, 1012)})
     assert len(ids2) == len(set(ids2))  # no duplicates from the replay
+
+
+def test_stream_ingest_time_trigger(table):
+    """max_wait_secs=0 → every poll flushes (the reference's elapsed >=
+    max_wait_secs arm, src/kafka/mod.rs:182-190)."""
+    from kafka_delta_rs_ray.pipelines.stream import stream_ingest
+
+    src = [pa.Table.from_pylist([_chrow(f"tw-{s}", 2000 + s, "t")],
+                                schema=CHANGESET_SCHEMA) for s in range(3)]
+    stats = stream_ingest(table, src, app_id="tw",
+                          max_buffer_rows=10_000, max_wait_secs=0.0)
+    assert stats["flushes"] == 3  # time trigger fired per micro-batch
+    ids = set(table.snapshot().to_arrow()["image_id"].to_pylist())
+    assert all(f"tw-{s}" in ids for s in range(3))
