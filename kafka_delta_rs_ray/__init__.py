@@ -21,3 +21,27 @@ cluster shuffle. Nothing in this package calls ``ray.init()``.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy public API (keeps `import kafka_delta_rs_ray` light and
+    # Ray-free until an operator is actually used)
+    surface = {
+        "Table": ("kafka_delta_rs_ray.tablefmt", "Table"),
+        "IMAGE_SCHEMA": ("kafka_delta_rs_ray.tablefmt", "IMAGE_SCHEMA"),
+        "append": ("kafka_delta_rs_ray.pipelines.ingest", "append"),
+        "merge": ("kafka_delta_rs_ray.pipelines.merge", "merge"),
+        "merge_backlog": ("kafka_delta_rs_ray.pipelines.merge", "merge_backlog"),
+        "compact": ("kafka_delta_rs_ray.pipelines.compact", "compact"),
+        "cluster": ("kafka_delta_rs_ray.pipelines.cluster", "cluster"),
+        "expire": ("kafka_delta_rs_ray.pipelines.expire", "expire"),
+        "delete_where": ("kafka_delta_rs_ray.pipelines.delete", "delete_where"),
+        "rollback": ("kafka_delta_rs_ray.pipelines.delete", "rollback"),
+        "stream_ingest": ("kafka_delta_rs_ray.pipelines.stream", "stream_ingest"),
+    }
+    if name in surface:
+        import importlib
+
+        mod, attr = surface[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
