@@ -75,6 +75,24 @@ class Table:
                 out.append(int(name[1:-5]))
         return sorted(out)
 
+    def history(self) -> list[dict]:
+        """Commit history, newest first (DESCRIBE HISTORY analog):
+        one row per retained version with kind, counts and the manifest
+        file's mtime. Metadata-only."""
+        out = []
+        for v in reversed(self.versions()):
+            m = self.read_manifest(v)
+            out.append({
+                "version": v,
+                "parent": m.parent,
+                "kind": m.kind,
+                "fragments": len(m.fragments),
+                "rows": int(m.total_rows()),
+                "apps": sorted(m.txn),
+                "committed_at": os.path.getmtime(self.manifest_path(v)),
+            })
+        return out
+
     def latest_version(self) -> int:
         vs = self.versions()
         if not vs:

@@ -210,3 +210,12 @@ def test_row_filter_pushdown(table, ray_session):
         snap.dataset(row_filter=pads.field("w") >= 128).take_all(),
         schema=full2.schema)
     assert got2.sort_by("image_id").equals(exp2.sort_by("image_id"))
+
+
+def test_history(table, ray_session):
+    append(table, image_dataset(20, batch_size=20), target_fragment_rows=20)
+    h = table.history()
+    assert [r["version"] for r in h] == [1, 0]
+    assert h[0]["kind"] == "append" and h[1]["kind"] == "create"
+    assert h[0]["rows"] == 20 and h[0]["parent"] == 0
+    assert h[0]["committed_at"] >= h[1]["committed_at"]
