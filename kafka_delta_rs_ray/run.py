@@ -42,6 +42,8 @@ def run(cfg: MaintenanceConfig) -> dict:
     from .pipelines import delete as dl
 
     table = Table(cfg.table_root)
+    if cfg.job == "history":
+        return {"job": "history", "history": table.history()}
     if cfg.job == "compact":
         m = cp.compact(table, cfg.target_fragment_bytes, run_id=cfg.run_id,
                        transcode_fmt=cfg.transcode_fmt)
