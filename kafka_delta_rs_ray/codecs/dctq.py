@@ -83,7 +83,7 @@ def encode(img: np.ndarray, quality: int = 95) -> bytes:
         blocks = _to_blocks(f[:, :, ci])
         coef = np.einsum("ij,abjk,lk->abil", _D, blocks, _D, optimize=True)
         out.append(np.round(coef / q).astype(np.int16))
-    payload = zlib.compress(np.concatenate([o.ravel() for o in out]).tobytes(), 6)
+    payload = zlib.compress(np.concatenate([o.ravel() for o in out]).tobytes(), 3)
     return _HDR.pack(MAGIC, w, h, c, min(100, max(1, quality))) + payload
 
 

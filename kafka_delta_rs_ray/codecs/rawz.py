@@ -22,7 +22,7 @@ def encode(img: np.ndarray) -> bytes:
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, c = a.shape
-    return _HDR.pack(MAGIC, w, h, c) + zlib.compress(a.tobytes(), 6)
+    return _HDR.pack(MAGIC, w, h, c) + zlib.compress(a.tobytes(), 3)
 
 
 def decode(buf: bytes) -> np.ndarray:
