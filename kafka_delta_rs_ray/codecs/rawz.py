@@ -1,7 +1,7 @@
 """Lossless codec: raw uint8 RGB + zlib (exact round-trip).
 
 Layout: magic b"RWZ1" | u16 w | u16 h | u8 channels | zlib(raw bytes).
-Little-endian header. zlib level 6.
+Little-endian header. zlib level 3 (throughput-biased; matches the reference table's ZSTD-3 posture, pipeline/mod.rs:120-122).
 """
 
 from __future__ import annotations

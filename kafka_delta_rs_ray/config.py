@@ -28,6 +28,7 @@ class MaintenanceConfig:
     target_fragment_bytes: int = DEFAULT_TARGET_FRAGMENT_BYTES
     target_fragment_rows: int = DEFAULT_TARGET_FRAGMENT_ROWS
     keep_last: int = DEFAULT_KEEP_LAST
+    min_age_seconds: float = 3600.0  # expire: pre-commit-file safety valve
     salt_buckets: int = 4096
     merge_buckets: int = 32
     changeset_path: str | None = None
@@ -83,3 +84,5 @@ class MaintenanceConfig:
                         DEFAULT_TARGET_FRAGMENT_BYTES)
         if self.keep_last < 1:
             raise ConfigError("keep_last must be >= 1")
+        if self.min_age_seconds < 0:
+            raise ConfigError("min_age_seconds must be >= 0")

@@ -173,8 +173,12 @@ def events_sessionize_sql() -> str:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
             SELECT user_id, ts, value,
-                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_id
+                   -- CAST: DuckDB window sum() yields HUGEINT; the Ray
+                   -- result is int64 and the driver hash is type-aware
+                   CAST(sum(is_new) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
             FROM marked
         )
         SELECT user_id, session_id, count(*) AS n_events,
@@ -432,11 +436,38 @@ def doc_exact_dedup_sql() -> str:
 
 
 def doc_lang_id(sf_dir: str):
-    """Rows-only check (heuristic output, not SQL-expressible)."""
     from .textops import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+
+
+def doc_lang_id_sql() -> str:
+    """The marker-count heuristic is deterministic and fully
+    SQL-expressible (tie-break order en>es>de>fr mirrors pandas
+    idxmax column order); verified value-identical at sf0.01."""
+    return r"""
+        WITH s AS (
+          SELECT doc_id,
+            len(regexp_extract_all(lower(text),
+                '\b(?:the|and|ing|ion|is|of|to)\b')) AS en,
+            len(regexp_extract_all(lower(text),
+                '\b(?:el|la|que|de|los|cion|es)\b')) AS es,
+            len(regexp_extract_all(lower(text),
+                '\b(?:der|die|und|sch|ein|ich|en)\b')) AS de,
+            len(regexp_extract_all(lower(text),
+                '\b(?:le|les|des|que|est|tion|et)\b')) AS fr,
+            regexp_matches(text, '[一-鿿]') AS cjk
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN cjk THEN 'zh'
+               WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+               WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+               WHEN es >= de AND es >= fr THEN 'es'
+               WHEN de >= fr THEN 'de'
+               ELSE 'fr' END AS lang_pred
+        FROM s
+    """
 
 
 def doc_fingerprint(sf_dir: str):
@@ -616,6 +647,7 @@ ORACLES = {
     "doc_token_stats": doc_token_stats_sql(),
     "doc_quality": doc_quality_sql(),
     "doc_exact_dedup": doc_exact_dedup_sql(),
+    "doc_lang_id": doc_lang_id_sql(),
     "embedding_knn": embedding_knn_sql(),
     "embedding_centroid_norms": embedding_centroid_norms_sql(),
 }

@@ -39,6 +39,41 @@ def _collect_matrix(emb_ds, id_filter=None):
     return np.array(ids), np.concatenate(mats).astype(np.float64)
 
 
+def _query_matrix(emb_ds, n_queries: int):
+    """The first ``n_queries`` vec_ids and their vectors, WITHOUT any
+    corpus-sized driver materialization: (1) per-batch partial min-k on
+    the id column (the union the driver sees is ≤ n_queries × blocks,
+    tiny), (2) a distributed ``is_in`` filter pulls just the winners'
+    vectors. Replaces the round-1 take_all + driver scan."""
+    import ray
+
+    def local_head(b: pa.Table) -> pa.Table:
+        return b.select(["vec_id"]).sort_by("vec_id").slice(0, n_queries)
+
+    heads = emb_ds.map_batches(local_head, batch_format="pyarrow",
+                               batch_size=None).take_all()
+    qids_sorted = sorted(r["vec_id"] for r in heads)[:n_queries]
+    ids_ref = ray.put(sorted(qids_sorted))
+
+    class _Pick:
+        def __init__(self):
+            self._ids = None
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if self._ids is None:
+                self._ids = pa.array(ray.get(ids_ref), pa.int64())
+            return b.filter(pc.is_in(b["vec_id"], value_set=self._ids))
+
+    rows = emb_ds.map_batches(_Pick(), batch_format="pyarrow",
+                              batch_size=None).take_all()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.stack([np.asarray(r["embedding"]) for r in rows]).astype(np.float64)
+    order = np.argsort(ids)
+    return ids[order], _normalize(m[order])
+
+
 class _BatchTopK:
     """Emit batch-local top-k per query: (query_id, neighbor_id, sim)."""
 
@@ -86,13 +121,8 @@ def knn_bruteforce(emb_ds, n_queries: int = 10, k: int = 10):
     neighbor_id asc (matches the DuckDB oracle's ORDER BY)."""
     import ray
 
-    qids_sorted = sorted(
-        r["vec_id"] for r in
-        emb_ds.select_columns(["vec_id"]).take_all())[:n_queries]
-    qset = set(qids_sorted)
-    qids, qm = _collect_matrix(emb_ds, id_filter=qset)
-    order = np.argsort(qids)
-    ref = ray.put((qids[order], _normalize(qm[order])))
+    qids, qm = _query_matrix(emb_ds, n_queries)
+    ref = ray.put((qids, qm))
     partial = emb_ds.map_batches(_BatchTopK(ref, k),
                                  batch_format="pyarrow", batch_size=2048)
     return (partial.groupby("query_id")
@@ -145,13 +175,7 @@ def knn_ivf(emb_ds, n_queries: int = 10, k: int = 10, n_centroids: int = 16,
     bucketed = emb_ds.map_batches(_AssignBucket(cent_ref),
                                   batch_format="pyarrow", batch_size=2048)
 
-    qids_sorted = sorted(
-        r["vec_id"] for r in
-        emb_ds.select_columns(["vec_id"]).take_all())[:n_queries]
-    qset = set(qids_sorted)
-    qids, qm = _collect_matrix(emb_ds, id_filter=qset)
-    order = np.argsort(qids)
-    qids, qm = qids[order], _normalize(qm[order])
+    qids, qm = _query_matrix(emb_ds, n_queries)
     probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # per-query buckets
 
     # a query participates only in its probed buckets

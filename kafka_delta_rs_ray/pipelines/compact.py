@@ -21,10 +21,15 @@ fragment; re-running with the same run_id skips finished bins
 
 Commit: one manifest CAS swaps input fragments for outputs. The
 builder revalidates against the then-latest manifest: a bin commits
-only if ALL its inputs are still live (a concurrent merge may have
-attached new deletes — then dropping the inputs would lose those
-deletes, so the bin is skipped and its output becomes an expirable
-orphan).
+only if ALL its inputs are still live AND their delete state
+(delete_paths + deleted_rows) is exactly what the rewrite applied.
+Liveness alone is not enough — a concurrent merge/delete_where
+attaches new deletion vectors WITHOUT changing fragment ids; swapping
+in a rewrite that predates those deletes would resurrect deleted rows
+(and duplicate upserted keys). Each rewrite therefore records the
+delete fingerprint it applied (persisted in its resume marker), and
+bins whose inputs drifted are skipped; their outputs become expirable
+orphans.
 """
 
 from __future__ import annotations
@@ -42,6 +47,14 @@ from ..tablefmt.fragments import StreamingFragmentWriter  # noqa: F401 (used in 
 from ..tablefmt.manifest import Fragment, Manifest
 
 DEFAULT_TARGET_BYTES = 128 << 20
+
+
+def _delete_fp(f: Fragment) -> list:
+    """A fragment's delete-state fingerprint (JSON-stable): the delete
+    files applied to it plus the deleted-row count. Compared between
+    rewrite time and commit time to catch concurrent merges/deletes
+    that attach deletion vectors without changing the fragment id."""
+    return [list(f.delete_paths), int(f.deleted_rows)]
 
 
 def plan_compaction(manifest: Manifest, target_bytes: int = DEFAULT_TARGET_BYTES,
@@ -113,9 +126,10 @@ class _RewriteBin:
                  transcode_fmt: str | None = None):
         self.root = root
         self.run_id = run_id
-        self.deletes_ref = deletes_ref
+        self.deletes_ref = deletes_ref  # (deletes, delete fingerprints)
         self.transcode_fmt = transcode_fmt
         self._deletes = None
+        self._fps = None
         self._ctx = None
 
     def _rewrite(self, row: dict) -> "Fragment":
@@ -140,15 +154,20 @@ class _RewriteBin:
 
         if self._ctx is None:
             self._ctx = RunContext(self.root, self.run_id, job="compact")
-            self._deletes = ray.get(self.deletes_ref)
+            self._deletes, self._fps = ray.get(self.deletes_ref)
         out_rows = []
         for row in batch.to_pylist():
             bin_id = str(row["bin_id"])
+            fp = {fid: self._fps.get(fid) for fid in row["fragment_ids"]}
             done = self._ctx.read_marker("bin", bin_id)
             if done is not None:  # resume: skip finished bin
                 out_rows.append({"bin_id": row["bin_id"],
                                  "frag_json": done["frag_json"],
                                  "input_ids": row["fragment_ids"],
+                                 # the delete state the ORIGINAL rewrite
+                                 # applied, not this run's snapshot
+                                 "fp_json": done.get("fp_json",
+                                                     json.dumps(fp)),
                                  "resumed": True})
                 continue
             t0 = time.time()
@@ -156,11 +175,14 @@ class _RewriteBin:
             # frag None = every row in the bin was deleted: the inputs
             # are dropped from the manifest with no replacement
             fj = json.dumps(frag.to_json()) if frag is not None else None
+            fp_json = json.dumps(fp)
             self._ctx.write_marker("bin", bin_id, {
-                "frag_json": fj, "rows": 0 if frag is None else frag.rows,
+                "frag_json": fj, "fp_json": fp_json,
+                "rows": 0 if frag is None else frag.rows,
                 "seconds": time.time() - t0})
             out_rows.append({"bin_id": row["bin_id"], "frag_json": fj,
                              "input_ids": row["fragment_ids"],
+                             "fp_json": fp_json,
                              "resumed": False})
         return pa.Table.from_pylist(out_rows)
 
@@ -198,7 +220,12 @@ def compact(table: Table, target_bytes: int = DEFAULT_TARGET_BYTES,
     frag_by_id = {f.id: f for f in snap.manifest.fragments}
     deletes = snap.read_deletes([frag_by_id[i] for i in planned_ids
                                  if i in frag_by_id])
-    deletes_ref = ray.put(deletes)
+    # per-input delete fingerprint: what delete state this rewrite
+    # APPLIES — compared at commit time against the then-latest
+    # manifest to detect concurrent merges/deletes on the same ids
+    fps = {i: _delete_fp(frag_by_id[i]) for i in planned_ids
+           if i in frag_by_id}
+    deletes_ref = ray.put((deletes, fps))
 
     kwargs = {"concurrency": concurrency} if concurrency is not None else {}
     # one block per bin — from_items yields a single block otherwise,
@@ -212,14 +239,21 @@ def compact(table: Table, target_bytes: int = DEFAULT_TARGET_BYTES,
 
     def build(latest: Manifest) -> Manifest | None:
         attempts["n"] += 1
-        live = latest.fragment_ids()
+        latest_by_id = {f.id: f for f in latest.fragments}
         keep = list(latest.fragments)
         removed: set = set()
         added: list[Fragment] = []
         for r in results:
             inputs = set(r["input_ids"])
-            if not inputs <= live:
-                continue  # conflict: an input vanished → skip this bin
+            applied_fp = json.loads(r["fp_json"])
+            # skip the bin unless every input is still live AND its
+            # delete state is exactly what the rewrite applied — a
+            # concurrent merge/delete attaches delete files without
+            # changing ids, and committing over it would resurrect rows
+            if any(fid not in latest_by_id
+                   or _delete_fp(latest_by_id[fid]) != applied_fp.get(fid)
+                   for fid in inputs):
+                continue
             removed |= inputs
             if r["frag_json"]:  # None = bin fully deleted, no output
                 added.append(Fragment.from_json(json.loads(r["frag_json"])))

@@ -23,8 +23,14 @@ from ..state.lineage import RunContext
 from ..tablefmt.catalog import Table
 
 
-def expire(table: Table, keep_last: int = 2, min_age_seconds: float = 0.0,
+def expire(table: Table, keep_last: int = 2,
+           min_age_seconds: float = 3600.0,
            run_id: str | None = None, dry_run: bool = False) -> dict:
+    """``min_age_seconds`` defaults to one hour so the safety valve is
+    ON by default: an in-flight run's pre-commit files (unreferenced
+    until its manifest CAS) are never swept by a concurrent expire.
+    Pass an explicit 0 only when no other writer can be running (tests,
+    single-process lifecycle scripts)."""
     ctx = RunContext(table.root, run_id, job="expire")
     t0 = time.time()
     versions = table.versions()

@@ -70,7 +70,7 @@ def maintenance_lifecycle(n_rows: int = 300, n_changes: int = 80,
         restored = t.snapshot().to_arrow().sort_by("image_id")
         assert restored.equals(after), "rollback did not restore the snapshot"
 
-        expire(t, keep_last=1)
+        expire(t, keep_last=1, min_age_seconds=0)
         snap_counts("expire")
         return pa.Table.from_pylist(rows)
     finally:

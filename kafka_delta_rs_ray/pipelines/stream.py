@@ -36,19 +36,45 @@ DEFAULT_MAX_BUFFER_ROWS = 10_000  # reference default (src/kafka/mod.rs:142)
 DEFAULT_MAX_WAIT_SECS = 360.0     # reference default (src/kafka/mod.rs:141)
 
 
+def interleave_sources(*sources: Iterable) -> Iterable:
+    """Round-robin merge of N micro-batch sources into one stream —
+    the reference's multi-topic subscription (one consumer subscribed
+    to N topics, src/kafka/mod.rs:113-157) re-expressed for iterables.
+    Per-partition watermarks already isolate the sources' seq domains,
+    so correctness needs only that each source uses its own
+    partition_id space."""
+    its = [iter(s) for s in sources]
+    while its:
+        alive = []
+        for it in its:
+            try:
+                yield next(it)
+            except StopIteration:
+                continue
+            alive.append(it)
+        its = alive
+
+
 def stream_ingest(table: Table, source: Iterable,
                   app_id: str,
                   max_buffer_rows: int = DEFAULT_MAX_BUFFER_ROWS,
                   max_wait_secs: float = DEFAULT_MAX_WAIT_SECS,
                   run_id: str | None = None,
-                  merge_kwargs: dict | None = None) -> dict:
+                  merge_kwargs: dict | None = None,
+                  sources: list | None = None) -> dict:
     """Consume an iterable of changeset micro-batches (pyarrow Tables)
     and merge them under the size/time flush policy. Returns counters
-    (micro_batches, flushes, rows_in, committed_versions)."""
+    (micro_batches, flushes, rows_in, committed_versions).
+
+    ``sources``: a list of micro-batch iterables to consume instead of
+    ``source`` (multi-topic parity) — interleaved round-robin; each
+    source must own its partition_id space."""
     import ray.data as rd
 
     from .merge import merge
 
+    if sources is not None:
+        source = interleave_sources(*sources)
     ctx = RunContext(table.root, run_id, job="stream")
     buf: list[pa.Table] = []
     buffered = 0

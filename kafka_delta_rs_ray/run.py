@@ -56,7 +56,9 @@ def run(cfg: MaintenanceConfig) -> dict:
         m = cl.cluster(table, cfg.target_fragment_rows,
                        salt_buckets=cfg.salt_buckets, run_id=cfg.run_id)
     elif cfg.job == "expire":
-        rep = ex.expire(table, keep_last=cfg.keep_last, run_id=cfg.run_id)
+        rep = ex.expire(table, keep_last=cfg.keep_last,
+                        min_age_seconds=cfg.min_age_seconds,
+                        run_id=cfg.run_id)
         return {"job": "expire", **{k: v for k, v in rep.items()
                                     if k != "removed_files"},
                 "removed": len(rep["removed_files"])}

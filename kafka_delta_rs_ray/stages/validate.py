@@ -32,12 +32,20 @@ class ValidateImages:
     writes are batched per input batch.
     """
 
+    RETRY_ATTEMPTS = 3       # reference dead-letter retry policy
+    RETRY_BACKOFF_SECS = 5.0  # (3 attempts / 5 s sleep, src/kafka/mod.rs:52-80)
+
     def __init__(self, table_root: str | None = None, run_id: str = "adhoc",
-                 check_pixels: bool = False):
+                 check_pixels: bool = False,
+                 retry_attempts: int = RETRY_ATTEMPTS,
+                 retry_backoff_secs: float = RETRY_BACKOFF_SECS):
         self.root = table_root
         self.run_id = run_id
         self.check_pixels = check_pixels
+        self.retry_attempts = retry_attempts
+        self.retry_backoff_secs = retry_backoff_secs
         self.quarantined = 0  # per-actor dead-letter counter (A1 analog)
+        self.quarantine_write_failures = 0
 
     def _quarantine(self, batch: pa.Table, mask: np.ndarray,
                     errors: list) -> None:
@@ -49,7 +57,27 @@ class ValidateImages:
                               pa.string()))
         dest = os.path.join(self.root, "quarantine",
                             f"q-{self.run_id}-{uuid.uuid4().hex[:12]}.parquet")
-        pq.write_table(bad, dest, compression="zstd", compression_level=3)
+        # retry with backoff (reference dead-letter parity: 3 attempts,
+        # 5 s sleep, src/kafka/mod.rs:52-80). A final failure loses
+        # only the audit record — the rows are still withheld from the
+        # table — so we log and continue, like the reference.
+        import logging
+        import time
+
+        for attempt in range(1, self.retry_attempts + 1):
+            try:
+                pq.write_table(bad, dest, compression="zstd",
+                               compression_level=3)
+                break
+            except OSError as e:
+                if attempt == self.retry_attempts:
+                    self.quarantine_write_failures += int(mask.sum())
+                    logging.getLogger(__name__).warning(
+                        "quarantine write failed after %d attempts: %s "
+                        "(%d rows withheld from table but not recorded)",
+                        self.retry_attempts, e, int(mask.sum()))
+                    return
+                time.sleep(self.retry_backoff_secs)
         self.quarantined += int(mask.sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -113,7 +113,7 @@ def test_cluster_sorted_fragments_have_tight_ranges(table):
 def test_expire_reachability(table):
     compact(table, target_bytes=64 << 20)  # v2: old fragments now unreachable
     old_frag_paths = [f.path for f in table.read_manifest(1).fragments]
-    report = expire(table, keep_last=1)
+    report = expire(table, keep_last=1, min_age_seconds=0)
     assert report["expired_versions"] == [0, 1]
     for rel in old_frag_paths:
         assert not os.path.exists(table.abspath(rel))
@@ -128,7 +128,7 @@ def test_expire_keeps_retained_closure(table):
     append(table, image_dataset(10, seed=7, batch_size=10).map_batches(
         lambda b: b.set_column(0, "image_id", pa.array(
             [f"zz-{i}" for i in range(b.num_rows)])), batch_format="pyarrow"))
-    report = expire(table, keep_last=2)
+    report = expire(table, keep_last=2, min_age_seconds=0)
     assert report["removed_files"] == []  # v1 ∪ v2 reference everything
     assert table.snapshot(table.latest_version() - 1).to_arrow().num_rows == N
 
@@ -297,6 +297,109 @@ def test_rollback_keeps_watermarks(table):
     rollback(table, v_mid - 1)  # undo the merge's data...
     # ...but NOT its watermark: the replay must stay a no-op
     assert merge(table, ch, app_id="rb") is None
+
+
+def _one_key_changeset(iid: str, caption: str, seq: int = 1):
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.codecs import encode
+    from kafka_delta_rs_ray.tablefmt.schema import CHANGESET_SCHEMA
+
+    pixel = encode(np.zeros((1, 1, 3), dtype=np.uint8), "rawz")
+    rows = [{"image_id": iid, "bytes": pixel, "w": 1, "h": 1, "fmt": "rawz",
+             "caption": caption, "phash": 1, "partition_id": 0,
+             "seq": seq, "op": "upsert"}]
+    return rd.from_arrow(pa.Table.from_pylist(rows, schema=CHANGESET_SCHEMA))
+
+
+def test_compact_skips_bin_when_merge_lands_midway(table):
+    """A merge that commits BETWEEN compact's rewrite and compact's
+    commit attaches a deletion vector to a bin input without changing
+    its id. Compact must skip that bin (delete-fingerprint check) —
+    committing the stale rewrite would resurrect the deleted row and
+    leave two live copies of the upserted key."""
+    iid = "img-0000000005"
+    n_before = table.snapshot().to_arrow().num_rows
+    orig = Table.commit
+    state = {"fired": False}
+
+    def hooked(build, max_attempts=3):
+        if not state["fired"]:
+            state["fired"] = True
+            merge(Table(table.root),
+                  _one_key_changeset(iid, "concurrent-upsert"), app_id="cc")
+        return orig(table, build, max_attempts)
+
+    table.commit = hooked
+    try:
+        compact(table, target_bytes=64 << 20)
+    finally:
+        del table.commit
+    after = table.snapshot().to_arrow()
+    rows = after.filter(pc.equal(after["image_id"], iid)).to_pylist()
+    assert len(rows) == 1  # the invariant the advisor saw broken
+    assert rows[0]["caption"] == "concurrent-upsert"
+    assert after.num_rows == n_before
+
+
+def test_merge_concurrent_same_key_conflicts(table):
+    """Two concurrent merges upserting the SAME key: the second to
+    commit must detect the concurrently-added fragment carrying its key
+    and raise CommitConflict (not silently leave the key live in two
+    fragments). Rerunning against the fresh snapshot converges to one
+    live row."""
+    from kafka_delta_rs_ray.errors import CommitConflict
+
+    iid = "img-0000000007"
+    orig = Table.commit
+    state = {"fired": False}
+
+    def hooked(build, max_attempts=3):
+        if not state["fired"]:
+            state["fired"] = True
+            merge(Table(table.root), _one_key_changeset(iid, "from-m2"),
+                  app_id="m2")
+        return orig(table, build, max_attempts)
+
+    table.commit = hooked
+    try:
+        with pytest.raises(CommitConflict):
+            merge(table, _one_key_changeset(iid, "from-m1"), app_id="m1")
+    finally:
+        del table.commit
+
+    merge(table, _one_key_changeset(iid, "from-m1"), app_id="m1")  # rerun
+    t = table.snapshot().to_arrow()
+    rows = t.filter(pc.equal(t["image_id"], iid)).to_pylist()
+    assert len(rows) == 1
+    assert rows[0]["caption"] == "from-m1"
+
+
+def test_merge_repeat_same_key_no_rowcount_drift(table):
+    """Repeated merges touching the same key must not double-count
+    deletion vectors: keys already dead under existing deletes are
+    subtracted before writing the new delete file, so live_rows /
+    total_rows never drift (or go negative)."""
+    iid = "img-0000000009"
+    n0 = table.read_manifest().total_rows()
+    for i, app in enumerate(("d1", "d2", "d3")):
+        merge(table, _one_key_changeset(iid, f"cap-{i}"), app_id=app)
+        m = table.read_manifest()
+        assert m.total_rows() == n0, f"round {i}: row count drifted"
+        assert all(f.live_rows >= 0 for f in m.fragments)
+        assert table.snapshot().to_arrow().num_rows == n0
+
+
+def test_expire_default_min_age_keeps_young_orphans(table):
+    """Default expire keeps young unreferenced files: an in-flight
+    run's pre-commit fragment (unreferenced until its CAS) must not be
+    swept by a concurrent expire."""
+    orphan = os.path.join(table.root, "data", "frag-inflight-test.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not-yet-committed")
+    report = expire(table, keep_last=1)  # default min_age = 1 h
+    assert os.path.exists(orphan)
+    assert report["kept_young_files"] >= 1
 
 
 def test_cluster_slice_wise_resumable(table):

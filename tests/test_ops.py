@@ -49,6 +49,24 @@ def test_exact_dedup_first_wins(ray_session):
     assert len(ids) == 10
 
 
+def test_exact_dedup_survives_crc32_collision(ray_session):
+    """'plumless' and 'buckeroo' share a crc32 — a 32-bit content hash
+    (the round-1 implementation) would silently drop one of them. The
+    128-bit fingerprint must keep both."""
+    import zlib
+
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.ops.dedup import exact_dedup
+
+    assert zlib.crc32(b"plumless") == zlib.crc32(b"buckeroo")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["plumless", "buckeroo", "plumless"], pa.string())}))
+    out = exact_dedup(ds, n_buckets=8).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1]  # both kept; true dup dropped
+
+
 def test_minhash_lsh_finds_near_dups(ray_session):
     from kafka_delta_rs_ray.ops.dedup import minhash_lsh_pairs
 

@@ -99,7 +99,7 @@ def test_commit_atomicity_fault_injection(table):
     assert table.latest_version() == v_before
     assert table.snapshot().to_arrow().num_rows == rows_before  # invisible
 
-    report = expire(table, keep_last=1)
+    report = expire(table, keep_last=1, min_age_seconds=0)
     assert frag.path in report["removed_files"]  # orphan swept
     assert not os.path.exists(table.abspath(frag.path))
     assert table.snapshot().to_arrow().num_rows == rows_before
@@ -246,6 +246,96 @@ def test_stream_ingest_flush_and_crash_replay(table):
     ids2 = [i for i in t2["image_id"].to_pylist() if i.startswith("st-")]
     assert sorted(ids2) == sorted({f"st-{s}" for s in range(1000, 1012)})
     assert len(ids2) == len(set(ids2))  # no duplicates from the replay
+
+
+def test_stream_ingest_multi_source_crash_replay(table):
+    """Multi-topic parity (reference subscribes N topics with one
+    consumer, src/kafka/mod.rs:113-157): two sources interleave
+    round-robin, each owning its partition_id; a crash replays BOTH
+    streams and every replayed row is absorbed by the per-partition
+    watermarks."""
+    from kafka_delta_rs_ray.pipelines.stream import stream_ingest
+
+    def mb(prefix, lo, hi, part=0):
+        return pa.Table.from_pylist(
+            [_chrow(f"{prefix}-{s}", s, f"cap {s}", partition=part)
+             for s in range(lo, hi)], schema=CHANGESET_SCHEMA)
+
+    src_a = [mb("ms-a", 100, 104), mb("ms-a", 104, 106)]
+    src_b = [mb("ms-b", 100, 103, 1)]
+    stats = stream_ingest(table, None, app_id="ms",
+                          sources=[src_a, src_b],
+                          max_buffer_rows=5, max_wait_secs=3600)
+    assert stats["rows_in"] == 9
+    ids = set(table.snapshot().to_arrow()["image_id"].to_pylist())
+    assert all(f"ms-a-{s}" in ids for s in range(100, 106))
+    assert all(f"ms-b-{s}" in ids for s in range(100, 103))
+    wm = table.read_manifest().txn["ms"]
+    assert wm["0"] == 105 and wm["1"] == 102  # per-source watermarks
+
+    # crash: both streams replayed in full, plus one fresh batch on b
+    stats2 = stream_ingest(table, None, app_id="ms",
+                           sources=[src_a, src_b + [mb("ms-b", 103, 105, 1)]],
+                           max_buffer_rows=5, max_wait_secs=3600)
+    t2 = table.snapshot().to_arrow()
+    ids2 = [i for i in t2["image_id"].to_pylist() if i.startswith("ms-")]
+    assert len(ids2) == len(set(ids2))  # no dup from the replay
+    assert sorted(set(ids2)) == sorted(
+        {f"ms-a-{s}" for s in range(100, 106)}
+        | {f"ms-b-{s}" for s in range(100, 105)})
+
+
+def test_quarantine_write_retry(table, tmp_path, monkeypatch):
+    """Dead-letter send retry parity (3 attempts / backoff, reference
+    src/kafka/mod.rs:52-80): transient quarantine-write failures are
+    retried; the record lands and the corrupt row stays out of the
+    table."""
+    import pyarrow.parquet as pq_mod
+
+    from kafka_delta_rs_ray.stages.validate import ValidateImages
+
+    calls = {"n": 0}
+    real_write = pq_mod.write_table
+
+    def flaky(tbl, dest, **kw):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise OSError("transient storage error")
+        return real_write(tbl, dest, **kw)
+
+    monkeypatch.setattr("kafka_delta_rs_ray.stages.validate.pq.write_table",
+                        flaky)
+    v = ValidateImages(table.root, run_id="qr", retry_backoff_secs=0.01)
+    batch = pa.Table.from_pylist(
+        [_chrow("ok-1", 1, "fine"),
+         _chrow("bad-1", 2, "corrupt", bytes_=b"\x00garbage")],
+        schema=CHANGESET_SCHEMA)
+    out = v(batch)
+    assert out["image_id"].to_pylist() == ["ok-1"]  # bad row withheld
+    assert calls["n"] == 3 and v.quarantined == 1
+    import glob
+
+    qfiles = glob.glob(os.path.join(table.root, "quarantine", "q-qr-*.parquet"))
+    assert len(qfiles) == 1  # record landed despite two failures
+
+
+def test_quarantine_write_gives_up_after_retries(table, monkeypatch):
+    """Permanent quarantine-write failure: logged and counted, rows
+    STILL withheld from the table (audit loss, never corruption)."""
+    from kafka_delta_rs_ray.stages.validate import ValidateImages
+
+    def always_fail(tbl, dest, **kw):
+        raise OSError("disk on fire")
+
+    monkeypatch.setattr("kafka_delta_rs_ray.stages.validate.pq.write_table",
+                        always_fail)
+    v = ValidateImages(table.root, run_id="qf", retry_backoff_secs=0.0)
+    batch = pa.Table.from_pylist(
+        [_chrow("bad-2", 3, "corrupt", bytes_=b"nope")],
+        schema=CHANGESET_SCHEMA)
+    out = v(batch)
+    assert out.num_rows == 0  # corrupt row never reaches a fragment
+    assert v.quarantine_write_failures == 1 and v.quarantined == 0
 
 
 def test_stream_ingest_time_trigger(table):
