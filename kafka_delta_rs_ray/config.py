@@ -30,6 +30,7 @@ class MaintenanceConfig:
     keep_last: int = DEFAULT_KEEP_LAST
     min_age_seconds: float = 3600.0  # expire: pre-commit-file safety valve
     salt_buckets: int = 4096
+    cluster_curve: str = "morton"  # or "hilbert"
     merge_buckets: int = 32
     changeset_path: str | None = None
     run_id: str | None = None
@@ -86,3 +87,7 @@ class MaintenanceConfig:
             raise ConfigError("keep_last must be >= 1")
         if self.min_age_seconds < 0:
             raise ConfigError("min_age_seconds must be >= 0")
+        if self.cluster_curve not in ("morton", "hilbert"):
+            raise ConfigError(
+                f"cluster_curve must be 'morton' or 'hilbert', "
+                f"got {self.cluster_curve!r}")

@@ -50,8 +50,7 @@ import time
 import numpy as np
 import pyarrow as pa
 
-from ..functions.morton import zcode_from_columns
-from ..stages.zorder import add_zorder_keys
+from ..stages.zorder import CURVES, add_zorder_keys
 from ..state.lineage import RunContext
 from ..tablefmt.catalog import Table
 from ..tablefmt.fragments import (FRAG_META_SCHEMA, FragmentWriter,
@@ -68,7 +67,8 @@ MAX_BOUNDARY_FRAGMENTS = 64  # fragments whose key columns are sampled
 
 def _sample_boundaries(snap, prune, n_buckets: int,
                        hot_factor: float = 4.0,
-                       salt_buckets: int = 4096):
+                       salt_buckets: int = 4096,
+                       curve: str = "morton"):
     """Equal-frequency zcode boundaries + hot-bucket split factors.
 
     I/O is bounded BY CONSTRUCTION, not by post-read sampling: at most
@@ -91,9 +91,9 @@ def _sample_boundaries(snap, prune, n_buckets: int,
         idx = np.linspace(0, mt.num_rows - 1, MAX_BOUNDARY_SAMPLE,
                           dtype=np.int64)
         mt = mt.take(pa.array(idx))
-    z = zcode_from_columns(mt["phash"].to_numpy(zero_copy_only=False),
-                           mt["w"].to_numpy(zero_copy_only=False),
-                           mt["h"].to_numpy(zero_copy_only=False))
+    z = CURVES[curve](mt["phash"].to_numpy(zero_copy_only=False),
+                      mt["w"].to_numpy(zero_copy_only=False),
+                      mt["h"].to_numpy(zero_copy_only=False))
     zf = np.asarray(z, dtype=np.int64)
     qs = np.quantile(zf.astype(np.float64),
                      np.linspace(0, 1, n_buckets + 1)[1:-1])
@@ -111,9 +111,11 @@ class _AssignBucket:
     """map_batches: add (zcode, salt, bucket). Boundaries + hot-split
     map arrive once per worker via ray.put broadcast."""
 
-    def __init__(self, bounds_ref, salt_buckets: int):
+    def __init__(self, bounds_ref, salt_buckets: int,
+                 curve: str = "morton"):
         self.bounds_ref = bounds_ref
         self.salt_buckets = salt_buckets
+        self.curve = curve
         self._bh = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -122,7 +124,7 @@ class _AssignBucket:
         if self._bh is None:
             self._bh = ray.get(self.bounds_ref)
         bounds, hot = self._bh
-        b2 = add_zorder_keys(batch, self.salt_buckets)
+        b2 = add_zorder_keys(batch, self.salt_buckets, curve=self.curve)
         z = b2["zcode"].to_numpy(zero_copy_only=False)
         base = np.searchsorted(bounds, z, side="right").astype(np.int64)
         if hot:
@@ -169,8 +171,14 @@ class _SortWriteBucket:
 def cluster(table: Table, target_fragment_rows: int = 4096,
             salt_buckets: int = 4096, run_id: str | None = None,
             prune: dict | None = None, strategy: str = "range",
-            over_partition: int = 2) -> Manifest | None:
-    """Cluster the live table (or a zone-map-pruned slice) by zcode."""
+            over_partition: int = 2,
+            curve: str = "morton") -> Manifest | None:
+    """Cluster the live table (or a zone-map-pruned slice) by zcode.
+
+    ``curve``: "morton" (Z-order) or "hilbert" — the space-filling
+    curve packing (phash, w, h) into the sort key. Same machinery
+    (boundaries, salt splits, zone maps) either way; the committed
+    manifest records the curve in properties["cluster_curve"]."""
     ctx = RunContext(table.root, run_id, job="cluster")
     snap = table.snapshot()
     if not snap.manifest.fragments:
@@ -187,7 +195,8 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
         n_buckets = int(min(4096, max(8, over_partition * rows_est
                                       // max(1, target_fragment_rows))))
         bounds, hot = _sample_boundaries(snap, prune, n_buckets,
-                                         salt_buckets=salt_buckets)
+                                         salt_buckets=salt_buckets,
+                                         curve=curve)
         bref = ray.put((bounds, hot))
         # hash exchange on bucket (scoped): a plain streaming shuffle —
         # no giant merge-sorted blocks. Reducer-side concurrency is
@@ -222,7 +231,8 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
             # of thousands of sub-100KB actor sends (measured 2x total
             # job cost); fewer larger blocks keep slices ~MB-sized
             assign_rows = max(256, min(int(target_fragment_rows), 2048))
-            ds = ds.map_batches(_AssignBucket(bref, salt_buckets),
+            ds = ds.map_batches(_AssignBucket(bref, salt_buckets,
+                                              curve=curve),
                                 batch_format="pyarrow",
                                 batch_size=assign_rows)
             meta = (ds.groupby("bucket")
@@ -237,7 +247,8 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
         n_parts = min(MAX_SORT_PARTITIONS,
                       max(8, rows_est // max(1, target_fragment_rows)))
         ds = snap.dataset(prune=prune)
-        ds = ds.map_batches(lambda b: add_zorder_keys(b, salt_buckets),
+        ds = ds.map_batches(lambda b: add_zorder_keys(b, salt_buckets,
+                                                      curve=curve),
                             batch_format="pyarrow", batch_size=None)
         ds = ds.repartition(int(n_parts))
         ds = ds.sort(["zcode", "salt"])
@@ -257,6 +268,7 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
                 f"cluster scanned v{snap.version} but latest is "
                 f"v{latest.version}; rerun the cluster job")
         props = dict(latest.properties)
+        props["cluster_curve"] = curve
         if prune is None:
             frags = list(new_frags)
             # every fragment was rewritten at the current schema, so
@@ -275,6 +287,7 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
                    rows=sum(f.rows for f in new_frags),
                    fragments_out=len(new_frags),
                    strategy=strategy,
+                   curve=curve,
                    sort_partitions=int(n_parts),
                    salt_buckets=salt_buckets,
                    seconds=time.time() - t0,

@@ -54,7 +54,8 @@ def run(cfg: MaintenanceConfig) -> dict:
         m = dl.rollback(table, cfg.restore_version)
     elif cfg.job == "cluster":
         m = cl.cluster(table, cfg.target_fragment_rows,
-                       salt_buckets=cfg.salt_buckets, run_id=cfg.run_id)
+                       salt_buckets=cfg.salt_buckets, run_id=cfg.run_id,
+                       curve=cfg.cluster_curve)
     elif cfg.job == "expire":
         rep = ex.expire(table, keep_last=cfg.keep_last,
                         min_age_seconds=cfg.min_age_seconds,

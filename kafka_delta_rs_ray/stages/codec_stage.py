@@ -93,6 +93,42 @@ class ResizeTranscode:
         })
 
 
+class ImageEmbed:
+    """Feature-extract stage producing a NESTED column: per-image
+    embedding = row-major ``grid × grid`` block-mean luminance,
+    mean-centered — a real list<float32> producer exercising the format
+    layer's nested-type path end to end (the reference builds recursive
+    List columns via its builder factory, src/utils/mod.rs:168-206,
+    208-334; ours flow through Arrow natively and the table format
+    stores them like any other column, zone maps skipped).
+
+    Output: (image_id, embedding list<float32>). Deterministic."""
+
+    OUTPUT_SCHEMA = pa.schema([
+        pa.field("image_id", pa.string()),
+        pa.field("embedding", pa.list_(pa.float32())),
+    ])
+
+    def __init__(self, grid: int = 4):
+        self.grid = grid
+        self._decode = decode  # bound once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = []
+        g = self.grid
+        for buf, fmt in zip(batch["bytes"].to_pylist(),
+                            batch["fmt"].to_pylist()):
+            img = self._decode(buf, fmt).astype(np.float32)
+            lum = img.mean(axis=2)
+            e = _block_mean_resize(lum[:, :, None].astype(np.uint8), g, g)
+            v = e.reshape(-1).astype(np.float32)
+            embs.append((v - v.mean()).tolist())
+        return pa.table({
+            "image_id": batch["image_id"],
+            "embedding": pa.array(embs, pa.list_(pa.float32())),
+        })
+
+
 class AudioFeatures:
     """STUB: audio feature extraction (e.g. log-mel frames) — audio
     codecs need external libraries not present here. The stage contract

@@ -15,7 +15,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.hilbert import hcode_from_columns
 from ..functions.morton import zcode_from_columns
+
+CURVES = {"morton": zcode_from_columns, "hilbert": hcode_from_columns}
 
 
 def _crc32_batch(ids: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -25,10 +28,17 @@ def _crc32_batch(ids: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return np.array([zlib.crc32(s.encode()) for s in arr], dtype=np.uint32)
 
 
-def add_zorder_keys(batch: pa.Table, salt_buckets: int = 4096) -> pa.Table:
-    z = zcode_from_columns(batch["phash"].to_numpy(zero_copy_only=False),
-                           batch["w"].to_numpy(zero_copy_only=False),
-                           batch["h"].to_numpy(zero_copy_only=False))
+def add_zorder_keys(batch: pa.Table, salt_buckets: int = 4096,
+                    curve: str = "morton") -> pa.Table:
+    """``curve``: "morton" (Z-order, default) or "hilbert" — both pack
+    (phash top bits, w, h) into one int64 sort key; the column is named
+    ``zcode`` either way so zone maps / pruning / resume are
+    curve-agnostic. Hilbert's unit-step continuity gives tighter
+    fragment bounding boxes on skewed keys."""
+    keyfn = CURVES[curve]
+    z = keyfn(batch["phash"].to_numpy(zero_copy_only=False),
+              batch["w"].to_numpy(zero_copy_only=False),
+              batch["h"].to_numpy(zero_copy_only=False))
     salt = (_crc32_batch(batch["image_id"]) % salt_buckets).astype(np.int32)
     return (batch.append_column("zcode", pa.array(z, pa.int64()))
                  .append_column("salt", pa.array(salt, pa.int32())))
