@@ -115,8 +115,15 @@ class ComputeSigs:
                          "sig": pa.array(sigs, pa.list_(pa.int64()))})
 
 
-N_HASH_BUCKETS = 256  # shuffle buckets per band: groups stay bounded
-# as the corpus grows (group ≈ corpus / (N_BANDS × N_HASH_BUCKETS))
+# Rows per shuffle group for the LSH passes. The group key only needs
+# to CO-LOCATE identical (band_id, band_hash) — the in-group kernels do
+# their own vectorized sub-grouping — so group count is a pure
+# granularity knob: ~TARGET_GROUP_ROWS rows per map_groups call keeps
+# the per-group Python overhead amortized at small scale while bounding
+# worker memory at corpus scale (group ≈ TARGET_GROUP_ROWS regardless
+# of corpus size).
+TARGET_GROUP_ROWS = 50_000
+MAX_GROUPS = 1 << 20
 
 _BAND_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
@@ -148,21 +155,32 @@ def _band_hashes(sig: np.ndarray) -> np.ndarray:
     return h.view(np.int64)
 
 
-def _bands_table(batch: pa.Table, with_sig: bool) -> pa.Table:
+def _n_groups(n_docs: int) -> int:
+    """Shuffle-group count sized so one map_groups call sees
+    ~TARGET_GROUP_ROWS band rows — bounded memory at corpus scale,
+    amortized per-group overhead at test scale. Floor of 64 keeps the
+    group stage parallelizable even on tiny inputs."""
+    return int(min(MAX_GROUPS,
+                   max(64, n_docs * N_BANDS // TARGET_GROUP_ROWS)))
+
+
+def _bands_table(batch: pa.Table, with_sig: bool,
+                 n_groups: int) -> pa.Table:
     """Signatures → band rows (bucket, band_id, band_hash, doc_id
-    [, sig]). ``bucket`` folds (band_id, band_hash % N_HASH_BUCKETS)
-    into one int32 shuffle key so group sizes stay bounded at corpus
-    scale (a groupby on band_id alone would put the whole corpus's
-    rows for one band in a single group). Empty batches flow through
-    the same path (all kernels are 0-row safe) so block schemas stay
-    identical."""
+    [, sig]). ``bucket`` hashes (band_id, band_hash) into one of
+    ``n_groups`` int32 shuffle keys — all rows of one (band_id,
+    band_hash) co-locate, which is the only correctness requirement;
+    the in-group kernels sub-group vectorized. Empty batches flow
+    through the same path (all kernels are 0-row safe) so block
+    schemas stay identical."""
     ids, sig = _sig_matrix(batch)
     bh = _band_hashes(sig)  # (n, N_BANDS)
     n = len(ids)
     parts = []
     for b in range(N_BANDS):
-        bucket = (b * N_HASH_BUCKETS
-                  + (bh[:, b].view(np.uint64) % N_HASH_BUCKETS)).astype(np.int32)
+        salt = np.uint64((b * 0x9E3779B97F4A7C15) % (1 << 64))
+        mix = bh[:, b].view(np.uint64) ^ salt
+        bucket = (mix % np.uint64(n_groups)).astype(np.int32)
         cols = {"bucket": pa.array(bucket),
                 "band_id": pa.array(np.full(n, b, dtype=np.int32)),
                 "band_hash": pa.array(bh[:, b], pa.int64()),
@@ -179,8 +197,11 @@ class MinhashBands:
     multiply shuffle volume ×N_BANDS). Used by LSH pass 1 (candidate
     detection)."""
 
+    def __init__(self, n_groups: int = 256):
+        self.n_groups = n_groups
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _bands_table(batch, with_sig=False)
+        return _bands_table(batch, with_sig=False, n_groups=self.n_groups)
 
 
 _PAIR_COLS = ["doc_a", "doc_b", "est_jaccard"]
@@ -268,9 +289,10 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
 
     sigs = docs_ds.map_batches(ComputeSigs(), batch_format="pyarrow",
                                batch_size=None).materialize()
+    n_groups = _n_groups(sigs.count())
 
     collided = (sigs
-                .map_batches(MinhashBands(), batch_format="pyarrow",
+                .map_batches(MinhashBands(n_groups), batch_format="pyarrow",
                              batch_size=None)
                 .groupby("bucket")
                 .map_groups(_collided_rows, batch_format="pandas"))
@@ -300,8 +322,10 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
     def verify_pairs(g: pd.DataFrame) -> pd.DataFrame:  # map_groups __name__
         return verifier(g)
 
+    cand_groups = _n_groups(len(cand_ids))
     pairs = (cand_sigs
-             .map_batches(lambda b: _bands_table(b, with_sig=True),
+             .map_batches(lambda b: _bands_table(b, with_sig=True,
+                                                 n_groups=cand_groups),
                           batch_format="pyarrow", batch_size=None)
              .groupby("bucket")
              .map_groups(verify_pairs, batch_format="pandas"))

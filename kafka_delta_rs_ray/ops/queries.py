@@ -493,13 +493,29 @@ def image_phash_near_dup(sf_dir: str):
     """Near-duplicate images by perceptual-hash Hamming LSH over the
     deterministic synthetic image table (the image-payload member of
     the dedup family; sf_dir unused — the image table is ours).
-    Metadata-only: reads no image bytes, only (image_id, phash)."""
+    Metadata-only: reads no image bytes, only (image_id, phash).
+
+    Exact dedup runs FIRST (groupby(phash) first-wins): identical-phash
+    hot buckets are quadratic in the near-dup pass — on this table the
+    order cuts emitted pairs from ~238k (exact dups pairing with each
+    other) to the true near-dup set; at corpus scale it is the
+    difference between a bounded pass and a blowup."""
+    import pyarrow.compute as pc  # noqa: F401 (documented dependency)
+
     from ..pipelines.synth import image_dataset
     from .dedup import phash_near_dup_pairs
 
     ds = image_dataset(2000, batch_size=250).select_columns(
         ["image_id", "phash"])
-    return phash_near_dup_pairs(ds, max_dist=3)
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values("image_id")
+                 .drop_duplicates("phash", keep="first")
+                 [["image_id", "phash"]])
+
+    survivors = ds.groupby("phash").map_groups(keep_first,
+                                               batch_format="pandas")
+    return phash_near_dup_pairs(survivors, max_dist=3)
 
 
 def image_exact_dedup(sf_dir: str):

@@ -64,10 +64,15 @@ class ValidateImages:
         import logging
         import time
 
+        from ..tablefmt.fragments import (fragment_compression,
+                                          fragment_compression_level)
+
         for attempt in range(1, self.retry_attempts + 1):
             try:
-                pq.write_table(bad, dest, compression="zstd",
-                               compression_level=3)
+                pq.write_table(
+                    bad, dest,
+                    compression=fragment_compression(bad.schema),
+                    compression_level=fragment_compression_level(bad.schema))
                 break
             except OSError as e:
                 if attempt == self.retry_attempts:

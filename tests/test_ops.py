@@ -245,11 +245,16 @@ def test_image_phash_near_dup(ray_session):
     assert (df["img_a"] < df["img_b"]).all()  # canonical order, no dups
     assert not df.duplicated(["img_a", "img_b"]).any()
 
-    # brute-force oracle on the same 2000-row table (metadata only)
+    # brute-force oracle on the same 2000-row table (metadata only),
+    # post exact-dedup: the registered query keeps one representative
+    # per exact phash BEFORE the near-dup pass (hot buckets are
+    # quadratic otherwise), so the oracle dedups the same way
     from kafka_delta_rs_ray.pipelines.synth import image_dataset
 
     meta = image_dataset(2000, batch_size=500).select_columns(
         ["image_id", "phash"]).to_pandas()
+    meta = (meta.sort_values("image_id")
+            .drop_duplicates("phash", keep="first"))
     ph = meta["phash"].to_numpy().astype(np.int64).view(np.uint64)
     ids = meta["image_id"].to_numpy()
     order = np.argsort(ids)
