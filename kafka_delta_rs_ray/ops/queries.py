@@ -543,6 +543,31 @@ def doc_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def image_embed_knn(sf_dir: str):
+    """Nested-column pipeline: derive a list<float32> embedding from
+    decoded image pixels (ImageEmbed actor-pool stage, grid block-mean
+    luminance) and run brute-force cosine top-k over the DERIVED
+    column — the image analog of embedding_knn. Rows-only check (the
+    embeddings come from our codec pipeline, not SQL-expressible);
+    deterministic per seed."""
+    from ..pipelines.synth import image_dataset
+    from ..stages.codec_stage import ImageEmbed
+    from .similarity import knn_bruteforce
+
+    ds = image_dataset(1000, batch_size=125)
+    emb = ds.map_batches(ImageEmbed(grid=4), batch_format="pyarrow",
+                         batch_size=125, concurrency=4)
+
+    def to_vec(b: pa.Table) -> pa.Table:
+        ids = [int(s[4:]) for s in b["image_id"].to_pylist()]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embedding": b["embedding"]})
+
+    return knn_bruteforce(emb.map_batches(to_vec, batch_format="pyarrow",
+                                          batch_size=None),
+                          n_queries=5, k=5)
+
+
 # ------------------------------------------------------------- embeddings
 def embedding_knn(sf_dir: str):
     from .similarity import knn_bruteforce
@@ -643,6 +668,7 @@ QUERIES = {
     "image_phash_near_dup": image_phash_near_dup,
     "image_exact_dedup": image_exact_dedup,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+    "image_embed_knn": image_embed_knn,
     "embedding_knn": embedding_knn,
     "embedding_knn_ivf": embedding_knn_ivf,
     "embedding_near_dup": embedding_near_dup,

@@ -283,3 +283,18 @@ def test_image_exact_dedup(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True)[["image_id", "phash"]],
         expected.reset_index(drop=True)[["image_id", "phash"]])
+
+
+def test_image_embed_knn_deterministic(ray_session):
+    """Nested-column ANN composition: embeddings derived from decoded
+    pixels feed brute-force kNN; output is deterministic per seed and
+    exact-duplicate (hot) images rank each other at similarity ~1."""
+    from kafka_delta_rs_ray.ops.queries import image_embed_knn
+
+    a = image_embed_knn(None).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    b = image_embed_knn(None).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert set(a.columns) == {"query_id", "neighbor_id", "rank"}
+    assert a.groupby("query_id")["rank"].max().eq(5).all()

@@ -328,3 +328,42 @@ def test_nested_list_type_mismatch_rejected(table, ray_session):
         merge_schemas(
             pa.schema([pa.field("e", pa.list_(pa.float32()))]),
             pa.schema([pa.field("e", pa.list_(pa.int64()))]))
+
+
+def test_date32_column_roundtrip_and_pruning(tmp_path, ray_session):
+    """Date32 semantics (reference parity WITHOUT the reference's bug:
+    its builder factory panics on a date column, src/utils/mod.rs:201-205
+    vs 256-261 — SURVEY §7.4 known-bad list): a date column round-trips,
+    gets ISO-string zone maps (lexicographic = chronological, so range
+    pruning works with ISO strings), and prunes fragments correctly."""
+    import datetime
+
+    import ray.data as rd
+
+    schema = pa.schema([("media_id", pa.string()),
+                        ("shot_date", pa.date32()),
+                        ("n", pa.int64())])
+    t = Table.create(str(tmp_path / "d"), schema)
+    d = datetime.date
+    tbl = pa.table({
+        "media_id": pa.array(["a", "b", "c", "x", "y", "z"]),
+        "shot_date": pa.array([d(2024, 1, 1), d(2024, 6, 15), d(2024, 12, 31),
+                               d(2025, 3, 2), d(2025, 7, 7), d(2025, 11, 30)],
+                              pa.date32()),
+        "n": pa.array(range(6), pa.int64())})
+    m = append(t, rd.from_arrow(tbl), target_fragment_rows=3)  # 2 fragments
+    assert len(m.fragments) == 2
+    for f in m.fragments:
+        assert f.stats["shot_date"]["min"] < f.stats["shot_date"]["max"]
+
+    out = t.snapshot().to_arrow().sort_by("media_id")
+    assert out["shot_date"].to_pylist() == tbl.sort_by("media_id")[
+        "shot_date"].to_pylist()
+
+    snap = t.snapshot()
+    only_2024 = snap._select_fragments({"shot_date": (None, "2024-12-31")})
+    assert len(only_2024) == 1
+    none = snap._select_fragments({"shot_date": ("2026-01-01", None)})
+    assert none == []
+    pruned = snap.to_arrow(prune={"shot_date": ("2025-01-01", None)})
+    assert set(pruned["media_id"].to_pylist()) == {"x", "y", "z"}
