@@ -79,13 +79,23 @@ def _sample_boundaries(snap, prune, n_buckets: int,
     a 10^6-row one. Returns (boundaries asc int64, {bucket_id:
     split_factor} for buckets the sample says are hot).
     """
-    import pyarrow.parquet as _pq
+    import ray
 
     frags = snap._select_fragments(prune)
     stride = max(1, len(frags) // MAX_BOUNDARY_FRAGMENTS)
     chosen = frags[::stride][:MAX_BOUNDARY_FRAGMENTS]
-    parts = [_pq.read_table(snap.table.abspath(f.path),
-                            columns=["phash", "w", "h"]) for f in chosen]
+
+    # one small Ray task per sampled fragment (key columns only) —
+    # serial driver-side reads were a measurable Amdahl fraction of
+    # the 32-CPU cluster stage
+    @ray.remote(num_cpus=0.5)
+    def _read_keys(path: str) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        return _pq.read_table(path, columns=["phash", "w", "h"])
+
+    parts = ray.get([_read_keys.remote(snap.table.abspath(f.path))
+                     for f in chosen])
     mt = pa.concat_tables(parts)
     if mt.num_rows > MAX_BOUNDARY_SAMPLE:  # bound the quantile compute
         idx = np.linspace(0, mt.num_rows - 1, MAX_BOUNDARY_SAMPLE,

@@ -226,9 +226,23 @@ def merge(table: Table, changes_ds, app_id: str,
 
     # watermark advance: max seq per partition over post-REPLAY rows —
     # quarantined rows advance it too (reference: offsets are committed
-    # for dead-lettered messages, src/kafka/mod.rs:187-231)
-    wm_rows = (filt.groupby("partition_id").max("seq")).take_all()
-    new_wm = {str(r["partition_id"]): int(r["max(seq)"]) for r in wm_rows}
+    # for dead-lettered messages, src/kafka/mod.rs:187-231). Map-side
+    # partial max per batch + a driver combine over ≤ batches×partitions
+    # tiny rows — one fewer all-to-all exchange than a groupby().max()
+    def _partial_wm(b: pa.Table) -> pa.Table:
+        part = b["partition_id"].to_numpy(zero_copy_only=False)
+        seq = b["seq"].to_numpy(zero_copy_only=False)
+        ps = np.unique(part)
+        mx = [int(seq[part == p].max()) for p in ps]
+        return pa.table({"partition_id": pa.array(ps, pa.int32()),
+                         "max_seq": pa.array(mx, pa.int64())})
+
+    new_wm: dict[str, int] = {}
+    for r in (filt.select_columns(["partition_id", "seq"])
+              .map_batches(_partial_wm, batch_format="pyarrow",
+                           batch_size=None).take_all()):
+        k = str(r["partition_id"])
+        new_wm[k] = max(int(r["max_seq"]), new_wm.get(k, -1))
 
     validated = filt
     if validate:

@@ -29,24 +29,31 @@ _STATS_EXCLUDE = (pa.types.is_binary, pa.types.is_large_binary,
                   pa.types.is_nested, pa.types.is_null)
 
 
+# Payload-column parquet codec. Default "none": payload bytes are
+# already codec-compressed (rawz/dctq wrap zlib), so zstd over them
+# burns CPU for ~10% ratio (measured: 6x faster fragment writes, 3x
+# faster reads) — the same call Lance/WebDataset make for media blobs.
+# Set KDR_PAYLOAD_COMPRESSION=zstd to trade that CPU back for the 10%
+# when storage bytes are the scarcer resource.
+PAYLOAD_COMPRESSION = os.environ.get("KDR_PAYLOAD_COMPRESSION", "none")
+
+
+def _is_payload(f: pa.Field) -> bool:
+    return pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type)
+
+
 def fragment_compression(schema: pa.Schema) -> dict:
-    """Per-column parquet codec map: binary payload columns are stored
-    UNCOMPRESSED because their contents are already codec-compressed
-    (rawz/dctq wrap zlib) — running zstd over them burns CPU for ~0%
-    ratio (measured: 6x faster fragment writes, 3x faster reads, +10%
-    file size on a representative fragment); every other column keeps
-    ZSTD-3 (reference parity)."""
-    return {f.name: ("none" if (pa.types.is_binary(f.type)
-                                or pa.types.is_large_binary(f.type))
-                     else "zstd")
+    """Per-column parquet codec map: payload columns follow
+    PAYLOAD_COMPRESSION (see above), everything else ZSTD-3
+    (reference parity, src/pipeline/mod.rs:120-122)."""
+    return {f.name: (PAYLOAD_COMPRESSION if _is_payload(f) else "zstd")
             for f in schema}
 
 
 def fragment_compression_level(schema: pa.Schema) -> dict:
     """Companion level map — only codecs that take a level get one."""
     return {f.name: ZSTD_LEVEL for f in schema
-            if not (pa.types.is_binary(f.type)
-                    or pa.types.is_large_binary(f.type))}
+            if not _is_payload(f) or PAYLOAD_COMPRESSION == "zstd"}
 
 
 def _json_safe(v):

@@ -89,7 +89,15 @@ class _DirtyFragmentReader:
             elif cols is not None:
                 t = t.select(cols)
             out.append(t)
-        return pa.concat_tables(out) if out else pa.table({})
+        if out:
+            return pa.concat_tables(out)
+        # typed empty block: a zero-COLUMN table would poison the
+        # stream's schema downstream
+        if self.schema is not None:
+            proj = (self.schema if self.columns is None else
+                    pa.schema([self.schema.field(c) for c in self.columns]))
+            return proj.empty_table()
+        return pa.table({})
 
 
 class Snapshot:

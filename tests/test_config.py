@@ -55,3 +55,17 @@ def test_unknown_keys_rejected(tmp_path):
 def test_invalid_yaml_errors(tmp_path):
     with pytest.raises(ConfigError, match="invalid YAML"):
         MaintenanceConfig.load(_write(tmp_path, "a: [unclosed"))
+
+
+def test_config_rejects_bad_cluster_curve(tmp_path):
+    import pytest
+    import yaml
+
+    from kafka_delta_rs_ray.config import MaintenanceConfig
+    from kafka_delta_rs_ray.errors import ConfigError
+
+    p = tmp_path / "job.yaml"
+    p.write_text(yaml.safe_dump({"table_root": "/tmp/t", "job": "cluster",
+                                 "cluster_curve": "peano"}))
+    with pytest.raises(ConfigError, match="cluster_curve"):
+        MaintenanceConfig.load(str(p))
