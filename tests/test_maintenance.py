@@ -425,3 +425,95 @@ def test_cluster_slice_wise_resumable(table):
     assert table.snapshot().to_arrow().sort_by("image_id").equals(before)
     # the rewritten fragments carry zcode zone maps
     assert any("zcode" in f.stats for f in table.read_manifest().fragments)
+
+
+def test_concurrent_overlapping_merges_converge(table):
+    """TRUE concurrency (threads, no orchestration): two merges upsert
+    the SAME key at once. Outcomes allowed per the optimistic protocol:
+    both commit in some serial order, or one raises CommitConflict and
+    is rerun. Invariant either way: exactly ONE live row for the key,
+    consistent row counts."""
+    import threading
+
+    from kafka_delta_rs_ray.errors import CommitConflict
+
+    iid = "img-0000000011"
+    n0 = table.read_manifest().total_rows()
+    outcomes = {}
+
+    def go(app, caption):
+        t2 = Table(table.root)
+        ch = _one_key_changeset(iid, caption)
+        try:
+            outcomes[app] = merge(t2, ch, app_id=app) is not None
+        except CommitConflict:
+            outcomes[app] = "conflict"
+
+    th = [threading.Thread(target=go, args=("cm1", "from-cm1")),
+          threading.Thread(target=go, args=("cm2", "from-cm2"))]
+    for t_ in th:
+        t_.start()
+    for t_ in th:
+        t_.join()
+
+    # rerun any conflicted merge against the fresh snapshot
+    for app, res in outcomes.items():
+        if res == "conflict":
+            merge(Table(table.root), _one_key_changeset(iid, f"from-{app}"),
+                  app_id=app)
+
+    t = table.snapshot().to_arrow()
+    rows = t.filter(pc.equal(t["image_id"], iid)).to_pylist()
+    assert len(rows) == 1, f"key live in {len(rows)} fragments"
+    assert rows[0]["caption"].startswith("from-cm")
+    m = table.read_manifest()
+    assert m.total_rows() == n0
+    assert t.num_rows == n0
+    assert all(f.live_rows >= 0 for f in m.fragments)
+
+
+def test_concurrent_compact_and_merge_threads(table):
+    """Compaction racing a live merge (threads): whatever interleaving
+    happens, the table ends consistent — the merged key has exactly one
+    live copy with the merged caption, no rows resurrect, and row
+    counts hold."""
+    import threading
+
+    iid = "img-0000000013"
+    n0 = table.read_manifest().total_rows()
+    errs = []
+
+    def do_merge():
+        try:
+            merge(Table(table.root), _one_key_changeset(iid, "race-merge"),
+                  app_id="race")
+        except Exception as e:  # noqa: BLE001 (collected for assert)
+            errs.append(e)
+
+    def do_compact():
+        try:
+            compact(Table(table.root), target_bytes=64 << 20)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = [threading.Thread(target=do_merge),
+          threading.Thread(target=do_compact)]
+    for t_ in th:
+        t_.start()
+    for t_ in th:
+        t_.join()
+    from kafka_delta_rs_ray.errors import CommitConflict
+
+    real = [e for e in errs if not isinstance(e, CommitConflict)]
+    assert not real, real
+    if any(isinstance(e, CommitConflict) for e in errs):
+        # merge lost the race against compact's fragment swap: rerun
+        merge(Table(table.root), _one_key_changeset(iid, "race-merge"),
+              app_id="race")
+
+    t = table.snapshot().to_arrow()
+    rows = t.filter(pc.equal(t["image_id"], iid)).to_pylist()
+    assert len(rows) == 1
+    assert rows[0]["caption"] == "race-merge"
+    assert t.num_rows == n0
+    assert table.read_manifest().total_rows() == n0
