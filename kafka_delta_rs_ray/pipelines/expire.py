@@ -44,13 +44,20 @@ def expire(table: Table, keep_last: int = 2,
         for f in m.fragments:
             reachable.add(f.path)
             reachable.update(f.delete_paths)
+        # sharded manifests (format v2): the retained version's
+        # fragment-list shard files are part of its closure
+        reachable.update(m.shard_paths())
+
+    from ..tablefmt.manifest import SHARD_PREFIX
 
     removed_files: list[str] = []
     kept_young = 0
     now = time.time()
-    for sub in ("data", "deletes"):
+    for sub in ("data", "deletes", "manifest"):
         d = os.path.join(table.root, sub)
         for name in sorted(os.listdir(d)):
+            if sub == "manifest" and not name.startswith(SHARD_PREFIX):
+                continue  # version docs handled below, temps skipped
             rel = os.path.join(sub, name)
             if rel in reachable:
                 continue

@@ -102,7 +102,7 @@ class Table:
     def read_manifest(self, version: int | None = None) -> Manifest:
         v = self.latest_version() if version is None else version
         with open(self.manifest_path(v)) as f:
-            return Manifest.from_json_str(f.read())
+            return Manifest.from_json_str(f.read(), root=self.root)
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         return Snapshot(self, self.read_manifest(version))
@@ -111,14 +111,22 @@ class Table:
         return self.read_manifest().schema
 
     # -- commit ------------------------------------------------------------
-    def _publish(self, m: Manifest) -> None:
-        """Atomically create manifest vN via write-temp + hard-link (CAS)."""
+    def _publish(self, m: Manifest, parent: Manifest | None = None) -> None:
+        """Atomically create manifest vN via write-temp + hard-link (CAS).
+
+        Past ``SHARD_THRESHOLD`` fragments the fragment list goes into
+        shard files (parent shards reused when unchanged — commit I/O
+        is O(changed fragments)); shard files written by a losing CAS
+        attempt become unreferenced and are swept by expire."""
+        from .manifest import plan_shards
+
+        fragment_lists = plan_shards(parent, m, self.root)
         final = self.manifest_path(m.version)
         fd, tmp = tempfile.mkstemp(dir=self._manifest_dir(), prefix=".tmp-",
                                    suffix=f"-{uuid.uuid4().hex[:8]}")
         try:
             with os.fdopen(fd, "w") as f:
-                f.write(m.to_json_str())
+                f.write(m.to_json_str(fragment_lists=fragment_lists))
                 f.flush()
                 os.fsync(f.fileno())
             try:
@@ -153,7 +161,7 @@ class Table:
             m.version = latest.version + 1
             m.parent = latest.version
             try:
-                self._publish(m)
+                self._publish(m, parent=latest)
                 return m
             except CommitConflict as e:
                 last_err = e
