@@ -543,6 +543,58 @@ def doc_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def doc_dedup_pipeline(sf_dir: str):
+    """End-to-end corpus dedup — what a training-data pipeline actually
+    runs: MinHash-LSH near-dup pairs (exact duplicates always collide
+    in every band, so they are subsumed) → union-find over the
+    OUTPUT-sized pair set (driver-side; pairs ≪ corpus) → keep the
+    min doc_id of each duplicate cluster → distributed filter drops
+    the losers. Returns surviving doc_ids. Rows-only check (LSH is not
+    SQL-expressible)."""
+    import ray
+
+    from .dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds).select_columns(
+        ["doc_a", "doc_b"]).take_all()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:  # keep the smaller id as the cluster root
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    losers = {x for x in parent if find(x) != x}
+    losers_ref = ray.put(losers)
+
+    class _DropLosers:
+        def __init__(self):
+            self._l = None
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if self._l is None:
+                got = ray.get(losers_ref)
+                self._l = pa.array(sorted(got), pa.int64())
+            if len(self._l) == 0:
+                return b.select(["doc_id"])
+            return (b.select(["doc_id"])
+                    .filter(pc.invert(pc.is_in(b["doc_id"],
+                                               value_set=self._l))))
+
+    return ds.map_batches(_DropLosers(), batch_format="pyarrow",
+                          batch_size=None)
+
+
 def image_embed_knn(sf_dir: str):
     """Nested-column pipeline: derive a list<float32> embedding from
     decoded image pixels (ImageEmbed actor-pool stage, grid block-mean
@@ -668,6 +720,7 @@ QUERIES = {
     "image_phash_near_dup": image_phash_near_dup,
     "image_exact_dedup": image_exact_dedup,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+    "doc_dedup_pipeline": doc_dedup_pipeline,
     "image_embed_knn": image_embed_knn,
     "embedding_knn": embedding_knn,
     "embedding_knn_ivf": embedding_knn_ivf,

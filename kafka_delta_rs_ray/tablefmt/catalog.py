@@ -104,7 +104,29 @@ class Table:
         with open(self.manifest_path(v)) as f:
             return Manifest.from_json_str(f.read(), root=self.root)
 
-    def snapshot(self, version: int | None = None) -> Snapshot:
+    def version_as_of(self, ts: float) -> int:
+        """Latest version committed at or before unix-time ``ts``
+        (timestamp time travel; commit time = the manifest file's
+        mtime, set atomically by the CAS link)."""
+        best = None
+        for v in self.versions():
+            if os.path.getmtime(self.manifest_path(v)) <= ts:
+                best = v
+        if best is None:
+            raise StateError(
+                f"no version committed at or before {ts} "
+                f"(earliest is {self.versions()[0]})")
+        return best
+
+    def snapshot(self, version: int | None = None,
+                 as_of: float | None = None) -> Snapshot:
+        """Snapshot by version number, by unix timestamp (``as_of``),
+        or latest. A snapshot is immutable: reads are isolated from
+        concurrent commits."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_as_of(as_of)
         return Snapshot(self, self.read_manifest(version))
 
     def schema(self) -> pa.Schema:

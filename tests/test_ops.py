@@ -298,3 +298,36 @@ def test_image_embed_knn_deterministic(ray_session):
     assert a.equals(b)
     assert set(a.columns) == {"query_id", "neighbor_id", "rank"}
     assert a.groupby("query_id")["rank"].max().eq(5).all()
+
+
+def test_doc_dedup_pipeline_first_wins(ray_session):
+    """Composed corpus dedup: exact dups (0/1, 10/11) and the near-dup
+    cluster around doc 0 collapse to their min doc_id; unrelated docs
+    survive."""
+    from kafka_delta_rs_ray.ops.queries import doc_dedup_pipeline
+
+    # run the pipeline over the known 12-doc corpus: write it as
+    # parquet and point sf_dir at it
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="dedup-pipe-")
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest while birds sing loudly")
+    texts = [base, base, base + " extra tail words here",
+             base.replace("green", "blue"),
+             "completely different content about spark and ray data engines",
+             "another unrelated document mentioning tables and manifests",
+             "short one", "lorem ipsum dolor sit amet consectetur",
+             "数据处理引擎测试文档", "el rapido zorro marron que salta",
+             "dup pair two identical text", "dup pair two identical text"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(12)), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        os.path.join(d, "documents.parquet"))
+
+    out = sorted(doc_dedup_pipeline(d).to_pandas()["doc_id"])
+    assert 0 in out and 1 not in out          # exact dup collapsed
+    assert 10 in out and 11 not in out
+    assert 4 in out and 5 in out              # unrelated docs survive
+    assert len(out) < 12

@@ -367,3 +367,25 @@ def test_date32_column_roundtrip_and_pruning(tmp_path, ray_session):
     assert none == []
     pruned = snap.to_arrow(prune={"shot_date": ("2025-01-01", None)})
     assert set(pruned["media_id"].to_pylist()) == {"x", "y", "z"}
+
+
+def test_timestamp_time_travel(table, ray_session):
+    """snapshot(as_of=ts): latest version committed at or before ts —
+    the timestamp flavor of time travel (version flavor already
+    pinned by test_snapshot_isolation)."""
+    import time as _time
+
+    append(table, image_dataset(30, batch_size=30), target_fragment_rows=30)
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    append(table, image_dataset(10, seed=5, batch_size=10).map_batches(
+        lambda b: b.set_column(0, "image_id", pa.array(
+            [f"tt-{i}" for i in range(b.num_rows)])), batch_format="pyarrow"),
+        target_fragment_rows=10)
+
+    assert table.snapshot(as_of=t_mid).to_arrow().num_rows == 30
+    assert table.snapshot(as_of=_time.time()).to_arrow().num_rows == 40
+    with pytest.raises(StateError):
+        table.snapshot(as_of=1.0)  # before the table existed
+    with pytest.raises(ValueError):
+        table.snapshot(version=1, as_of=t_mid)
