@@ -45,7 +45,11 @@ from .schema import schema_from_b64, schema_to_b64
 MANIFEST_FMT = "v{:012d}.json"
 
 SHARD_THRESHOLD = 512  # inline the fragment list below this count
-SHARD_SIZE = 1024      # fragments per new shard file
+# Fragments per new shard file. Small enough that one bulk append does
+# not produce a single monolithic shard (which would defeat reuse: any
+# touched member forces a full rewrite), large enough that a
+# million-fragment table is ~8k shard files.
+SHARD_SIZE = 128
 SHARD_PREFIX = "fraglist-"
 
 
