@@ -245,10 +245,11 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
                                               curve=curve),
                                 batch_format="pyarrow",
                                 batch_size=assign_rows)
-            meta = (ds.groupby("bucket")
-                    .map_groups(sort_write_bucket, batch_format="pyarrow",
-                                num_cpus=2)
-                    .take_all())
+            out_ds = (ds.groupby("bucket")
+                      .map_groups(sort_write_bucket, batch_format="pyarrow",
+                                  num_cpus=2))
+            meta = out_ds.take_all()
+            ctx.log_dataset_stats("cluster_exchange", out_ds)
         finally:
             (dctx.shuffle_strategy, dctx.max_hash_shuffle_aggregators,
              dctx.default_hash_shuffle_parallelism) = saved

@@ -230,10 +230,12 @@ def compact(table: Table, target_bytes: int = DEFAULT_TARGET_BYTES,
     kwargs = {"concurrency": concurrency} if concurrency is not None else {}
     # one block per bin — from_items yields a single block otherwise,
     # which would serialize every rewrite into one task
-    results = rd.from_items(bins, override_num_blocks=len(bins)).map_batches(
+    rewrite_ds = rd.from_items(bins, override_num_blocks=len(bins)).map_batches(
         _RewriteBin(table.root, ctx.run_id, deletes_ref,
                     transcode_fmt=transcode_fmt),
-        batch_format="pyarrow", batch_size=1, **kwargs).take_all()
+        batch_format="pyarrow", batch_size=1, **kwargs)
+    results = rewrite_ds.take_all()
+    ctx.log_dataset_stats("rewrite", rewrite_ds)
 
     attempts = {"n": 0}
 

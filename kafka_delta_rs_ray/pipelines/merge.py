@@ -266,6 +266,7 @@ def merge(table: Table, changes_ds, app_id: str,
                .groupby("bucket")
                .map_groups(_first_wins, batch_format="pyarrow")
                .materialize())
+    ctx.log_dataset_stats("dedup", deduped)
     n_effective = deduped.count()
     if n_effective == 0:
         # nothing applicable (e.g. everything quarantined) — but the

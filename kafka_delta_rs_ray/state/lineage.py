@@ -76,6 +76,22 @@ class RunContext:
         with open(os.path.join(self.dir, "metrics.jsonl"), "a") as f:
             f.write(line + "\n")
 
+    def log_dataset_stats(self, name: str, ds) -> None:
+        """Capture Ray Data's per-operator execution stats for an
+        EXECUTED dataset into ``stats/<name>.txt`` — wall time, rows,
+        block sizes per stage, so "where did this pipeline spend its
+        time" survives the run (the feedback loop behind every perf
+        change in this repo). No-op if the dataset has no stats yet."""
+        try:
+            text = ds.stats()
+        except Exception:  # noqa: BLE001 — stats are best-effort
+            return
+        if not text:
+            return
+        d = os.path.join(self.dir, "stats")
+        os.makedirs(d, exist_ok=True)
+        self._atomic_write(os.path.join(d, f"{name}.txt"), text)
+
     def read_metrics(self) -> list[dict]:
         p = os.path.join(self.dir, "metrics.jsonl")
         if not os.path.exists(p):
