@@ -13,7 +13,7 @@ from .errors import ConfigError
 log = logging.getLogger(__name__)
 
 JOBS = ("append", "merge", "compact", "cluster", "expire", "lifecycle",
-        "delete", "rollback", "history")
+        "delete", "rollback", "history", "quarantine")
 
 DEFAULT_TARGET_FRAGMENT_BYTES = 128 << 20
 DEFAULT_TARGET_FRAGMENT_ROWS = 4096

@@ -44,6 +44,11 @@ def run(cfg: MaintenanceConfig) -> dict:
     table = Table(cfg.table_root)
     if cfg.job == "history":
         return {"job": "history", "history": table.history()}
+    if cfg.job == "quarantine":
+        from .stages.validate import quarantine_report
+
+        return {"job": "quarantine",
+                **quarantine_report(table.root, run_id=cfg.run_id)}
     if cfg.job == "compact":
         m = cp.compact(table, cfg.target_fragment_bytes, run_id=cfg.run_id,
                        transcode_fmt=cfg.transcode_fmt)

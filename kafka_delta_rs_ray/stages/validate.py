@@ -109,3 +109,24 @@ class ValidateImages:
                 errors[i] = str(e)
         self._quarantine(batch, bad, errors)
         return batch.filter(pa.array(~bad))
+
+
+def quarantine_report(table_root: str, run_id: str | None = None) -> dict:
+    """Dead-letter audit (the reference counts dead letters as a
+    first-class metric, src/monitoring/mod.rs:150-202): total
+    quarantined rows and a per-error breakdown, optionally scoped to
+    one run_id. Metadata + error column only — payload bytes are
+    never loaded."""
+    import glob as _glob
+    from collections import Counter
+
+    pattern = f"q-{run_id}-*.parquet" if run_id else "q-*.parquet"
+    errors: Counter = Counter()
+    total = 0
+    files = sorted(_glob.glob(os.path.join(table_root, "quarantine", pattern)))
+    for p in files:
+        t = pq.read_table(p, columns=["error"])
+        total += t.num_rows
+        errors.update(t["error"].to_pylist())
+    return {"files": len(files), "rows": total,
+            "errors": dict(sorted(errors.items()))}

@@ -350,3 +350,24 @@ def test_stream_ingest_time_trigger(table):
     assert stats["flushes"] == 3  # time trigger fired per micro-batch
     ids = set(table.snapshot().to_arrow()["image_id"].to_pylist())
     assert all(f"tw-{s}" in ids for s in range(3))
+
+
+def test_quarantine_report(table):
+    """Dead-letter audit surface: per-error counts without touching
+    payload bytes (A1 metric parity, src/monitoring/mod.rs:150-202)."""
+    from kafka_delta_rs_ray.stages.validate import (ValidateImages,
+                                                    quarantine_report)
+
+    v = ValidateImages(table.root, run_id="qrep")
+    batch = pa.Table.from_pylist(
+        [_chrow("b1", 1, "x", bytes_=b"junk"),
+         _chrow("b2", 2, "y", bytes_=b""),
+         _chrow("b3", 3, "z", bytes_=b"more-junk")],
+        schema=CHANGESET_SCHEMA)
+    v(batch)
+    rep = quarantine_report(table.root, run_id="qrep")
+    assert rep["rows"] == 3 and rep["files"] == 1
+    assert rep["errors"]["empty payload"] == 1
+    assert sum(rep["errors"].values()) == 3
+    # unscoped report includes this run too
+    assert quarantine_report(table.root)["rows"] >= 3
