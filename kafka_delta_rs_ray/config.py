@@ -72,8 +72,9 @@ class MaintenanceConfig:
             raise ConfigError(f"unknown job {self.job!r}; one of {JOBS}")
         if not self.app_id:
             raise ConfigError("app_id must not be empty")
-        if self.job == "merge" and not self.changeset_path:
-            raise ConfigError("merge requires changeset_path")
+        if self.job in ("merge", "append") and not self.changeset_path:
+            raise ConfigError(
+                f"{self.job} requires changeset_path (the input parquet)")
         if self.job == "delete" and not self.predicate:
             raise ConfigError("delete requires predicate ({col: [lo, hi]})")
         if self.job == "rollback" and self.restore_version is None:

@@ -68,6 +68,15 @@ def run(cfg: MaintenanceConfig) -> dict:
         return {"job": "expire", **{k: v for k, v in rep.items()
                                     if k != "removed_files"},
                 "removed": len(rep["removed_files"])}
+    elif cfg.job == "append":
+        import ray.data as rd
+
+        from .pipelines import ingest as ig
+
+        src = rd.read_parquet(cfg.changeset_path)
+        m = ig.append(table, src, run_id=cfg.run_id,
+                      target_fragment_rows=cfg.target_fragment_rows,
+                      mode=cfg.options.get("write_mode", "default"))
     elif cfg.job == "merge":
         import ray.data as rd
 

@@ -69,3 +69,16 @@ def test_config_rejects_bad_cluster_curve(tmp_path):
                                  "cluster_curve": "peano"}))
     with pytest.raises(ConfigError, match="cluster_curve"):
         MaintenanceConfig.load(str(p))
+
+
+def test_append_requires_input_path(tmp_path):
+    import pytest
+    import yaml
+
+    from kafka_delta_rs_ray.config import MaintenanceConfig
+    from kafka_delta_rs_ray.errors import ConfigError
+
+    p = tmp_path / "job.yaml"
+    p.write_text(yaml.safe_dump({"table_root": "/tmp/t", "job": "append"}))
+    with pytest.raises(ConfigError, match="append requires changeset_path"):
+        MaintenanceConfig.load(str(p))
