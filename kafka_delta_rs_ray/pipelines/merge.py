@@ -290,12 +290,24 @@ def merge(table: Table, changes_ds, app_id: str,
     key_tbl = deduped.select_columns(["image_id"]).take_all()
     changed_keys = {r["image_id"] for r in key_tbl}
     kmin, kmax = min(changed_keys), max(changed_keys)
+    keys_sorted = sorted(changed_keys)
 
-    # 3: zone-map prune → per-fragment intersect
-    touched = [f for f in m0.fragments
-               if "image_id" not in f.stats
-               or not (f.stats["image_id"]["max"] < kmin
-                       or f.stats["image_id"]["min"] > kmax)]
+    # 3: zone-map prune → per-fragment intersect. The prune checks the
+    # fragment's [min,max] against the actual sorted key SET (two
+    # binary searches per fragment), not just the global key range —
+    # a global range over uniformly-spread keys covers every fragment,
+    # while the set check prunes any fragment whose range holds no
+    # changed key (precise on clustered/id-ordered tables).
+    import bisect
+
+    def _holds_changed_key(f) -> bool:
+        s = f.stats.get("image_id")
+        if s is None or s.get("min") is None:
+            return True  # no stats → cannot prune
+        lo = bisect.bisect_left(keys_sorted, s["min"])
+        return lo < len(keys_sorted) and keys_sorted[lo] <= s["max"]
+
+    touched = [f for f in m0.fragments if _holds_changed_key(f)]
     del_tbl = pa.table({"fragment_id": pa.array([], pa.string()),
                         "image_id": pa.array([], pa.string())})
     if touched:

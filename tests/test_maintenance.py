@@ -517,3 +517,27 @@ def test_concurrent_compact_and_merge_threads(table):
     assert rows[0]["caption"] == "race-merge"
     assert t.num_rows == n0
     assert table.read_manifest().total_rows() == n0
+
+
+def test_merge_prunes_fragments_by_key_set(table):
+    """Zone-map pruning precision: a changeset whose keys all live in
+    ONE fragment's id range must attach deletion vectors to that
+    fragment only — fragments whose [min,max] holds no changed key are
+    never read (the set check, not just the global key range)."""
+    # fixture fragments hold id-ordered 20-row chunks; pick two ids
+    # from the FIRST fragment's range
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.tablefmt.schema import CHANGESET_SCHEMA
+
+    rows = [_one_key_changeset(f"img-{i:010d}", f"prune-{i}", seq=i + 1)
+            for i in (2, 7)]
+    tbl = pa.concat_tables([pa.Table.from_pylist(
+        r.take_all(), schema=CHANGESET_SCHEMA) for r in rows])
+    merge(table, rd.from_arrow(tbl), app_id="prune")
+
+    m = table.read_manifest()
+    with_dv = [f for f in m.fragments if f.delete_paths]
+    assert len(with_dv) == 1  # only the one holding img-...02/07
+    assert with_dv[0].stats["image_id"]["min"] <= "img-0000000002"
+    assert with_dv[0].stats["image_id"]["max"] >= "img-0000000007"
