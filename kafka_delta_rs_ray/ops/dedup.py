@@ -213,6 +213,45 @@ def _empty_pairs() -> pd.DataFrame:
                          "est_jaccard": pd.Series([], dtype="float64")})
 
 
+# Below this many collided docs, verification broadcasts the candidate
+# signatures (64 × 8 B each → ≤ ~100 MB) instead of a second
+# distributed banding pass. Candidates are OUTPUT-sized, so on most
+# corpora the fast path applies; heavy-duplication corpora exceed it
+# and take the fully-distributed path.
+BROADCAST_VERIFY_MAX = 200_000
+
+
+class _BroadcastVerify:
+    """Verify pass-1 collided band rows against broadcast candidate
+    signatures (fast path — see BROADCAST_VERIFY_MAX)."""
+
+    def __init__(self, sig_ref, threshold: float):
+        self.sig_ref = sig_ref
+        self.threshold = threshold
+        self._sigs = None
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _empty_pairs()
+        if self._sigs is None:
+            import ray
+
+            self._sigs = ray.get(self.sig_ref)
+        out = {c: [] for c in _PAIR_COLS}
+        for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.sort(grp["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            sigs = np.stack([self._sigs[d] for d in ids])
+            ai, bi = np.triu_indices(len(ids), k=1)
+            est = (sigs[ai] == sigs[bi]).mean(axis=1)
+            keep = est >= self.threshold
+            out["doc_a"].extend(ids[ai][keep])
+            out["doc_b"].extend(ids[bi][keep])
+            out["est_jaccard"].extend(np.round(est[keep], 6))
+        return pd.DataFrame(out) if out["doc_a"] else _empty_pairs()
+
+
 def _collided_rows(g: pd.DataFrame) -> pd.DataFrame:
     """LSH pass 1 map_groups: keep only band rows whose (band_id,
     band_hash) bucket is shared by ≥2 docs — the candidate set, which
@@ -295,7 +334,8 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
                 .map_batches(MinhashBands(n_groups), batch_format="pyarrow",
                              batch_size=None)
                 .groupby("bucket")
-                .map_groups(_collided_rows, batch_format="pandas"))
+                .map_groups(_collided_rows, batch_format="pandas")
+                .materialize())
     cand_ids = {r["doc_id"] for r in
                 collided.select_columns(["doc_id"]).take_all()}
     if not cand_ids:
@@ -317,6 +357,27 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
 
     cand_sigs = sigs.map_batches(_FilterCandidates(),
                                  batch_format="pyarrow", batch_size=None)
+
+    if len(cand_ids) <= BROADCAST_VERIFY_MAX:
+        # broadcast-verify fast path: the CANDIDATE signatures (docs in
+        # ≥1 shared bucket — OUTPUT-sized, unlike the round-1
+        # whole-corpus dict) fit one broadcast object, so verification
+        # reuses the already-materialized pass-1 collided rows with no
+        # second banding/shuffle. The classic broadcast-vs-shuffle join
+        # switch; above the threshold the fully-distributed path runs.
+        rows = cand_sigs.take_all()
+        lookup = {r["doc_id"]: np.asarray(r["sig"], dtype=np.int64)
+                  for r in rows}
+        sig_ref = ray.put(lookup)
+        bverifier = _BroadcastVerify(sig_ref, threshold)
+
+        def bverify(g: pd.DataFrame) -> pd.DataFrame:  # map_groups name
+            return bverifier(g)
+
+        pairs = (collided.groupby("band_id")
+                 .map_groups(bverify, batch_format="pandas"))
+        return _dedup_pairs(pairs, ["est_jaccard"])
+
     verifier = _VerifyBandPairs(threshold)
 
     def verify_pairs(g: pd.DataFrame) -> pd.DataFrame:  # map_groups __name__

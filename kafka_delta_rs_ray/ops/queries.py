@@ -18,12 +18,15 @@ import pandas as pd
 import pyarrow as pa
 
 
-_SPLIT = 32  # the testdata files are single-row-group parquet, so the
-# reader yields ONE block; split it so map stages parallelize. (Real
-# tables at scale have many files/row groups and skip this.)
+_SPLIT = 32  # block-split width for single-file testdata reads
+# (resolved at CALL time so it can be tuned/disabled globally)
 
 
-def _read(sf_dir: str, name: str, columns=None, split: int = _SPLIT):
+def _read(sf_dir: str, name: str, columns=None, split: int | None = None):
+    """Read one testdata table. Ray's reader already splits a
+    single-row-group file into target-sized blocks (SplitBlocks), so
+    no repartition shuffle is needed for parallelism; ``split`` forces
+    an explicit repartition only when a caller asks for it."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
