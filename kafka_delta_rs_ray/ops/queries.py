@@ -70,9 +70,20 @@ def events_first_wins_sql() -> str:
 
 
 def events_ordered_head(sf_dir: str):
-    """Offset-ascending drain order (D2): first 100 events by event_id."""
+    """Offset-ascending drain order (D2): first 100 events by event_id.
+
+    Scalable top-k decomposition: each batch keeps its own first 100
+    (vectorized local sort+slice), then ONE tiny sort over ≤ 100 ×
+    n_blocks survivors — no full-table sort-shuffle for a k-row
+    answer."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
-    return ds.sort("event_id").limit(100)
+
+    def local_head(b: pa.Table) -> pa.Table:
+        return b.sort_by("event_id").slice(0, 100)
+
+    return (ds.map_batches(local_head, batch_format="pyarrow",
+                           batch_size=None)
+            .sort("event_id").limit(100))
 
 
 def events_ordered_head_sql() -> str:
