@@ -78,17 +78,28 @@ class Table:
     def history(self) -> list[dict]:
         """Commit history, newest first (DESCRIBE HISTORY analog):
         one row per retained version with kind, counts and the manifest
-        file's mtime. Metadata-only."""
+        file's mtime. Reads only the version documents — the summary
+        block answers fragment/row counts without loading fragment-list
+        shards (older manifests without a summary fall back to a full
+        load)."""
+        import json as _json
+
         out = []
         for v in reversed(self.versions()):
-            m = self.read_manifest(v)
+            with open(self.manifest_path(v)) as f:
+                d = _json.load(f)
+            s = d.get("summary")
+            if s is None:  # pre-summary manifest: full load
+                m = self.read_manifest(v)
+                s = {"fragments": len(m.fragments),
+                     "rows": int(m.total_rows())}
             out.append({
                 "version": v,
-                "parent": m.parent,
-                "kind": m.kind,
-                "fragments": len(m.fragments),
-                "rows": int(m.total_rows()),
-                "apps": sorted(m.txn),
+                "parent": d["parent"],
+                "kind": d["kind"],
+                "fragments": s["fragments"],
+                "rows": s["rows"],
+                "apps": sorted(d["txn"]),
                 "committed_at": os.path.getmtime(self.manifest_path(v)),
             })
         return out

@@ -169,6 +169,10 @@ class Manifest:
             "schema_b64": schema_to_b64(self.schema),
             "txn": self.txn,
             "properties": self.properties,
+            # summary lets history()/catalog listings answer "how big"
+            # without loading shard files (v2) or parsing fragments
+            "summary": {"fragments": len(self.fragments),
+                        "rows": int(self.total_rows())},
         }
         if fragment_lists is not None:
             d["fragment_lists"] = fragment_lists
