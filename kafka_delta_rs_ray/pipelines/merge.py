@@ -21,9 +21,12 @@ Physical plan:
   1. changeset → map_batches(replay filter)            no shuffle
   1b. map_batches(decode-validation; corrupt → quarantine,
      watermark still advances)                         no shuffle
-  2. add bucket = hash(image_id) % B → groupby(bucket)
-     → map_groups(vectorized first-wins)               ONE shuffle of
-                                                       the (bounded)
+  2. seq-duplicate detection on slim identity columns (~20 B/row
+     exchange + broadcast loser set), then add bucket =
+     hash(image_id) % B → groupby(bucket)
+     → map_groups(vectorized first-wins)               ONE full-payload
+                                                       shuffle of the
+                                                       (bounded)
                                                        changeset only
   3. changed-key min/max prunes base fragments via image_id zone maps;
      one task per touched fragment intersects its keys with the
@@ -54,7 +57,6 @@ from ..tablefmt.catalog import Table
 from ..tablefmt.fragments import (FragmentWriter, frags_from_meta,
                                   write_delete_file)
 from ..tablefmt.manifest import Manifest
-from .synth import stable_hash_str
 
 _EXTRA_COLS = ("partition_id", "seq", "op", "bucket")
 
@@ -104,21 +106,62 @@ def _seq_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
     return batch.append_column("seq_bucket", pa.array(b, pa.int32()))
 
 
-def _first_wins_seq(group: pa.Table) -> pa.Table:
-    """Drop rows whose (partition_id, seq) was already seen — the
-    reference's OFFSET uniqueness domain (HashSet<i64> over offsets
-    regardless of key, src/pipeline/mod.rs:58-80), scoped per
-    partition because our stream identity is (partition_id, seq)
-    (SURVEY §1.2): independent sources own independent seq spaces, so
-    seq 100 from partition 0 must not shadow seq 100 from partition 1.
-    Deterministic keep: lowest image_id."""
-    t = group.sort_by([("partition_id", "ascending"), ("seq", "ascending"),
-                       ("image_id", "ascending")])
-    seqs = t["seq"].to_numpy(zero_copy_only=False)
-    parts = t["partition_id"].to_numpy(zero_copy_only=False)
-    first = np.ones(len(seqs), dtype=bool)
-    first[1:] = (seqs[1:] != seqs[:-1]) | (parts[1:] != parts[:-1])
-    return t.filter(pa.array(first)).drop_columns(["seq_bucket"])
+def _seq_losers(validated, n_buckets: int) -> set:
+    """Rows violating the OFFSET uniqueness domain — the reference's
+    HashSet<i64> over offsets (src/pipeline/mod.rs:58-80), scoped to
+    (partition_id, seq) because independent sources own independent
+    seq spaces (SURVEY §1.2). Returns the LOSER identity set
+    {(partition_id, seq, image_id)}: every row of a duplicated
+    (partition_id, seq) except the lowest-image_id one.
+
+    Scale shape: the duplicate detection shuffles only the three slim
+    identity columns (~20 B/row), never the image payloads — the
+    round-2 predecessor shuffled the whole changeset a second time
+    just to drop (normally zero) duplicate seqs. The loser set itself
+    is duplicate-sized, typically empty."""
+    slim = validated.select_columns(["partition_id", "seq", "image_id"])
+    bucketed = slim.map_batches(lambda b: _seq_bucket(b, n_buckets),
+                                batch_format="pyarrow")
+
+    def losers(g):
+        g = g.sort_values(["partition_id", "seq", "image_id"])
+        dup = g.duplicated(["partition_id", "seq"], keep="first")
+        return g.loc[dup, ["partition_id", "seq", "image_id"]]
+
+    rows = (bucketed.groupby("seq_bucket")
+            .map_groups(losers, batch_format="pandas").take_all())
+    return {(r["partition_id"], r["seq"], r["image_id"]) for r in rows}
+
+
+class _DropSeqLosers:
+    """map_batches filter removing the broadcast seq-loser rows.
+    Vectorized prefilter on seq membership (numpy isin against the
+    tiny loser-seq set); the exact per-row triple check runs only on
+    the prefiltered handful."""
+
+    def __init__(self, losers_ref):
+        self.losers_ref = losers_ref
+        self._l = None
+        self._seqs = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._l is None:
+            self._l = ray.get(self.losers_ref)
+            self._seqs = np.array(sorted({s for _, s, _ in self._l}),
+                                  dtype=np.int64)
+        seq = batch["seq"].to_numpy(zero_copy_only=False)
+        cand = np.isin(seq, self._seqs)
+        if not cand.any():
+            return batch
+        keep = np.ones(len(seq), dtype=bool)
+        part = batch["partition_id"].to_numpy(zero_copy_only=False)
+        ids = batch["image_id"].to_pylist()
+        for i in np.nonzero(cand)[0]:
+            if (part[i], seq[i], ids[i]) in self._l:
+                keep[i] = False
+        return batch.filter(pa.array(keep))
 
 
 class _ValidateChanges:
@@ -246,21 +289,25 @@ def merge(table: Table, changes_ds, app_id: str,
 
     validated = filt
     if validate:
+        # materialized because TWO consumers follow (slim seq-duplicate
+        # detection + the key-dedup path) — re-executing validation
+        # would decode every image twice and double-write quarantine
         validated = filt.map_batches(
             _ValidateChanges(table.root, ctx.run_id),
-            batch_format="pyarrow")
+            batch_format="pyarrow").materialize()
 
-    # 2: bucket shuffle → first-wins dedup. Dual-domain, both
-    # first-wins (reference D1): seq domain first (duplicate offsets
-    # dropped regardless of key), then key domain (duplicate image_ids
-    # keep lowest seq). Two bucketed shuffles of the (bounded)
-    # changeset.
-    seq_deduped = (validated
-                   .map_batches(lambda b: _seq_bucket(b, n_buckets),
-                                batch_format="pyarrow")
-                   .groupby("seq_bucket")
-                   .map_groups(_first_wins_seq, batch_format="pyarrow"))
-    deduped = (seq_deduped
+    # 2: dual-domain first-wins dedup (reference D1). The seq domain
+    # (duplicate offsets dropped regardless of key) is resolved on the
+    # SLIM identity columns only — a ~20 B/row exchange plus a
+    # broadcast loser set — then the key domain (duplicate image_ids
+    # keep lowest seq) takes the single full-payload shuffle. The
+    # changeset's image bytes cross the wire ONCE, not twice.
+    losers = _seq_losers(validated, n_buckets)
+    stream = validated
+    if losers:
+        stream = validated.map_batches(_DropSeqLosers(ray.put(losers)),
+                                       batch_format="pyarrow")
+    deduped = (stream
                .map_batches(lambda b: _add_bucket(b, n_buckets),
                             batch_format="pyarrow")
                .groupby("bucket")
