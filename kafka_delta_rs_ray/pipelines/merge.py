@@ -93,11 +93,19 @@ def _add_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
 
 
 def _first_wins(group: pa.Table) -> pa.Table:
-    """Vectorized first-wins-by-seq per image_id within one hash bucket."""
+    """Vectorized first-wins-by-seq per image_id within one hash
+    bucket: sorted neighbor-equality via the Arrow compute kernel —
+    no per-row Python, no to_pylist of the whole key column."""
+    import pyarrow.compute as pc
+
     t = group.sort_by([("image_id", "ascending"), ("seq", "ascending")])
-    ids = np.asarray(t["image_id"].to_pylist(), dtype=object)
-    first = np.ones(len(ids), dtype=bool)
-    first[1:] = ids[1:] != ids[:-1]
+    n = t.num_rows
+    if n <= 1:
+        return t
+    col = t["image_id"].combine_chunks()
+    eq = pc.equal(col.slice(1), col.slice(0, n - 1))
+    first = np.ones(n, dtype=bool)
+    first[1:] = ~eq.to_numpy(zero_copy_only=False)
     return t.filter(pa.array(first))
 
 
