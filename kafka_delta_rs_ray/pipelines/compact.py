@@ -96,12 +96,13 @@ def transcode_table(t: pa.Table, fmt: str) -> pa.Table:
     row's perceptual identity; the lossy codec guarantees PSNR ≥ 40 dB
     so decoded pixels stay equivalent)."""
     from ..codecs import decode, encode
+    from ..functions.binview import binary_views
 
     fmts = t["fmt"].to_pylist()
     if all(f == fmt for f in fmts):
         return t
-    bufs = t["bytes"].to_pylist()
-    out = [buf if f == fmt else encode(decode(buf, f), fmt)
+    bufs = binary_views(t["bytes"])  # zero-copy memoryviews
+    out = [bytes(buf) if f == fmt else encode(decode(buf, f), fmt)
            for buf, f in zip(bufs, fmts)]
     i_bytes = t.column_names.index("bytes")
     i_fmt = t.column_names.index("fmt")

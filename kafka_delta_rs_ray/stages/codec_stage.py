@@ -28,6 +28,7 @@ import pyarrow as pa
 
 from ..codecs import decode, encode
 from ..errors import FormatError
+from ..functions.binview import binary_views
 from ..functions.phash import phash64
 
 
@@ -40,7 +41,7 @@ class DecodeStats:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         means, stds, phs, npix = [], [], [], []
-        for buf, fmt in zip(batch["bytes"].to_pylist(),
+        for buf, fmt in zip(binary_views(batch["bytes"]),
                             batch["fmt"].to_pylist()):
             img = self._decode(buf, fmt)
             g = img.astype(np.float32)
@@ -76,7 +77,7 @@ class ResizeTranscode:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         bufs, phs = [], []
-        for buf, fmt in zip(batch["bytes"].to_pylist(),
+        for buf, fmt in zip(binary_views(batch["bytes"]),
                             batch["fmt"].to_pylist()):
             thumb = _block_mean_resize(decode(buf, fmt), self.out_w, self.out_h)
             bufs.append(encode(thumb, self.out_fmt))
@@ -116,7 +117,7 @@ class ImageEmbed:
     def __call__(self, batch: pa.Table) -> pa.Table:
         embs = []
         g = self.grid
-        for buf, fmt in zip(batch["bytes"].to_pylist(),
+        for buf, fmt in zip(binary_views(batch["bytes"]),
                             batch["fmt"].to_pylist()):
             img = self._decode(buf, fmt).astype(np.float32)
             lum = img.mean(axis=2)

@@ -22,6 +22,7 @@ import pyarrow.parquet as pq
 
 from ..codecs import decode
 from ..errors import FormatError
+from ..functions.binview import binary_views
 
 
 class ValidateImages:
@@ -89,7 +90,7 @@ class ValidateImages:
         n = batch.num_rows
         bad = np.zeros(n, dtype=bool)
         errors: list[str | None] = [None] * n
-        bufs = batch["bytes"].to_pylist()
+        bufs = binary_views(batch["bytes"])  # zero-copy memoryviews
         fmts = batch["fmt"].to_pylist()
         ws = batch["w"].to_pylist()
         hs = batch["h"].to_pylist()
