@@ -211,15 +211,28 @@ class _IntersectKeys:
         self._keys = None
 
     def __call__(self, meta: pa.Table) -> pa.Table:
+        import bisect
+
         import pyarrow.compute as pc
         import ray
 
         if self._keys is None:
-            self._keys = pa.array(sorted(ray.get(self.keys_ref)), pa.string())
+            self._keys = sorted(ray.get(self.keys_ref))
         out = {"fragment_id": [], "image_id": []}
         for row in meta.to_pylist():
             t = pq.read_table(f"{self.root}/{row['path']}", columns=["image_id"])
-            hit = t.filter(pc.is_in(t["image_id"], value_set=self._keys))
+            if t.num_rows == 0:
+                continue
+            # subset the broadcast key set to this fragment's id range
+            # before the is_in kernel: on clustered tables the slice is
+            # a tiny fraction of the changeset
+            mm = pc.min_max(t["image_id"])
+            lo = bisect.bisect_left(self._keys, mm["min"].as_py())
+            hi = bisect.bisect_right(self._keys, mm["max"].as_py())
+            if lo == hi:
+                continue
+            vs = pa.array(self._keys[lo:hi], pa.string())
+            hit = t.filter(pc.is_in(t["image_id"], value_set=vs))
             ids = hit["image_id"].to_pylist()
             out["fragment_id"].extend([row["id"]] * len(ids))
             out["image_id"].extend(ids)
