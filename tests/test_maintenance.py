@@ -541,3 +541,21 @@ def test_merge_prunes_fragments_by_key_set(table):
     assert len(with_dv) == 1  # only the one holding img-...02/07
     assert with_dv[0].stats["image_id"]["min"] <= "img-0000000002"
     assert with_dv[0].stats["image_id"]["max"] >= "img-0000000007"
+
+
+def test_delete_where_string_predicate(table):
+    """Predicate deletes work on string columns too (fmt): zone-map
+    classification + the vectorized scan compare lexicographically."""
+    from kafka_delta_rs_ray.pipelines.delete import delete_where
+
+    before = table.snapshot().to_arrow()
+    n_dctq = sum(1 for f in before["fmt"].to_pylist() if f == "dctq")
+    assert 0 < n_dctq < before.num_rows
+
+    m = delete_where(table, {"fmt": ("dctq", "dctq")})
+    assert m is not None
+    after = table.snapshot().to_arrow()
+    assert after.num_rows == before.num_rows - n_dctq
+    assert set(after["fmt"].to_pylist()) == {"rawz"}
+    # idempotent: nothing left in that range
+    assert delete_where(table, {"fmt": ("dctq", "dctq")}) is None
