@@ -60,16 +60,41 @@ def _delete_fp(f: Fragment) -> list:
 def plan_compaction(manifest: Manifest, target_bytes: int = DEFAULT_TARGET_BYTES,
                     small_ratio: float = 0.8,
                     rewrite_all: bool = False) -> list[dict]:
-    """FFD bin-packing over fragment sizes → list of bins (driver-side).
+    """Bin-packing over fragment sizes → list of bins (driver-side).
 
     ``rewrite_all`` makes every fragment a candidate (used by transcode
-    compaction, which must touch clean full-size fragments too)."""
+    compaction, which must touch clean full-size fragments too).
+
+    Candidates are packed in two pools:
+    - CLUSTERED candidates (fragments carrying a ``zcode`` zone map,
+      i.e. written by a cluster() pass) are packed in zcode order into
+      consecutive runs, so a bin's inputs cover adjacent key ranges —
+      the rewrite preserves the sort (``sorted_by="zcode"``) and the
+      output's zone map is the union of its inputs', keeping pruned
+      scans selective. Plain FFD here would fuse distant key ranges
+      into one file and widen every zone map to uselessness.
+    - the rest (post-cluster ingest/merge fragments, or an unclustered
+      table): first-fit-DECREASING over sizes (north-star FFD).
+    """
     cand = [f for f in manifest.fragments
             if rewrite_all
             or f.bytes < target_bytes * small_ratio or f.deleted_rows > 0]
-    cand.sort(key=lambda f: f.bytes, reverse=True)  # first-fit-DECREASING
+    zcand = [f for f in cand if "zcode" in f.stats]
+    rest = [f for f in cand if "zcode" not in f.stats]
+
+    zbins: list[dict] = []
+    zcand.sort(key=lambda f: (f.stats["zcode"]["min"],
+                              f.stats["zcode"]["max"]))
+    for f in zcand:  # consecutive runs: adjacency beats fill ratio
+        if zbins and zbins[-1]["bytes"] + f.bytes <= target_bytes:
+            zbins[-1]["frags"].append(f)
+            zbins[-1]["bytes"] += f.bytes
+        else:
+            zbins.append({"frags": [f], "bytes": f.bytes})
+
     bins: list[dict] = []
-    for f in cand:
+    rest.sort(key=lambda f: f.bytes, reverse=True)  # first-fit-DECREASING
+    for f in rest:
         for b in bins:
             if b["bytes"] + f.bytes <= target_bytes:
                 b["frags"].append(f)
@@ -77,15 +102,21 @@ def plan_compaction(manifest: Manifest, target_bytes: int = DEFAULT_TARGET_BYTES
                 break
         else:
             bins.append({"frags": [f], "bytes": f.bytes})
+
     out = []
-    for i, b in enumerate(bins):
+    for i, b in enumerate(zbins + bins):
         if (not rewrite_all and len(b["frags"]) == 1
                 and b["frags"][0].deleted_rows == 0):
             continue  # nothing to gain
-        out.append({"bin_id": i,
-                    "fragment_ids": [f.id for f in b["frags"]],
-                    "paths": [f.path for f in b["frags"]],
-                    "bytes": b["bytes"]})
+        d = {"bin_id": i,
+             "fragment_ids": [f.id for f in b["frags"]],
+             "paths": [f.path for f in b["frags"]],
+             "bytes": b["bytes"]}
+        if all("zcode" in f.stats for f in b["frags"]):
+            d["sorted_by"] = "zcode"
+            d["zcode_min"] = min(f.stats["zcode"]["min"] for f in b["frags"])
+            d["zcode_max"] = max(f.stats["zcode"]["max"] for f in b["frags"])
+        out.append(d)
     return out
 
 
@@ -138,7 +169,12 @@ class _RewriteBin:
 
         from ..tablefmt.fragments import StreamingFragmentWriter
 
-        sw = StreamingFragmentWriter(self.root, self.run_id)
+        # clustered bins (adjacent zcode runs, see plan_compaction):
+        # inputs are appended in zcode order, so the output inherits
+        # the sort and the UNION of its inputs' zcode zone maps — the
+        # zcode column itself lives only in the manifest, not the files
+        sw = StreamingFragmentWriter(self.root, self.run_id,
+                                     sorted_by=row.get("sorted_by"))
         for fid, rel in zip(row["fragment_ids"], row["paths"]):
             t = pq.read_table(os.path.join(self.root, rel))
             keys = self._deletes.get(fid)
@@ -173,6 +209,11 @@ class _RewriteBin:
                 continue
             t0 = time.time()
             frag = self._rewrite(row)
+            if frag is not None and row.get("sorted_by") == "zcode":
+                # zcode zone map = union of the bin's inputs (the
+                # column lives only in manifests post-cluster)
+                frag.stats["zcode"] = {"min": row["zcode_min"],
+                                       "max": row["zcode_max"]}
             # frag None = every row in the bin was deleted: the inputs
             # are dropped from the manifest with no replacement
             fj = json.dumps(frag.to_json()) if frag is not None else None

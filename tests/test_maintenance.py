@@ -559,3 +559,29 @@ def test_delete_where_string_predicate(table):
     assert set(after["fmt"].to_pylist()) == {"rawz"}
     # idempotent: nothing left in that range
     assert delete_where(table, {"fmt": ("dctq", "dctq")}) is None
+
+
+def test_compact_preserves_clustering(table):
+    """Compacting a CLUSTERED table packs adjacent zcode runs (not
+    size-order FFD), so outputs keep sorted_by="zcode" and the union
+    zone map — pruned scans stay selective after compaction instead of
+    every fragment covering the whole key space."""
+    cluster(table, target_fragment_rows=16)  # many small sorted frags
+    merge(table, _one_key_changeset("img-0000000002", "dv"), app_id="pc")
+    before = _sorted_rows(table.snapshot().to_arrow())
+
+    m = compact(table, target_bytes=2 << 20)
+    assert m is not None
+    assert _sorted_rows(table.snapshot().to_arrow()) == before
+
+    new_frags = [f for f in m.fragments if "zcode" in f.stats]
+    assert new_frags, "zcode zone maps lost in compaction"
+    rewritten = [f for f in m.fragments if f.sorted_by == "zcode"]
+    assert rewritten
+    # ranges stay mostly disjoint → a point query prunes
+    spans = sorted((f.stats["zcode"]["min"], f.stats["zcode"]["max"])
+                   for f in m.fragments if "zcode" in f.stats)
+    if len(spans) > 1:
+        lo, hi = spans[0]
+        sel = table.snapshot()._select_fragments({"zcode": (lo, hi)})
+        assert len(sel) < len(m.fragments)
