@@ -491,6 +491,35 @@ def doc_fingerprint(sf_dir: str):
     return ds.map_batches(Fingerprint, batch_format="pandas", concurrency=2)
 
 
+def doc_fingerprint_sql() -> str:
+    """The two-level polynomial fingerprint is pure arithmetic, so the
+    oracle is exact: nested list_reduce over HUGEINT with explicit
+    mod-2^32 / mod-2^64 reductions (the numpy side gets the modulus
+    for free from wrapping uint32/uint64 multiplies). The final value
+    is re-centered into BIGINT range to match the int64 column."""
+    return r"""
+        WITH fp AS (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(14695981039346656037::HUGEINT,
+                list_transform(
+                  regexp_extract_all(lower(text), '[A-Za-z0-9]+'),
+                  t -> list_reduce(
+                         list_prepend(5381::HUGEINT,
+                           list_transform(regexp_extract_all(t, '.'),
+                                          c -> unicode(c)::HUGEINT)),
+                       (a, x) -> (a * 31 + x) % 4294967296))),
+              (acc, x) -> (acc * 1099511628211 + x)
+                          % 18446744073709551616::HUGEINT) AS u
+          FROM documents)
+        SELECT doc_id,
+          CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                    THEN u - 18446744073709551616::HUGEINT
+                    ELSE u END AS BIGINT) AS fingerprint
+        FROM fp
+    """
+
+
 def doc_minhash_pairs(sf_dir: str):
     from .dedup import minhash_lsh_pairs
 
@@ -757,6 +786,7 @@ ORACLES = {
     "doc_quality": doc_quality_sql(),
     "doc_exact_dedup": doc_exact_dedup_sql(),
     "doc_lang_id": doc_lang_id_sql(),
+    "doc_fingerprint": doc_fingerprint_sql(),
     "embedding_knn": embedding_knn_sql(),
     "embedding_centroid_norms": embedding_centroid_norms_sql(),
 }

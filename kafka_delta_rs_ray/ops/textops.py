@@ -102,24 +102,70 @@ class LangId:
 class Fingerprint:
     """64-bit rolling-hash document fingerprint: polynomial Rabin-Karp
     over word token hashes (order-sensitive — distinguishes permuted
-    documents, unlike a bag-of-words hash). Deterministic across
-    processes (crc32-based, no PYTHONHASHSEED)."""
+    documents, unlike a bag-of-words hash).
 
-    B = np.uint64(1099511628211)  # FNV prime as the rolling base
+    Two-level pure-polynomial scheme (every piece SQL-expressible, so
+    the driver gets a full DuckDB oracle — ``doc_fingerprint_sql``):
+      token_hash(t) = fold(h*31 + codepoint) mod 2^32, h0 = 5381
+      doc_fp        = fold(h*FNV_PRIME + token_hash) mod 2^64,
+                      h0 = FNV_OFFSET
+    Equivalently  h0*B^n + sum(x_i * B^(n-1-i)), which is what the
+    vectorized path computes: one utf-32 decode of the batch's
+    concatenated tokens, weight tables of B^k (wrapping uint32/uint64
+    multiplies ARE the modulus), and np.add.reduceat over token and
+    document segment boundaries — no per-character or per-token Python
+    loop. Deterministic across processes (no PYTHONHASHSEED)."""
+
+    B32 = np.uint32(31)
+    B64 = np.uint64(1099511628211)        # FNV prime as the rolling base
+    SEED32 = np.uint32(5381)
+    SEED64 = np.uint64(14695981039346656037)  # FNV offset basis
 
     def __init__(self):
         self.token_re = re.compile(TOKEN_RE)
 
-    def _fp(self, text: str) -> int:
-        import zlib
+    @staticmethod
+    def _powers(base, n: int, dtype):
+        p = np.empty(max(n, 1), dtype=dtype)
+        p[0] = dtype(1)
+        for i in range(1, n):
+            p[i] = p[i - 1] * base
+        return p
 
-        h = np.uint64(14695981039346656037)
-        for tok in self.token_re.findall(text.lower()):
-            h = h * self.B + np.uint64(zlib.crc32(tok.encode()))
-        return int(h.astype(np.int64))
+    def _fp_batch(self, texts) -> np.ndarray:
+        toks_per_doc = [self.token_re.findall(t.lower()) for t in texts]
+        n_toks = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
+        flat = [t for ts in toks_per_doc for t in ts]
+        if flat:
+            lens = np.fromiter(map(len, flat), dtype=np.int64, count=len(flat))
+            codes = np.frombuffer("".join(flat).encode("utf-32-le"),
+                                  dtype=np.uint32)
+            # token hash: SEED*31^n + sum(cp_i * 31^(n-1-i))  (uint32 wrap)
+            ends = np.cumsum(lens)
+            # reversed position of each char within its token
+            rev = (np.repeat(ends - 1, lens)
+                   - np.arange(codes.size, dtype=np.int64))
+            p32 = self._powers(self.B32, int(lens.max()) + 1, np.uint32)
+            tok_h = np.add.reduceat(codes * p32[rev],
+                                    np.concatenate(([0], ends[:-1])))
+            tok_h = tok_h.astype(np.uint32) + self.SEED32 * p32[lens]
+        else:
+            tok_h = np.empty(0, dtype=np.uint32)
+        # doc fp: SEED*B^m + sum(tok_h_j * B^(m-1-j))  (uint64 wrap)
+        doc_ends = np.cumsum(n_toks)
+        p64 = self._powers(self.B64, int(n_toks.max(initial=0)) + 1, np.uint64)
+        fp = self.SEED64 * p64[n_toks]
+        nz = n_toks > 0
+        if flat:
+            rev_t = (np.repeat(doc_ends - 1, n_toks)
+                     - np.arange(tok_h.size, dtype=np.int64))
+            starts = np.concatenate(([0], doc_ends[:-1]))[nz]
+            fp[nz] += np.add.reduceat(
+                tok_h.astype(np.uint64) * p64[rev_t], starts).astype(np.uint64)
+        return fp.astype(np.int64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         with np.errstate(over="ignore"):
-            fps = [self._fp(t) for t in batch["text"]]
+            fps = self._fp_batch(batch["text"].tolist())
         return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "fingerprint": np.array(fps, dtype=np.int64)})
+                             "fingerprint": fps})
