@@ -84,35 +84,110 @@ _A = _rng.integers(1, _MERSENNE, N_PERM, dtype=np.uint64)
 _Bc = _rng.integers(0, _MERSENNE, N_PERM, dtype=np.uint64)
 
 
-def shingles(text: str, k: int = 3) -> np.ndarray:
-    toks = _TOKEN_RE.findall(text.lower())
-    if len(toks) < k:
-        joined = [" ".join(toks)] if toks else []
-    else:
-        joined = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(np.array([_crc(s) for s in joined], dtype=np.uint64))
+# per-position mix constants for the k-token shingle hash (odd 64-bit)
+_SHINGLE_C = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9], dtype=np.uint64)
+
+
+def _avalanche64(h: np.ndarray) -> np.ndarray:
+    h = h.copy()
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def batch_shingle_hashes(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 shingle hashes across all docs, per-doc counts).
+
+    shingle_j = avalanche(sum_i tok_hash[j+i] * C_i) over k consecutive
+    token poly-hashes. Fully vectorized: the batch's token hashes are
+    laid out flat with k-1 zero sentinels between docs, the k shifted
+    weighted sums are array adds, and each doc's shingle positions are
+    gathered by offset arithmetic. A doc with 0 < c < k tokens yields
+    ONE shingle over its c tokens (the sentinels contribute 0); an
+    empty doc yields none. Duplicate shingles are NOT removed — minhash
+    min() is unaffected by multiplicity, and skipping the per-doc
+    unique keeps this loop-free."""
+    from ..functions.strhash import token_poly_hashes
+
+    th32, n_toks = token_poly_hashes(texts, _TOKEN_RE)
+    n_docs = len(n_toks)
+    pad = k - 1
+    padded_counts = n_toks + pad
+    padded_starts = np.concatenate(([0], np.cumsum(padded_counts)[:-1]))
+    total = int(padded_counts.sum())
+    th = np.zeros(total, dtype=np.uint64)
+    if th32.size:
+        tok_starts = np.concatenate(([0], np.cumsum(n_toks)[:-1]))
+        idx = (np.repeat(padded_starts, n_toks)
+               + np.arange(th32.size, dtype=np.int64)
+               - np.repeat(tok_starts, n_toks))
+        th[idx] = th32.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        s = th * _SHINGLE_C[0]
+        for i in range(1, k):
+            s[:-i] += th[i:] * _SHINGLE_C[i]
+        s = _avalanche64(s)
+    # shingle count per doc: c-k+1 for c>=k, 1 for 0<c<k, 0 for c==0
+    counts = np.where(n_toks == 0, 0, np.maximum(n_toks - (k - 1), 1))
+    if counts.sum() == 0:
+        return np.empty(0, dtype=np.uint64), counts
+    out_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    gather = (np.repeat(padded_starts, counts)
+              + np.arange(int(counts.sum()), dtype=np.int64)
+              - np.repeat(out_starts, counts))
+    return s[gather], counts
+
+
+def batch_minhash_sigs(texts, perm_chunk: int = 16) -> np.ndarray:
+    """(n_docs × N_PERM) uint64 minhash signatures, computed as
+    (a*x+b) mod p over each doc's shingle hashes with
+    np.minimum.reduceat over doc segment boundaries — no per-doc
+    Python. Permutations run in chunks to bound the (n_shingles ×
+    chunk) broadcast's memory. Empty docs get the all-zero signature
+    (same sentinel as before)."""
+    sh, counts = batch_shingle_hashes(texts)
+    n_docs = len(counts)
+    sig = np.zeros((n_docs, N_PERM), dtype=np.uint64)
+    nz = counts > 0
+    if not nz.any():
+        return sig
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[nz]
+    with np.errstate(over="ignore"):
+        for c0 in range(0, N_PERM, perm_chunk):
+            c1 = min(c0 + perm_chunk, N_PERM)
+            m = (sh[:, None] * _A[None, c0:c1] + _Bc[None, c0:c1]) % _MERSENNE
+            sig[nz, c0:c1] = np.minimum.reduceat(m, starts, axis=0)
+    return sig
 
 
 def minhash_sig(text: str) -> np.ndarray:
-    """64 minhashes via (a*x+b) mod p over the shingle set — one
-    (n_shingles × 64) vectorized broadcast, no Python loop."""
-    sh = shingles(text)
-    if len(sh) == 0:
-        return np.zeros(N_PERM, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        m = (sh[:, None] * _A[None, :] + _Bc[None, :]) % _MERSENNE
-    return m.min(axis=0)
+    """Single-doc convenience wrapper over the batch path."""
+    return batch_minhash_sigs([text])[0]
+
+
+def shingles(text: str, k: int = 3) -> np.ndarray:
+    """One doc's UNIQUE shingle-hash set (for exact Jaccard verify —
+    set semantics matter there, unlike the minhash path)."""
+    sh, _ = batch_shingle_hashes([text], k)
+    return np.unique(sh)
 
 
 class ComputeSigs:
-    """map_batches: doc → (doc_id, sig list<int64>[N_PERM])."""
+    """map_batches: doc → (doc_id, sig list<int64>[N_PERM]). The sig
+    column is built from the flat signature matrix with uniform
+    offsets — no per-doc list construction."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        sigs = [minhash_sig(t or "").view(np.int64).tolist()
-                for t in batch["text"].to_pylist()]
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "sig": pa.array(sigs, pa.list_(pa.int64()))})
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        sig = batch_minhash_sigs(texts)
+        offsets = np.arange(len(texts) + 1, dtype=np.int32) * N_PERM
+        col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(sig.reshape(-1).view(np.int64), pa.int64()))
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "sig": col})
 
 
 # Rows per shuffle group for the LSH passes. The group key only needs

@@ -116,44 +116,20 @@ class Fingerprint:
     document segment boundaries — no per-character or per-token Python
     loop. Deterministic across processes (no PYTHONHASHSEED)."""
 
-    B32 = np.uint32(31)
     B64 = np.uint64(1099511628211)        # FNV prime as the rolling base
-    SEED32 = np.uint32(5381)
     SEED64 = np.uint64(14695981039346656037)  # FNV offset basis
 
     def __init__(self):
         self.token_re = re.compile(TOKEN_RE)
 
-    @staticmethod
-    def _powers(base, n: int, dtype):
-        p = np.empty(max(n, 1), dtype=dtype)
-        p[0] = dtype(1)
-        for i in range(1, n):
-            p[i] = p[i - 1] * base
-        return p
-
     def _fp_batch(self, texts) -> np.ndarray:
-        toks_per_doc = [self.token_re.findall(t.lower()) for t in texts]
-        n_toks = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
-        flat = [t for ts in toks_per_doc for t in ts]
-        if flat:
-            lens = np.fromiter(map(len, flat), dtype=np.int64, count=len(flat))
-            codes = np.frombuffer("".join(flat).encode("utf-32-le"),
-                                  dtype=np.uint32)
-            # token hash: SEED*31^n + sum(cp_i * 31^(n-1-i))  (uint32 wrap)
-            ends = np.cumsum(lens)
-            # reversed position of each char within its token
-            rev = (np.repeat(ends - 1, lens)
-                   - np.arange(codes.size, dtype=np.int64))
-            p32 = self._powers(self.B32, int(lens.max()) + 1, np.uint32)
-            tok_h = np.add.reduceat(codes * p32[rev],
-                                    np.concatenate(([0], ends[:-1])))
-            tok_h = tok_h.astype(np.uint32) + self.SEED32 * p32[lens]
-        else:
-            tok_h = np.empty(0, dtype=np.uint32)
+        from ..functions.strhash import powers, token_poly_hashes
+
+        tok_h, n_toks = token_poly_hashes(texts, self.token_re)
+        flat = tok_h.size > 0
         # doc fp: SEED*B^m + sum(tok_h_j * B^(m-1-j))  (uint64 wrap)
         doc_ends = np.cumsum(n_toks)
-        p64 = self._powers(self.B64, int(n_toks.max(initial=0)) + 1, np.uint64)
+        p64 = powers(self.B64, int(n_toks.max(initial=0)) + 1, np.uint64)
         fp = self.SEED64 * p64[n_toks]
         nz = n_toks > 0
         if flat:
