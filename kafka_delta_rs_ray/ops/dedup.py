@@ -18,17 +18,12 @@ per-key Python, and candidate verification before any pair is emitted.
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
-
-
-def _crc(s: str) -> int:
-    return zlib.crc32(s.encode())
 
 
 # ---------------------------------------------------------------- exact
@@ -469,42 +464,58 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
 
 
 # -------------------------------------------------------------- simhash
+def batch_simhash64(texts) -> np.ndarray:
+    """(n_docs,) int64 simhashes, batch-vectorized: one token
+    poly-hash pass (widened through the 64-bit avalanche), bit
+    contributions summed per doc with np.add.reduceat, bit columns
+    processed in chunks of 16 to bound the (n_tokens x chunk)
+    intermediate. Empty docs hash to 0."""
+    from ..functions.strhash import token_poly_hashes
+
+    th32, n_toks = token_poly_hashes(texts, _TOKEN_RE)
+    n_docs = len(n_toks)
+    h = np.zeros(n_docs, dtype=np.uint64)
+    nz = n_toks > 0
+    if not nz.any():
+        return h.view(np.int64)
+    with np.errstate(over="ignore"):
+        hs = _avalanche64(th32.astype(np.uint64)
+                          * np.uint64(0x9E3779B97F4A7C15))
+    starts = np.concatenate(([0], np.cumsum(n_toks)[:-1]))[nz]
+    for b0 in range(0, 64, 16):
+        shifts = np.arange(b0, b0 + 16, dtype=np.uint64)
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        v = np.add.reduceat(2 * bits - 1, starts, axis=0)
+        h[nz] |= ((v > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64)
+    return h.view(np.int64)
+
+
 def simhash64(text: str) -> int:
-    toks = _TOKEN_RE.findall(text.lower())
-    if not toks:
-        return 0
-    hs = np.array([_crc(t) * 0x9E3779B97F4A7C15 % (1 << 64) for t in toks],
-                  dtype=np.uint64)
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)).astype(np.int32)
-    v = (2 * bits - 1).sum(axis=0)
-    h = np.uint64(0)
-    for i in np.nonzero(v > 0)[0]:
-        h |= np.uint64(1) << np.uint64(int(i))
-    return int(h.view(np.int64)) if hasattr(h, "view") else int(h)
+    """Single-doc convenience wrapper over the batch path."""
+    return int(batch_simhash64([text])[0])
 
 
 class SimhashBlocks:
     """doc → 4 rows (block_id, block_val, doc_id, simhash): any pair
     within Hamming distance 3 shares at least one exact 16-bit block
-    (pigeonhole), so blocking finds all near pairs."""
+    (pigeonhole), so blocking finds all near pairs. Fully vectorized:
+    batch simhash, then a 4-way repeat/tile for the block rows."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {"block_id": [], "block_val": [], "doc_id": [], "simhash": []}
-        for did, text in zip(batch["doc_id"].to_pylist(),
-                             batch["text"].to_pylist()):
-            h = simhash64(text or "")
-            hu = np.uint64(h).item() if h >= 0 else (h + (1 << 64))
-            for b in range(4):
-                out["block_id"].append(b)
-                out["block_val"].append((hu >> (16 * b)) & 0xFFFF)
-                out["doc_id"].append(did)
-                out["simhash"].append(h)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = batch_simhash64([t or "" for t in batch["text"].to_pylist()])
+        hu = h.view(np.uint64)
+        n = len(ids)
+        block_id = np.tile(np.arange(4, dtype=np.int32), n)
+        block_val = ((hu[:, None] >> (np.uint64(16)
+                                      * np.arange(4, dtype=np.uint64)[None, :]))
+                     & np.uint64(0xFFFF)).astype(np.int32).reshape(-1)
         return pa.table({
-            "block_id": pa.array(out["block_id"], pa.int32()),
-            "block_val": pa.array(out["block_val"], pa.int32()),
-            "doc_id": pa.array(out["doc_id"], pa.int64()),
-            "simhash": pa.array(out["simhash"], pa.int64()),
+            "block_id": pa.array(block_id),
+            "block_val": pa.array(block_val),
+            "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+            "simhash": pa.array(np.repeat(h, 4), pa.int64()),
         })
 
 
