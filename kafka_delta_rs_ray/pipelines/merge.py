@@ -18,9 +18,11 @@ Semantics ported from the reference (not its architecture):
   Unmatched deletes are no-ops.
 
 Physical plan:
-  1. changeset → map_batches(replay filter)            no shuffle
-  1b. map_batches(decode-validation; corrupt → quarantine,
-     watermark still advances)                         no shuffle
+  1. changeset → map_batches(replay filter) fused with
+     map_batches(decode-validation; corrupt → quarantine, watermark
+     still advances) in ONE materialized pass          no shuffle
+     ∥ watermark partial-max over the raw changeset's slim columns
+     (replays can't raise a max'd watermark) runs in parallel
   2. seq-duplicate detection on slim identity columns (~20 B/row
      exchange + broadcast loser set), then add bucket =
      hash(image_id) % B → groupby(bucket)
@@ -31,7 +33,9 @@ Physical plan:
   3. changed-key min/max prunes base fragments via image_id zone maps;
      one task per touched fragment intersects its keys with the
      broadcast changed-key set (ray.put once)          no base shuffle
-  4. upsert rows → FragmentWriter; delete records → one delete file
+  4. upsert rows → FragmentWriter; delete records → one delete file.
+     Steps 3 and 4 touch disjoint data and run CONCURRENTLY — merge
+     pays max(intersect, write), not their sum.
   5. single manifest CAS: attach delete files, add fragments, advance
      watermarks. Builder revalidates touched fragments are still live
      (a concurrent compaction moved rows → CommitConflict → caller
@@ -273,26 +277,24 @@ def merge(table: Table, changes_ds, app_id: str,
     import ray
     import ray.data as rd
 
+    from concurrent.futures import ThreadPoolExecutor
+
     ctx = RunContext(table.root, run_id, job="merge")
     t0 = time.time()
     snap = table.snapshot()
     m0 = snap.manifest
+    wm0 = m0.txn.get(app_id, {})
 
-    # 1: replay filter; materialized because it feeds both the
-    # watermark computation and the dedup/write path (changeset-sized,
-    # bounded — never the base table)
-    filt = changes_ds.map_batches(_ReplayFilter(m0.txn.get(app_id, {})),
-                                  batch_format="pyarrow").materialize()
-    n_fresh = filt.count()
-    if n_fresh == 0:
-        ctx.log_metric("merge_noop", app_id=app_id, seconds=time.time() - t0)
-        return None
-
-    # watermark advance: max seq per partition over post-REPLAY rows —
-    # quarantined rows advance it too (reference: offsets are committed
-    # for dead-lettered messages, src/kafka/mod.rs:187-231). Map-side
-    # partial max per batch + a driver combine over ≤ batches×partitions
-    # tiny rows — one fewer all-to-all exchange than a groupby().max()
+    # watermark advance: max seq per partition — computed over the RAW
+    # changeset's slim (partition_id, seq) columns, because a replayed
+    # row's seq <= the committed watermark and the commit takes a max,
+    # so including replays changes nothing. Quarantined rows advance it
+    # too (reference: offsets are committed for dead-lettered messages,
+    # src/kafka/mod.rs:187-231). Map-side partial max per batch + a
+    # driver combine over <= batches x partitions tiny rows — one fewer
+    # all-to-all exchange than a groupby().max(). Runs CONCURRENTLY
+    # with the replay+validate materialization (independent dataset,
+    # column-pruned second read of the changeset source).
     def _partial_wm(b: pa.Table) -> pa.Table:
         part = b["partition_id"].to_numpy(zero_copy_only=False)
         seq = b["seq"].to_numpy(zero_copy_only=False)
@@ -301,21 +303,48 @@ def merge(table: Table, changes_ds, app_id: str,
         return pa.table({"partition_id": pa.array(ps, pa.int32()),
                          "max_seq": pa.array(mx, pa.int64())})
 
-    new_wm: dict[str, int] = {}
-    for r in (filt.select_columns(["partition_id", "seq"])
-              .map_batches(_partial_wm, batch_format="pyarrow",
-                           batch_size=None).take_all()):
-        k = str(r["partition_id"])
-        new_wm[k] = max(int(r["max_seq"]), new_wm.get(k, -1))
+    def _compute_wm() -> dict[str, int]:
+        wm: dict[str, int] = {}
+        for r in (changes_ds.select_columns(["partition_id", "seq"])
+                  .map_batches(_partial_wm, batch_format="pyarrow",
+                               batch_size=None).take_all()):
+            k = str(r["partition_id"])
+            wm[k] = max(int(r["max_seq"]), wm.get(k, -1))
+        return wm
 
-    validated = filt
+    # 1: replay filter fused with decode-validation in ONE pass over
+    # the changeset, materialized once (changeset-sized, bounded —
+    # never the base table). The round-2 predecessor materialized the
+    # replay filter separately just to feed the watermark pass.
+    stages = [_ReplayFilter(wm0)]
     if validate:
-        # materialized because TWO consumers follow (slim seq-duplicate
-        # detection + the key-dedup path) — re-executing validation
-        # would decode every image twice and double-write quarantine
-        validated = filt.map_batches(
-            _ValidateChanges(table.root, ctx.run_id),
-            batch_format="pyarrow").materialize()
+        stages.append(_ValidateChanges(table.root, ctx.run_id))
+
+    def _materialize_validated():
+        out = changes_ds
+        for s in stages:
+            out = out.map_batches(s, batch_format="pyarrow")
+        # TWO consumers follow (slim seq-duplicate detection + the
+        # key-dedup path) — re-executing would decode every image
+        # twice and double-write quarantine
+        return out.materialize()
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fut_wm = ex.submit(_compute_wm)
+        validated = _materialize_validated()
+        new_wm = fut_wm.result()
+
+    quarantined = 0
+    if validate:
+        import glob as _glob
+
+        for p in _glob.glob(os.path.join(table.root, "quarantine",
+                                         f"q-{ctx.run_id}-*.parquet")):
+            quarantined += pq.read_metadata(p).num_rows
+    n_fresh = validated.count() + quarantined
+    if n_fresh == 0:
+        ctx.log_metric("merge_noop", app_id=app_id, seconds=time.time() - t0)
+        return None
 
     # 2: dual-domain first-wins dedup (reference D1). The seq domain
     # (duplicate offsets dropped regardless of key) is resolved on the
@@ -376,18 +405,43 @@ def merge(table: Table, changes_ds, app_id: str,
         return lo < len(keys_sorted) and keys_sorted[lo] <= s["max"]
 
     touched = [f for f in m0.fragments if _holds_changed_key(f)]
-    del_tbl = pa.table({"fragment_id": pa.array([], pa.string()),
-                        "image_id": pa.array([], pa.string())})
-    if touched:
+
+    def _run_intersect() -> pa.Table:
+        empty = pa.table({"fragment_id": pa.array([], pa.string()),
+                          "image_id": pa.array([], pa.string())})
+        if not touched:
+            return empty
         keys_ref = ray.put(changed_keys)
         metas = rd.from_items([{"id": f.id, "path": f.path} for f in touched],
                               override_num_blocks=len(touched))
         parts = metas.map_batches(_IntersectKeys(table.root, keys_ref),
                                   batch_format="pyarrow", batch_size=1).take_all()
-        if parts:
-            del_tbl = pa.Table.from_pylist(
-                parts, schema=pa.schema([("fragment_id", pa.string()),
-                                         ("image_id", pa.string())]))
+        if not parts:
+            return empty
+        return pa.Table.from_pylist(
+            parts, schema=pa.schema([("fragment_id", pa.string()),
+                                     ("image_id", pa.string())]))
+
+    # 4 (concurrent with 3): new fragments from upsert rows. The base
+    # intersect reads only touched fragments' key columns and the
+    # fragment write only consumes the materialized changeset — fully
+    # independent, so they overlap: merge wall-clock pays
+    # max(intersect, write) instead of their sum.
+    import pyarrow.compute as pc
+
+    def _run_write():
+        upserts = deduped.map_batches(
+            lambda b: b.filter(pc.equal(b["op"], "upsert")).drop_columns(
+                [c for c in _EXTRA_COLS if c in b.column_names]),
+            batch_format="pyarrow")
+        return upserts.map_batches(FragmentWriter(table.root, ctx.run_id),
+                                   batch_format="pyarrow",
+                                   batch_size=target_fragment_rows).take_all()
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fut_del = ex.submit(_run_intersect)
+        meta = _run_write()
+        del_tbl = fut_del.result()
 
     # Subtract keys already dead under existing deletion vectors —
     # re-deleting them would double-count deleted_rows and drift
@@ -410,16 +464,6 @@ def merge(table: Table, changes_ds, app_id: str,
         for fid in del_tbl["fragment_id"].to_pylist():
             deletes_by_frag[fid] = deletes_by_frag.get(fid, 0) + 1
 
-    # 4: new fragments from upsert rows
-    import pyarrow.compute as pc
-
-    upserts = deduped.map_batches(
-        lambda b: b.filter(pc.equal(b["op"], "upsert")).drop_columns(
-            [c for c in _EXTRA_COLS if c in b.column_names]),
-        batch_format="pyarrow")
-    meta = upserts.map_batches(FragmentWriter(table.root, ctx.run_id),
-                               batch_format="pyarrow",
-                               batch_size=target_fragment_rows).take_all()
     new_frags = frags_from_meta(meta)
 
     # 5: one CAS
@@ -474,16 +518,9 @@ def merge(table: Table, changes_ds, app_id: str,
                         txn=txn, properties=latest.properties)
 
     m = table.commit(build)
-    # dead-letter count (A1 parity: the reference counts dead letters,
-    # src/monitoring/mod.rs:150-202): quarantine files are run-scoped,
-    # so this run's total is a cheap metadata read
-    quarantined = 0
-    if validate:
-        import glob as _glob
-
-        for p in _glob.glob(os.path.join(table.root, "quarantine",
-                                         f"q-{ctx.run_id}-*.parquet")):
-            quarantined += pq.read_metadata(p).num_rows
+    # `quarantined` (A1 parity: the reference counts dead letters,
+    # src/monitoring/mod.rs:150-202) was counted from this run's
+    # quarantine files right after validation
     ctx.log_metric("merge_done", app_id=app_id, rows_effective=n_effective,
                    quarantined=quarantined,
                    deletes=del_tbl.num_rows,
