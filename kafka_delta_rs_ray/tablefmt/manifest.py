@@ -87,21 +87,31 @@ def plan_shards(parent: "Manifest | None", m: "Manifest",
     """Decide the new manifest's fragment-list layout.
 
     Returns shard descriptors (reusing every parent shard whose members
-    are ALL present and byte-identical in the new manifest, writing new
-    shard files for the rest) or None → inline (small table). Commit
-    I/O is proportional to CHANGED fragments: an append to a
-    million-fragment table reuses ~all parent shards and writes one."""
+    are ALL unchanged in the new manifest, writing new shard files for
+    the rest) or None → inline (small table). Commit I/O is
+    proportional to CHANGED fragments: an append to a million-fragment
+    table reuses ~all parent shards and writes one.
+
+    "Unchanged" is decided by OBJECT IDENTITY against the parent
+    manifest the builder consumed (``Table.commit`` passes that exact
+    object here): builders keep the same Fragment instance for rows
+    they do not touch and clone the ones they modify, so an identity
+    check replaces the former per-fragment JSON round-trip — the
+    driver-side cost of planning a commit against a 10^6-fragment
+    table drops from seconds of json.dumps to two dict builds. A
+    builder that clones an UNCHANGED fragment merely forfeits that
+    shard's reuse (it gets rewritten); correctness never depends on
+    identity."""
     if len(m.fragments) < SHARD_THRESHOLD:
         return None
-    new_json = {f.id: json.dumps(f.to_json(), sort_keys=True)
-                for f in m.fragments}
+    new_by_id = {f.id: f for f in m.fragments}
     descriptors: list[dict] = []
     covered: set = set()
     if parent is not None and parent.shard_members:
-        parent_json = {f.id: json.dumps(f.to_json(), sort_keys=True)
-                       for f in parent.fragments}
+        parent_by_id = {f.id: f for f in parent.fragments}
         for path, ids in parent.shard_members.items():
-            if ids and all(new_json.get(i) == parent_json.get(i)
+            if ids and all(i in parent_by_id
+                           and new_by_id.get(i) is parent_by_id[i]
                            for i in ids):
                 descriptors.append({"path": path, "n": len(ids)})
                 covered.update(ids)
