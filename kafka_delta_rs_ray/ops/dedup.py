@@ -363,19 +363,30 @@ class _VerifyBandPairs:
 
 
 def _dedup_pairs(ds, value_cols: list[str],
-                 keys: tuple = ("doc_a", "doc_b")):
+                 keys: tuple = ("doc_a", "doc_b"),
+                 empty: pd.DataFrame | None = None):
     """Drop duplicate pair rows. The pair set is OUTPUT-sized
     (near-dup pairs ≪ corpus), so one coalesced block + a vectorized
     drop_duplicates beats a groupby shuffle; if near-dup pairs ever
-    approached corpus scale, swap this for a hash-bucketed groupby."""
+    approached corpus scale, swap this for a hash-bucketed groupby.
+
+    ``empty`` (a typed zero-row frame) is unioned in as a schema
+    anchor: a pair set that comes up EMPTY otherwise yields a
+    zero-block dataset with no schema at all, which breaks any
+    downstream consumer (and the driver's schema check)."""
     keys = list(keys)
 
     def dd(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values(keys).drop_duplicates(keys)
                  [keys + value_cols])
 
-    return ds.repartition(1).map_batches(dd, batch_format="pandas",
-                                         batch_size=None)
+    out = ds.repartition(1).map_batches(dd, batch_format="pandas",
+                                        batch_size=None)
+    if empty is not None:
+        import ray.data as rd
+
+        out = rd.from_pandas(empty).union(out)
+    return out
 
 
 def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
@@ -446,7 +457,7 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
 
         pairs = (collided.groupby("band_id")
                  .map_groups(bverify, batch_format="pandas"))
-        return _dedup_pairs(pairs, ["est_jaccard"])
+        return _dedup_pairs(pairs, ["est_jaccard"], empty=_empty_pairs())
 
     verifier = _VerifyBandPairs(threshold)
 
@@ -460,7 +471,7 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
                           batch_format="pyarrow", batch_size=None)
              .groupby("bucket")
              .map_groups(verify_pairs, batch_format="pandas"))
-    return _dedup_pairs(pairs, ["est_jaccard"])
+    return _dedup_pairs(pairs, ["est_jaccard"], empty=_empty_pairs())
 
 
 # -------------------------------------------------------------- simhash
@@ -551,7 +562,10 @@ def simhash_pairs(docs_ds, max_dist: int = 3):
              .groupby("block_id")
              .map_groups(lambda g: _block_pairs(g, max_dist),
                          batch_format="pandas"))
-    return _dedup_pairs(pairs, ["hamming"])
+    return _dedup_pairs(pairs, ["hamming"], empty=pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"),
+         "doc_b": pd.Series([], dtype="int64"),
+         "hamming": pd.Series([], dtype="int64")}))
 
 
 # ------------------------------------------------------- exact jaccard
@@ -581,6 +595,11 @@ class _ExactJaccard:
                 rows["doc_a"].append(a)
                 rows["doc_b"].append(b)
                 rows["jaccard"].append(round(j, 6))
+        if not rows["doc_a"]:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")})
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
 
@@ -710,7 +729,8 @@ def embedding_near_dup(emb_ds, threshold: float = 0.95,
                           batch_format="pyarrow", batch_size=2048)
              .groupby("bucket")
              .map_groups(bucket_pairs, batch_format="pandas"))
-    return _dedup_pairs(pairs, ["cosine"], keys=("vec_a", "vec_b"))
+    return _dedup_pairs(pairs, ["cosine"], keys=("vec_a", "vec_b"),
+                        empty=_empty_vec_pairs())
 
 
 # ------------------------------------------------- image phash near-dup
@@ -776,4 +796,8 @@ def phash_near_dup_pairs(image_ds, max_dist: int = 3):
              .groupby("block_id")
              .map_groups(lambda g: _phash_block_pairs(g, max_dist),
                          batch_format="pandas"))
-    return _dedup_pairs(pairs, ["hamming"], keys=("img_a", "img_b"))
+    return _dedup_pairs(pairs, ["hamming"], keys=("img_a", "img_b"),
+                        empty=pd.DataFrame(
+                            {"img_a": pd.Series([], dtype="object"),
+                             "img_b": pd.Series([], dtype="object"),
+                             "hamming": pd.Series([], dtype="int64")}))

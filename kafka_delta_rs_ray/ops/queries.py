@@ -586,6 +586,46 @@ def doc_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def doc_ngram_jaccard_pairs_sql() -> str:
+    """EXACT all-pairs word-trigram Jaccard in SQL — a STRICTER oracle
+    than the pipeline (LSH recall stage + exact verify): a green match
+    additionally certifies that MinHash banding recalled every true
+    pair ≥ 0.5 on this input. Shingle semantics mirror
+    dedup.batch_shingle_hashes: lowercase [a-z0-9]+ tokens, trigrams
+    for docs with ≥3 tokens, ONE whole-doc shingle for 1-2 tokens,
+    none for empty docs; Jaccard over DISTINCT shingles (the SQL uses
+    shingle STRINGS where the pipeline uses 64-bit shingle hashes —
+    equal sets modulo negligible hash collisions)."""
+    return """
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents
+        ),
+        tri AS (
+          SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+          WHERE len(t) >= 3
+          UNION ALL
+          SELECT doc_id, array_to_string(t, ' ') AS s
+          FROM toks WHERE len(t) BETWEEN 1 AND 2
+        ),
+        dsh AS (SELECT DISTINCT doc_id, s FROM tri),
+        sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    """
+
+
 def doc_dedup_pipeline(sf_dir: str):
     """End-to-end corpus dedup — what a training-data pipeline actually
     runs: MinHash-LSH near-dup pairs (exact duplicates always collide
@@ -694,7 +734,33 @@ def embedding_knn_ivf(sf_dir: str):
 def embedding_near_dup(sf_dir: str):
     from .dedup import embedding_near_dup as near
 
-    return near(_read(sf_dir, "embeddings"), threshold=0.9)
+    ds = near(_read(sf_dir, "embeddings"), threshold=0.9)
+    # Materialize the OUTPUT-sized pair set to one Arrow table with the
+    # schema kept even at zero rows (Dataset.to_pandas drops columns on
+    # an empty dataset, defeating downstream schema checks; on this
+    # testdata max pairwise cosine ~0.51, so 0 rows is the correct
+    # answer at threshold 0.9).
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=4096))
+    if batches:
+        return pa.concat_tables(batches)
+    return pa.table({"vec_a": pa.array([], pa.int64()),
+                     "vec_b": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())})
+
+
+def embedding_near_dup_sql() -> str:
+    """EXACT all-pairs cosine oracle (stricter than the IVF-bucketed
+    pipeline — a green match also certifies IVF+probe recall on this
+    input). On the sf testdata the max pairwise cosine is ~0.51, so
+    both sides correctly return ZERO rows at threshold 0.9 — the check
+    pins schema stability and no-false-positives."""
+    return """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                          AS DOUBLE), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    """
 
 
 def embedding_centroid_norms(sf_dir: str):
@@ -787,6 +853,8 @@ ORACLES = {
     "doc_exact_dedup": doc_exact_dedup_sql(),
     "doc_lang_id": doc_lang_id_sql(),
     "doc_fingerprint": doc_fingerprint_sql(),
+    "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs_sql(),
+    "embedding_near_dup": embedding_near_dup_sql(),
     "embedding_knn": embedding_knn_sql(),
     "embedding_centroid_norms": embedding_centroid_norms_sql(),
 }
