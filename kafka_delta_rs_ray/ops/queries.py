@@ -532,6 +532,70 @@ def doc_simhash_pairs(sf_dir: str):
     return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def doc_simhash_pairs_sql() -> str:
+    """EXACT oracle: the 16-bit-block LSH is pigeonhole-complete at
+    max_dist=3, so the pipeline's output IS "all pairs with Hamming
+    distance ≤ 3" — reproduced here end-to-end in SQL. The simhash is
+    pure arithmetic (dedup.batch_simhash64): poly-31 token hash mod
+    2^32 (same kernel the fingerprint oracle pins), ×golden-ratio and
+    murmur-style avalanche mod 2^64 (the 64×64 multiply is split into
+    32-bit halves — a direct INT128 product overflows), per-bit ±1
+    votes, bit set when the vote sum is positive. Verified
+    hash-identical to the numpy path on every sf0.01 document."""
+    return r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+          FROM documents
+        ),
+        th AS (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(5381::HUGEINT,
+                list_transform(regexp_extract_all(tok, '.'),
+                               c -> unicode(c)::HUGEINT)),
+              (a, x) -> (a * 31 + x) % 4294967296) AS h32
+          FROM toks
+        ),
+        av AS (
+          SELECT doc_id,
+                 CAST((h32 * 11400714819323198485) %
+                      18446744073709551616::HUGEINT AS UBIGINT) AS m
+          FROM th
+        ),
+        av1 AS (SELECT doc_id, xor(m, m >> 33) AS a1 FROM av),
+        av2 AS (SELECT doc_id,
+                       CAST((
+                         (a1 & 4294967295)::HUGEINT * 3981806797
+                         + ((((a1 >> 32)::HUGEINT * 3981806797
+                              + (a1 & 4294967295)::HUGEINT * 4283543511)
+                             % 4294967296) * 4294967296)
+                       ) % 18446744073709551616::HUGEINT AS UBIGINT) AS a2
+                FROM av1),
+        hs AS (SELECT doc_id, xor(a2, a2 >> 33) AS h FROM av2),
+        bits AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+          GROUP BY doc_id, b
+        ),
+        agg AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT
+                          ELSE 0::HUGEINT END) AS u
+          FROM bits GROUP BY doc_id
+        ),
+        sims AS (
+          SELECT d.doc_id, CAST(coalesce(a.u, 0) AS UBIGINT) AS h
+          FROM documents d LEFT JOIN agg a USING (doc_id)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 3
+    """
+
+
 def image_phash_near_dup(sf_dir: str):
     """Near-duplicate images by perceptual-hash Hamming LSH over the
     deterministic synthetic image table (the image-payload member of
@@ -854,6 +918,7 @@ ORACLES = {
     "doc_lang_id": doc_lang_id_sql(),
     "doc_fingerprint": doc_fingerprint_sql(),
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs_sql(),
+    "doc_simhash_pairs": doc_simhash_pairs_sql(),
     "embedding_near_dup": embedding_near_dup_sql(),
     "embedding_knn": embedding_knn_sql(),
     "embedding_centroid_norms": embedding_centroid_norms_sql(),
