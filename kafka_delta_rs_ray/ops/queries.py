@@ -526,6 +526,149 @@ def doc_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _avalanche64_sql(inp: str, out: str, pre: str) -> str:
+    """CTE chain {pre}1/{pre}2/{out} applying dedup._avalanche64 to
+    column ``inp`` (UBIGINT) of CTE ``{pre}0``, other columns carried
+    through. The 64×64 multiply by 0xFF51AFD7ED558CCD is split into
+    32-bit halves — a direct INT128 product overflows HUGEINT."""
+    mlo, mhi = 0xED558CCD, 0xFF51AFD7
+    m64 = "18446744073709551616::HUGEINT"
+    return f"""
+        {pre}1 AS (SELECT * EXCLUDE ({inp}),
+                   xor({inp}, {inp} >> 33) AS x1 FROM {pre}0),
+        {pre}2 AS (SELECT * EXCLUDE (x1),
+                   CAST((
+                     (x1 & 4294967295)::HUGEINT * {mlo}
+                     + ((((x1 >> 32)::HUGEINT * {mlo}
+                          + (x1 & 4294967295)::HUGEINT * {mhi})
+                         % 4294967296) * 4294967296)
+                   ) % {m64} AS UBIGINT) AS x2 FROM {pre}1),
+        {out} AS (SELECT * EXCLUDE (x2), xor(x2, x2 >> 33) AS {inp}
+                  FROM {pre}2)"""
+
+
+def _minhash_pairs_ctes() -> str:
+    """CTE chain ending in ``pairs(doc_a, doc_b, est_jaccard)`` — an
+    EXACT SQL re-derivation of minhash_lsh_pairs: poly-31 token hashes
+    (the kernel doc_fingerprint_sql pins), k=3 weighted shingle sums
+    avalanched mod 2^64, (s*a+b) wrapped mod 2^64 then mod 2^61-1 per
+    permutation (numpy's uint64 multiply WRAPS before the Mersenne
+    mod — the SQL must too), min per (doc, perm), 16 band hashes via
+    the same mix+avalanche, pairs sharing any (band, band_hash), and
+    est_jaccard = matching-perm fraction ≥ 0.5. The 64 (a, b)
+    constants are the module's seeded-RNG values, interpolated as
+    literals. est_jaccard is a multiple of 1/64 (exactly representable
+    and ≤ 6 decimal digits), so numpy's round(·, 6) is the identity
+    and plain sum/64.0 hashes identically."""
+    from .dedup import _A, _BAND_MIX, _Bc, _MERSENNE, _SHINGLE_C
+
+    a, b = [int(x) for x in _A], [int(x) for x in _Bc]
+    c = [int(x) for x in _SHINGLE_C]
+    mix = [int(x) for x in _BAND_MIX]
+    m64 = "18446744073709551616::HUGEINT"
+    perm_rows = ",\n            ".join(
+        f"({p}, {a[p]}, {b[p]})" for p in range(len(a)))
+    mix_case = (f"CASE p % 4 WHEN 0 THEN {mix[0]} WHEN 1 THEN {mix[1]} "
+                f"WHEN 2 THEN {mix[2]} ELSE {mix[3]} END")
+    return f"""
+        tok AS (
+          SELECT doc_id, unnest(lst) AS t,
+                 unnest(range(len(lst))) AS i
+          FROM (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS lst
+                FROM documents)
+        ),
+        th AS (
+          SELECT doc_id, i,
+            list_reduce(
+              list_prepend(5381::HUGEINT,
+                list_transform(regexp_extract_all(t, '.'),
+                               c -> unicode(c)::HUGEINT)),
+              (a, x) -> (a * 31 + x) % 4294967296) AS h
+          FROM tok
+        ),
+        nn AS (SELECT doc_id, count(*) AS nt FROM th GROUP BY doc_id),
+        sh0 AS (
+          SELECT a.doc_id,
+            CAST((a.h * {c[0]} + coalesce(b.h, 0) * {c[1]}
+                  + coalesce(c.h, 0) * {c[2]}) % {m64} AS UBIGINT) AS s
+          FROM th a
+          LEFT JOIN th b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+          LEFT JOIN th c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+          JOIN nn ON nn.doc_id = a.doc_id
+          WHERE a.i < greatest(nn.nt - 2, 1)
+        ),{_avalanche64_sql("s", "shingle", "sh")},
+        perms(p, pa, pb) AS (VALUES
+            {perm_rows}
+        ),
+        mh AS (
+          SELECT s.doc_id, p.p,
+            min( ((s.s::HUGEINT * p.pa) % {m64} + p.pb)
+                 % {m64} % {int(_MERSENNE)} ) AS v
+          FROM shingle s CROSS JOIN perms p
+          GROUP BY s.doc_id, p.p
+        ),
+        sig AS (
+          SELECT d.doc_id, p.p, CAST(coalesce(mh.v, 0) AS UBIGINT) AS v
+          FROM documents d CROSS JOIN perms p
+          LEFT JOIN mh ON mh.doc_id = d.doc_id AND mh.p = p.p
+        ),
+        bh0 AS (
+          SELECT doc_id, p // 4 AS band,
+            CAST(sum( (v::HUGEINT * ({mix_case})) % {m64} )
+                 % {m64} AS UBIGINT) AS s
+          FROM sig GROUP BY doc_id, band
+        ),{_avalanche64_sql("s", "bandh", "bh")},
+        cand AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bandh x JOIN bandh y
+            ON x.band = y.band AND x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT c.doc_a, c.doc_b,
+            sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0
+              AS est_jaccard
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.doc_a
+          JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+          GROUP BY 1, 2
+          HAVING sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)
+                 / 64.0 >= 0.5
+        )"""
+
+
+def doc_minhash_pairs_sql() -> str:
+    """EXACT oracle for the MinHash-LSH near-dup pairs (see
+    _minhash_pairs_ctes). Verified row- and value-identical to the Ray
+    path at sf0.001 (28 pairs) and sf0.01 (25 pairs)."""
+    return ("WITH " + _minhash_pairs_ctes()
+            + "\n        SELECT doc_a, doc_b, est_jaccard FROM pairs")
+
+
+def doc_dedup_pipeline_sql() -> str:
+    """EXACT oracle for the composed corpus-dedup pipeline: the
+    MinHash pair set (above) → connected components by transitive
+    closure (the pair graph is OUTPUT-sized, so the recursive CTE is
+    tiny) → a doc survives iff no smaller doc_id is reachable — the
+    same keep-the-min-id rule the driver-side union-find applies."""
+    return ("WITH RECURSIVE " + _minhash_pairs_ctes() + f""",
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        best AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN best ON best.u = d.doc_id
+        WHERE best.u IS NULL OR best.mv >= d.doc_id""")
+
+
 def doc_simhash_pairs(sf_dir: str):
     from .dedup import simhash_pairs
 
@@ -918,6 +1061,8 @@ ORACLES = {
     "doc_lang_id": doc_lang_id_sql(),
     "doc_fingerprint": doc_fingerprint_sql(),
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs_sql(),
+    "doc_minhash_pairs": doc_minhash_pairs_sql(),
+    "doc_dedup_pipeline": doc_dedup_pipeline_sql(),
     "doc_simhash_pairs": doc_simhash_pairs_sql(),
     "embedding_near_dup": embedding_near_dup_sql(),
     "embedding_knn": embedding_knn_sql(),
