@@ -149,11 +149,20 @@ def batch_minhash_sigs(texts, perm_chunk: int = 16) -> np.ndarray:
     if not nz.any():
         return sig
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[nz]
+    # ONE (n_shingles × chunk) scratch buffer reused in-place across
+    # chunks: the naive broadcast expression allocates three fresh
+    # temporaries per chunk, and on first-touch-expensive hosts
+    # (lazy-faulting VM memory) those cold pages cost ~10× the
+    # arithmetic itself. In-place ops touch each scratch page once.
+    m = np.empty((sh.size, min(perm_chunk, N_PERM)), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for c0 in range(0, N_PERM, perm_chunk):
             c1 = min(c0 + perm_chunk, N_PERM)
-            m = (sh[:, None] * _A[None, c0:c1] + _Bc[None, c0:c1]) % _MERSENNE
-            sig[nz, c0:c1] = np.minimum.reduceat(m, starts, axis=0)
+            mc = m[:, : c1 - c0]
+            np.multiply(sh[:, None], _A[None, c0:c1], out=mc)
+            mc += _Bc[None, c0:c1]
+            mc %= _MERSENNE
+            sig[nz, c0:c1] = np.minimum.reduceat(mc, starts, axis=0)
     return sig
 
 
@@ -409,7 +418,17 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
 
     sigs = docs_ds.map_batches(ComputeSigs(), batch_format="pyarrow",
                                batch_size=None).materialize()
-    n_groups = _n_groups(sigs.count())
+    n_docs = sigs.count()
+    # Right-size the signature block count: readers split small files
+    # into ~num_cpus blocks, and every downstream stage (banding,
+    # shuffle, map_groups) pays per-block fixed costs. Sig rows are
+    # slim (~0.5 KB), so coalesce to ~4k-row blocks when the corpus is
+    # tiny; at corpus scale blocks already exceed that and this
+    # no-ops (no shuffle — repartition of a few MB is trivial).
+    tgt_blocks = max(4, -(-n_docs // 4096))
+    if sigs.num_blocks() > 2 * tgt_blocks:
+        sigs = sigs.repartition(tgt_blocks).materialize()
+    n_groups = _n_groups(n_docs)
 
     collided = (sigs
                 .map_batches(MinhashBands(n_groups), batch_format="pyarrow",
@@ -417,8 +436,13 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
                 .groupby("bucket")
                 .map_groups(_collided_rows, batch_format="pandas")
                 .materialize())
-    cand_ids = {r["doc_id"] for r in
-                collided.select_columns(["doc_id"]).take_all()}
+    # collect via iter_batches, NOT take_all: on pandas-block datasets
+    # (map_groups output) take_all converts row-by-row at ~1 ms/row —
+    # 7 s for a 7k-row candidate list — while batch iteration is free
+    cand_ids = set()
+    for b in collided.iter_batches(batch_format="pandas",
+                                   batch_size=None):
+        cand_ids.update(b["doc_id"].tolist())
     if not cand_ids:
         import ray.data as rd
 
@@ -611,9 +635,11 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5,
 
     cand = minhash_lsh_pairs(docs_ds, threshold=lsh_threshold).materialize()
     ids = set()
-    for r in cand.select_columns(["doc_a", "doc_b"]).take_all():
-        ids.add(r["doc_a"])
-        ids.add(r["doc_b"])
+    # batch iteration, not take_all — pandas-block row conversion is
+    # ~1 ms/row (see minhash_lsh_pairs candidate collection)
+    for b in cand.iter_batches(batch_format="pandas", batch_size=None):
+        ids.update(b["doc_a"].tolist())
+        ids.update(b["doc_b"].tolist())
     if not ids:
         import ray.data as rd
 

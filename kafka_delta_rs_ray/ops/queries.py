@@ -846,8 +846,13 @@ def doc_dedup_pipeline(sf_dir: str):
     from .dedup import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_lsh_pairs(ds).select_columns(
-        ["doc_a", "doc_b"]).take_all()
+    pairs = []
+    # batch iteration, not take_all — pandas-block row conversion
+    # costs ~1 ms/row and the pair set can reach millions at scale
+    for b in minhash_lsh_pairs(ds).iter_batches(batch_format="pandas",
+                                                batch_size=None):
+        pairs.extend({"doc_a": a, "doc_b": c} for a, c in
+                     zip(b["doc_a"].tolist(), b["doc_b"].tolist()))
 
     parent: dict = {}
 
