@@ -135,19 +135,24 @@ def _seq_losers(validated, n_buckets: int) -> set:
     bucketed = slim.map_batches(lambda b: _seq_bucket(b, n_buckets),
                                 batch_format="pyarrow")
 
-    def losers(g):
-        g = g.sort_values(["partition_id", "seq", "image_id"])
-        dup = g.duplicated(["partition_id", "seq"], keep="first")
-        return g.loc[dup, ["partition_id", "seq", "image_id"]]
+    def losers(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("partition_id", "ascending"), ("seq", "ascending"),
+                       ("image_id", "ascending")])
+        p = g["partition_id"].to_numpy(zero_copy_only=False)
+        s = g["seq"].to_numpy(zero_copy_only=False)
+        dup = np.zeros(len(p), dtype=bool)
+        dup[1:] = (p[1:] == p[:-1]) & (s[1:] == s[:-1])
+        return g.select(["partition_id", "seq", "image_id"]).filter(
+            pa.array(dup))
 
     out = set()
     # batch iteration, not take_all — take_all on pandas-block
     # map_groups output converts rows one-by-one at ~1 ms/row
     for b in (bucketed.groupby("seq_bucket")
-              .map_groups(losers, batch_format="pandas")
-              .iter_batches(batch_format="pandas", batch_size=None)):
-        out.update(zip(b["partition_id"].tolist(), b["seq"].tolist(),
-                       b["image_id"].tolist()))
+              .map_groups(losers, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        out.update(zip(b["partition_id"].to_pylist(),
+                       b["seq"].to_pylist(), b["image_id"].to_pylist()))
     return out
 
 
