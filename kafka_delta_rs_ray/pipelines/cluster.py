@@ -248,15 +248,18 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
                                               curve=curve),
                                 batch_format="pyarrow",
                                 batch_size=assign_rows)
-            # Reducer CPU reservation matches the reducer's compute
-            # profile: with payload compression ON the sort+write task
-            # is compression-dense (CPU per byte), so 1-CPU slots double
-            # the reducer parallelism safely; with compression OFF the
-            # task is bandwidth-dense, and the 2-CPU reservation is the
-            # deliberate per-node concurrency throttle (see module doc).
-            from ..tablefmt.fragments import PAYLOAD_COMPRESSION
-            sort_cpus = (1 if PAYLOAD_COMPRESSION != "none"
-                         else min(2, max(1, total_cpus // 4)))
+            # Reducer CPU reservation: sort+write tasks allocate and
+            # write tens-of-MB buffers, and measured on this class of
+            # node the kernel-side page-allocation cost under many
+            # concurrent writers inflates per-task CPU far beyond the
+            # useful work (19x at 32 writers on a 1 GB exchange) — so
+            # the 2-CPU reservation throttling writers to cpus/2 is the
+            # deliberate default regardless of codec config. Override
+            # with KDR_CLUSTER_SORT_CPUS for probe experiments.
+            import os as _os
+            sort_cpus = int(_os.environ.get(
+                "KDR_CLUSTER_SORT_CPUS",
+                min(2, max(1, total_cpus // 4))))
             out_ds = (ds.groupby("bucket")
                       .map_groups(sort_write_bucket, batch_format="pyarrow",
                                   num_cpus=sort_cpus))
