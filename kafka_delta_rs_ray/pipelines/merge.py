@@ -156,35 +156,56 @@ def _seq_losers(validated, n_buckets: int) -> set:
     return out
 
 
-class _DropSeqLosers:
-    """map_batches filter removing the broadcast seq-loser rows.
-    Vectorized prefilter on seq membership (numpy isin against the
-    tiny loser-seq set); the exact per-row triple check runs only on
-    the prefiltered handful."""
+def _repair_seq_losers(validated, deduped, losers: set, n_buckets: int):
+    """Fix-up for the optimistic dual-domain dedup: the key-domain
+    first-wins shuffle runs CONCURRENTLY with seq-duplicate detection
+    (losers are normally empty, so the slim seq pass stays off the
+    critical path). When losers DO exist, the sequential semantics —
+    drop seq-domain losers FIRST, then keep the lowest surviving seq
+    per key — may differ for exactly the keys that own a loser row, so
+    those keys' winners are recomputed here: re-collect the affected
+    keys' raw rows (bounded by the duplicate count, tiny), drop the
+    loser triples, first-wins the remainder, and splice the result
+    over the optimistic output.
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
 
-    def __init__(self, losers_ref):
-        self.losers_ref = losers_ref
-        self._l = None
-        self._seqs = None
+    affected = sorted({k for (_, _, k) in losers})
+    aff_ref = ray.put(pa.array(affected, pa.string()))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import ray
+    class _PickKeys:
+        def __init__(self, invert: bool):
+            self.invert = invert
+            self._keys = None
 
-        if self._l is None:
-            self._l = ray.get(self.losers_ref)
-            self._seqs = np.array(sorted({s for _, s, _ in self._l}),
-                                  dtype=np.int64)
-        seq = batch["seq"].to_numpy(zero_copy_only=False)
-        cand = np.isin(seq, self._seqs)
-        if not cand.any():
-            return batch
-        keep = np.ones(len(seq), dtype=bool)
-        part = batch["partition_id"].to_numpy(zero_copy_only=False)
-        ids = batch["image_id"].to_pylist()
-        for i in np.nonzero(cand)[0]:
-            if (part[i], seq[i], ids[i]) in self._l:
-                keep[i] = False
-        return batch.filter(pa.array(keep))
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if self._keys is None:
+                self._keys = ray.get(aff_ref)
+            m = pc.is_in(b["image_id"], value_set=self._keys)
+            return b.filter(pc.invert(m) if self.invert else m)
+
+    parts = [b for b in (validated
+                         .map_batches(_PickKeys(invert=False),
+                                      batch_format="pyarrow")
+                         .iter_batches(batch_format="pyarrow",
+                                       batch_size=None))
+             if b.num_rows]
+    rows = pa.concat_tables(parts)
+    trip = set(losers)
+    keep = [(p, s, k) not in trip
+            for p, s, k in zip(rows["partition_id"].to_pylist(),
+                               rows["seq"].to_pylist(),
+                               rows["image_id"].to_pylist())]
+    repl = _first_wins(_add_bucket(rows.filter(pa.array(keep)), n_buckets))
+
+    kept = deduped.map_batches(_PickKeys(invert=True),
+                               batch_format="pyarrow")
+    if repl.num_rows:
+        repl = repl.select(deduped.schema().names)
+        kept = kept.union(rd.from_arrow(repl))
+    return kept.materialize()
 
 
 class _ValidateChanges:
@@ -359,21 +380,27 @@ def merge(table: Table, changes_ds, app_id: str,
 
     # 2: dual-domain first-wins dedup (reference D1). The seq domain
     # (duplicate offsets dropped regardless of key) is resolved on the
-    # SLIM identity columns only — a ~20 B/row exchange plus a
-    # broadcast loser set — then the key domain (duplicate image_ids
-    # keep lowest seq) takes the single full-payload shuffle. The
-    # changeset's image bytes cross the wire ONCE, not twice.
-    losers = _seq_losers(validated, n_buckets)
-    stream = validated
+    # SLIM identity columns only — a ~20 B/row exchange — and runs
+    # CONCURRENTLY with the key domain's single full-payload shuffle
+    # (duplicate image_ids keep lowest seq): seq losers are normally
+    # zero, so the optimistic key dedup is final; when they are not,
+    # _repair_seq_losers recomputes just the affected keys. The
+    # changeset's image bytes cross the wire ONCE, and the slim seq
+    # pass is off the critical path.
+    def _key_dedup():
+        return (validated
+                .map_batches(lambda b: _add_bucket(b, n_buckets),
+                             batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(_first_wins, batch_format="pyarrow")
+                .materialize())
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fut_losers = ex.submit(_seq_losers, validated, n_buckets)
+        deduped = _key_dedup()
+        losers = fut_losers.result()
     if losers:
-        stream = validated.map_batches(_DropSeqLosers(ray.put(losers)),
-                                       batch_format="pyarrow")
-    deduped = (stream
-               .map_batches(lambda b: _add_bucket(b, n_buckets),
-                            batch_format="pyarrow")
-               .groupby("bucket")
-               .map_groups(_first_wins, batch_format="pyarrow")
-               .materialize())
+        deduped = _repair_seq_losers(validated, deduped, losers, n_buckets)
     ctx.log_dataset_stats("dedup", deduped)
     n_effective = deduped.count()
     if n_effective == 0:

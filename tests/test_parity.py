@@ -62,6 +62,25 @@ def test_duplicate_seq_dropped(table):
     assert "new-b" not in ids      # duplicate offset dropped
 
 
+def test_seq_loser_winner_falls_back_to_next_row(table):
+    """Dual-domain ordering: seq-domain losers are dropped BEFORE the
+    key domain picks the lowest surviving seq. Key new-c's seq-400 row
+    loses the offset domain (duplicate of new-a's seq 400), so new-c
+    must keep its seq-401 row — the optimistic key dedup would have
+    picked seq 400, and the repair pass must splice in the survivor."""
+    ch = rd.from_arrow(pa.Table.from_pylist(
+        [_chrow("new-a", 400, "a owns offset 400"),
+         _chrow("new-c", 400, "c loses offset 400"),
+         _chrow("new-c", 401, "c survivor")],
+        schema=CHANGESET_SCHEMA))
+    merge(table, ch, app_id="dup-seq-fallback")
+    t = table.snapshot().to_arrow()
+    rows = {r["image_id"]: r["caption"] for r in t.to_pylist()
+            if r["image_id"] in ("new-a", "new-c")}
+    assert rows["new-a"] == "a owns offset 400"
+    assert rows["new-c"] == "c survivor"
+
+
 def test_duplicate_key_keeps_lowest_seq(table):
     ch = rd.from_arrow(pa.Table.from_pylist(
         [_chrow("new-k", 201, "second"), _chrow("new-k", 200, "first")],
