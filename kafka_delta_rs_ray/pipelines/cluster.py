@@ -153,28 +153,53 @@ class _AssignBucket:
 
 class _SortWriteBucket:
     """map_groups: local (zcode, salt) sort of one range bucket →
-    fragments of target_fragment_rows with zone maps; derived key
-    columns are dropped from the files but kept in the zone maps."""
+    fragments of target_fragment_rows (and, when ``target_bytes`` is
+    set, bounded payload bytes) with zone maps; derived key columns
+    are dropped from the files but kept in the zone maps.
 
-    def __init__(self, root: str, run_id: str, target_rows: int):
+    The bytes bound matters because zcode clusters rows by (phash,
+    w, h): a bucket of 256x256 images packs ~25x the bytes per row of
+    a 32x32 bucket, so row-count-only slicing emits 10-300 MB
+    fragments from the same job. Uniform fragment bytes keep later
+    compaction bins, scan tasks and reader memory predictable."""
+
+    def __init__(self, root: str, run_id: str, target_rows: int,
+                 target_bytes: int | None = None):
         self.root = root
         self.run_id = run_id
         self.target_rows = target_rows
+        self.target_bytes = target_bytes
 
     def __call__(self, g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         if g.num_rows == 0:
             return FRAG_META_SCHEMA.empty_table()
         g = g.sort_by([("zcode", "ascending"), ("salt", "ascending")])
         metas = []
         drop = [c for c in ("zcode", "salt", "bucket") if c in g.column_names]
-        for off in range(0, g.num_rows, self.target_rows):
-            sl = g.slice(off, self.target_rows)
+        n = g.num_rows
+        cum = None
+        if self.target_bytes is not None and "bytes" in g.column_names:
+            row_bytes = pc.binary_length(g["bytes"]).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cum = np.cumsum(row_bytes + 256)  # ~fixed per-row overhead
+        off = 0
+        while off < n:
+            hi = min(n, off + self.target_rows)
+            if cum is not None:
+                budget = (cum[off - 1] if off else 0) + self.target_bytes
+                hi = min(hi, max(off + 1,
+                                 int(np.searchsorted(cum, budget,
+                                                     side="right"))))
+            sl = g.slice(off, hi - off)
             stats = compute_stats(sl)  # includes zcode zone map
             stats.pop("bucket", None)
             frag = write_fragment_table(sl.drop_columns(drop), self.root,
                                         self.run_id, sorted_by="zcode",
                                         stats=stats)
             metas.append(frag_meta_row(frag))
+            off = hi
         return pa.concat_tables(metas)
 
 
@@ -182,13 +207,18 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
             salt_buckets: int = 4096, run_id: str | None = None,
             prune: dict | None = None, strategy: str = "range",
             over_partition: int = 2,
-            curve: str = "morton") -> Manifest | None:
+            curve: str = "morton",
+            target_fragment_bytes: int | None = None) -> Manifest | None:
     """Cluster the live table (or a zone-map-pruned slice) by zcode.
 
     ``curve``: "morton" (Z-order) or "hilbert" — the space-filling
     curve packing (phash, w, h) into the sort key. Same machinery
     (boundaries, salt splits, zone maps) either way; the committed
-    manifest records the curve in properties["cluster_curve"]."""
+    manifest records the curve in properties["cluster_curve"].
+
+    ``target_fragment_bytes``: when set, fragment slices are bounded
+    by payload bytes as well as rows (see _SortWriteBucket) — use for
+    tables whose row size varies widely (mixed image resolutions)."""
     ctx = RunContext(table.root, run_id, job="cluster")
     snap = table.snapshot()
     if not snap.manifest.fragments:
@@ -231,7 +261,8 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
         # reservation plus one reducer task must still fit)
         dctx.default_hash_shuffle_parallelism = max(min(8, total_cpus),
                                                     total_cpus * 2)
-        sw = _SortWriteBucket(table.root, ctx.run_id, target_fragment_rows)
+        sw = _SortWriteBucket(table.root, ctx.run_id, target_fragment_rows,
+                              target_bytes=target_fragment_bytes)
 
         def sort_write_bucket(g: pa.Table) -> pa.Table:  # map_groups needs __name__
             return sw(g)

@@ -101,6 +101,27 @@ def test_cluster_roundtrip_and_zonemap_pruning(table):
     assert sub.num_rows >= frags[0].rows
 
 
+def test_cluster_byte_bounded_fragments(table):
+    """target_fragment_bytes bounds each fragment's payload bytes even
+    when zcode packs the large-resolution images together (row-count
+    slicing alone would emit fragments 25x apart in size)."""
+    before = _sorted_rows(table.snapshot().to_arrow())
+    target = 256 << 10
+    m = cluster(table, target_fragment_rows=1_000_000,
+                target_fragment_bytes=target)
+    after = _sorted_rows(table.snapshot().to_arrow())
+    assert before == after
+    # each fragment stays near the byte target: at most target + one
+    # row's payload (the row that crossed the budget), parquet framing
+    # aside
+    max_row = max(len(r["bytes"]) for r in before)
+    for f in m.fragments:
+        assert f.bytes <= target + max_row + (64 << 10), \
+            f"fragment {f.id} is {f.bytes} B against target {target}"
+    # and the bound actually split buckets: more than one fragment
+    assert len(m.fragments) > 1
+
+
 def test_cluster_sorted_fragments_have_tight_ranges(table):
     m = cluster(table, target_fragment_rows=30)
     spans = sorted((f.stats["zcode"]["min"], f.stats["zcode"]["max"])
