@@ -118,7 +118,24 @@ def _seq_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
     return batch.append_column("seq_bucket", pa.array(b, pa.int32()))
 
 
-def _seq_losers(validated, n_buckets: int) -> set:
+SEQ_LOSER_DRIVER_MAX = 2_000_000  # slim rows collected on the driver
+
+
+def _dup_seq_rows(g: pa.Table) -> pa.Table:
+    """Rows of ``g`` whose (partition_id, seq) repeats — every copy of
+    a duplicated pair except the lowest-image_id one. Arrow sort +
+    numpy neighbor compare, no per-row Python."""
+    g = g.sort_by([("partition_id", "ascending"), ("seq", "ascending"),
+                   ("image_id", "ascending")])
+    p = g["partition_id"].to_numpy(zero_copy_only=False)
+    s = g["seq"].to_numpy(zero_copy_only=False)
+    dup = np.zeros(len(p), dtype=bool)
+    dup[1:] = (p[1:] == p[:-1]) & (s[1:] == s[:-1])
+    return g.select(["partition_id", "seq", "image_id"]).filter(
+        pa.array(dup))
+
+
+def _seq_losers(validated, n_buckets: int, n_rows: int | None = None) -> set:
     """Rows violating the OFFSET uniqueness domain — the reference's
     HashSet<i64> over offsets (src/pipeline/mod.rs:58-80), scoped to
     (partition_id, seq) because independent sources own independent
@@ -126,30 +143,33 @@ def _seq_losers(validated, n_buckets: int) -> set:
     {(partition_id, seq, image_id)}: every row of a duplicated
     (partition_id, seq) except the lowest-image_id one.
 
-    Scale shape: the duplicate detection shuffles only the three slim
-    identity columns (~20 B/row), never the image payloads — the
-    round-2 predecessor shuffled the whole changeset a second time
-    just to drop (normally zero) duplicate seqs. The loser set itself
-    is duplicate-sized, typically empty."""
+    Scale shape: duplicate detection touches only the three slim
+    identity columns (~20 B/row), never the image payloads. A
+    micro-batch-sized changeset (<= SEQ_LOSER_DRIVER_MAX rows — the
+    normal case; the driver already holds its changed-key set) takes
+    the driver fast path: one streamed pass over the slim columns and
+    a local sort, no shuffle execution at all. Larger changesets run
+    the distributed bucketed groupby. The loser set itself is
+    duplicate-sized, typically empty."""
     slim = validated.select_columns(["partition_id", "seq", "image_id"])
-    bucketed = slim.map_batches(lambda b: _seq_bucket(b, n_buckets),
-                                batch_format="pyarrow")
-
-    def losers(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("partition_id", "ascending"), ("seq", "ascending"),
-                       ("image_id", "ascending")])
-        p = g["partition_id"].to_numpy(zero_copy_only=False)
-        s = g["seq"].to_numpy(zero_copy_only=False)
-        dup = np.zeros(len(p), dtype=bool)
-        dup[1:] = (p[1:] == p[:-1]) & (s[1:] == s[:-1])
-        return g.select(["partition_id", "seq", "image_id"]).filter(
-            pa.array(dup))
 
     out = set()
+    if n_rows is not None and n_rows <= SEQ_LOSER_DRIVER_MAX:
+        parts = [b for b in slim.iter_batches(batch_format="pyarrow",
+                                              batch_size=None) if b.num_rows]
+        if not parts:
+            return out
+        dup = _dup_seq_rows(pa.concat_tables(parts))
+        out.update(zip(dup["partition_id"].to_pylist(),
+                       dup["seq"].to_pylist(), dup["image_id"].to_pylist()))
+        return out
+
+    bucketed = slim.map_batches(lambda b: _seq_bucket(b, n_buckets),
+                                batch_format="pyarrow")
     # batch iteration, not take_all — take_all on pandas-block
     # map_groups output converts rows one-by-one at ~1 ms/row
     for b in (bucketed.groupby("seq_bucket")
-              .map_groups(losers, batch_format="pyarrow")
+              .map_groups(_dup_seq_rows, batch_format="pyarrow")
               .iter_batches(batch_format="pyarrow", batch_size=None)):
         out.update(zip(b["partition_id"].to_pylist(),
                        b["seq"].to_pylist(), b["image_id"].to_pylist()))
@@ -396,7 +416,8 @@ def merge(table: Table, changes_ds, app_id: str,
                 .materialize())
 
     with ThreadPoolExecutor(max_workers=2) as ex:
-        fut_losers = ex.submit(_seq_losers, validated, n_buckets)
+        fut_losers = ex.submit(_seq_losers, validated, n_buckets,
+                               n_fresh - quarantined)
         deduped = _key_dedup()
         losers = fut_losers.result()
     if losers:

@@ -81,6 +81,19 @@ def test_seq_loser_winner_falls_back_to_next_row(table):
     assert rows["new-c"] == "c survivor"
 
 
+def test_seq_losers_distributed_matches_driver_path(ray_session):
+    """The >2M-row distributed groupby path must produce the same
+    loser set as the driver fast path on any input."""
+    from kafka_delta_rs_ray.pipelines.merge import _seq_losers
+
+    rows = [_chrow(f"k{i}", 100 + (i % 5), f"c{i}", partition=i % 3)
+            for i in range(60)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=CHANGESET_SCHEMA))
+    fast = _seq_losers(ds, n_buckets=4, n_rows=len(rows))
+    dist = _seq_losers(ds, n_buckets=4, n_rows=None)
+    assert fast == dist and len(fast) > 0
+
+
 def test_duplicate_key_keeps_lowest_seq(table):
     ch = rd.from_arrow(pa.Table.from_pylist(
         [_chrow("new-k", 201, "second"), _chrow("new-k", 200, "first")],
