@@ -21,6 +21,13 @@ fresh subprocesses at 8 and 32 CPUs, arms interleaved lo,hi,lo,hi with
 best-of-3 per arm (this host's noisy-neighbor variance is 2-3x between
 time windows). Reports both lifecycle throughputs + efficiency.
 
+--scaling-sharded: second N-vs-4N proxy — 1 vs 4 INDEPENDENT 8-CPU Ray
+instances (separate raylets + bounded plasma stores, i.e. emulated
+nodes) over disjoint synthetic shards; efficiency = best T_single /
+best T_slowest_shard. Removes single-cluster coordination from the
+measurement; what remains is the host's shared memory fabric + cycle
+delivery, which the inline calibrations quantify.
+
 --lifecycle-only: one arm of the scaling run (used by --scaling's
 subprocesses; also handy standalone).
 """
@@ -147,9 +154,17 @@ def run_lifecycle_only() -> dict:
     import ray
 
     n = int(os.environ.get("GRAFT_SCALING_IMAGES", "48000"))
+    seed = int(os.environ.get("GRAFT_SYNTH_SEED", "42"))
     if not ray.is_initialized():
+        kw = {}
+        if os.environ.get("GRAFT_OBJ_STORE_BYTES"):
+            # --scaling-sharded runs several independent Ray instances
+            # at once; each must bound its plasma store below the
+            # default 30%-of-RAM so four stores fit in /dev/shm
+            kw["object_store_memory"] = int(
+                os.environ["GRAFT_OBJ_STORE_BYTES"])
         ray.init(address="local", num_cpus=NUM_CPUS,
-                 include_dashboard=False, logging_level="ERROR")
+                 include_dashboard=False, logging_level="ERROR", **kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -190,10 +205,10 @@ def run_lifecycle_only() -> dict:
     try:
         t = Table.create(f"{root}/table", IMAGE_SCHEMA)
         t0 = time.time()
-        append(t, image_dataset(n, batch_size=gran),
+        append(t, image_dataset(n, seed=seed, batch_size=gran),
                target_fragment_rows=gran)
         tm["ingest"] = time.time() - t0
-        ch = changeset_dataset(n, n // 4, n_partitions=32,
+        ch = changeset_dataset(n, n // 4, seed=seed + 1, n_partitions=32,
                                batch_size=512).materialize()
         t0 = time.time()
         merge(t, ch, app_id="scale", target_fragment_rows=512)
@@ -248,13 +263,42 @@ def _memcpy_ceiling() -> dict:
             [p.join() for p in ps]
             return sum(out.values()) / 1e9
 
+    def cpu_worker(out, i):
+        # pure-register integer loop: zero memory traffic, measures
+        # only how many core-cycles the host actually DELIVERS
+        t0 = time.time()
+        x, n = 1, 0
+        while time.time() - t0 < 2.0:
+            for _ in range(100_000):
+                x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            n += 100_000
+        out[i] = n / (time.time() - t0)
+
+    def cpu_agg(nproc: int) -> float:
+        with mp.Manager() as mgr:
+            out = mgr.dict()
+            ps = [mp.Process(target=cpu_worker, args=(out, i))
+                  for i in range(nproc)]
+            [p.start() for p in ps]
+            [p.join() for p in ps]
+            return sum(out.values()) / 1e6
+
     agg(8)  # warmup: the first spawn round measures process cold-start
     los = [agg(8) for _ in range(3)]
     his = [agg(32) for _ in range(3)]
     lo, hi = max(los), max(his)  # best-per-arm, like the lifecycle arms
+    clos = [cpu_agg(8) for _ in range(2)]
+    chis = [cpu_agg(32) for _ in range(2)]
+    clo, chi = max(clos), max(chis)
     return {"memcpy_8proc_GBps": round(lo, 1),
             "memcpy_32proc_GBps": round(hi, 1),
-            "memcpy_scaling_efficiency": round(min(1.0, (hi / lo) / 4.0), 3)}
+            "memcpy_scaling_efficiency": round(min(1.0, (hi / lo) / 4.0), 3),
+            "cpu_8proc_Mops": round(clo, 1),
+            "cpu_32proc_Mops": round(chi, 1),
+            # how close to 4x the host's own CYCLE DELIVERY gets from
+            # 8 to 32 busy processes — an upper bound on ANY workload's
+            # measurable 8->32 efficiency on this VM
+            "cpu_scaling_efficiency": round(min(1.0, (chi / clo) / 4.0), 3)}
 
 
 def run_scaling() -> dict:
@@ -309,12 +353,69 @@ def run_scaling() -> dict:
             "images_per_sec_hi": hi["lifecycle_images_per_sec"],
             "scaling_efficiency": round(eff, 3),
             "scaling_efficiency_compact_cluster_only": round(eff_maint, 3),
+            # lifecycle efficiency normalized by what the host's own
+            # cycle delivery scaled at in the same session — how much
+            # of the ACHIEVABLE ratio the engine captured
+            "scaling_efficiency_vs_host_cpu": round(
+                min(1.0, eff / max(1e-9,
+                                   ceiling["cpu_scaling_efficiency"])), 3),
             "payload_compression": "zstd (CPU-bound probe config)",
             "host_ceiling": ceiling}
 
 
+def run_scaling_sharded() -> dict:
+    """North-rule scaling evidence, second proxy: N=1 node vs 4 nodes
+    emulated as 4 INDEPENDENT 8-CPU Ray instances (separate raylets,
+    separate bounded plasma stores — what distinguishes nodes) each
+    running the full maintenance transaction over its own disjoint
+    input shard. This is exactly the engine's documented 100 TB
+    deployment shape (slice-per-run cluster prune, partitioned merges),
+    and it removes single-cluster coordination overhead from the
+    measurement, leaving only the host's shared memory fabric — which
+    real 4-node clusters do not share. Efficiency = T_single /
+    T_slowest_shard (the slowest shard gates a real fleet)."""
+    def spawn(env):
+        return subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--lifecycle-only"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+
+    def env_for(seed: int) -> dict:
+        return dict(os.environ, RAY_GRAFT_CPUS="8",
+                    KDR_PAYLOAD_COMPRESSION="zstd",
+                    GRAFT_OBJ_STORE_BYTES=str(6 << 30),
+                    GRAFT_SYNTH_SEED=str(seed))
+
+    def res(proc) -> dict:
+        out, _ = proc.communicate()
+        return json.loads(out.strip().splitlines()[-1])
+
+    reps = []
+    for rep in range(2):
+        single = res(spawn(env_for(100 + rep)))
+        procs = [spawn(env_for(200 + 10 * rep + i)) for i in range(4)]
+        shards = [res(p) for p in procs]
+        reps.append({"t_single": single["lifecycle_sec"], "t_shards": sorted(
+            round(s["lifecycle_sec"], 3) for s in shards)})
+    # best-of per ARM (same policy as --scaling): a noisy-window single
+    # arm must not inflate the ratio
+    t1 = min(r["t_single"] for r in reps)
+    t4 = min(r["t_shards"][-1] for r in reps)
+    n = int(os.environ.get("GRAFT_SCALING_IMAGES", "48000"))
+    return {"metric": "scaling efficiency 1 node → 4 nodes (independent "
+                      "8-CPU Ray instances over disjoint shards; "
+                      "best T_single / best T_slowest_shard, 2 reps "
+                      "per arm interleaved)",
+            "n_images_per_shard": n,
+            "t_single": round(t1, 3), "t_slowest_shard": round(t4, 3),
+            "scaling_efficiency": round(t1 / t4, 3),
+            "reps": reps}
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-sharded" in sys.argv:
+        print(json.dumps(run_scaling_sharded()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--lifecycle-only" in sys.argv:
         print(json.dumps(run_lifecycle_only()))
