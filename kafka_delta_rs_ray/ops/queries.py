@@ -332,7 +332,11 @@ def top_customers(sf_dir: str):
             b["total"] = b["total"].round(4)
             return b.rename(columns={"o_custkey": "c_custkey"})
 
-    return top.map_batches(AttachName, batch_format="pandas", concurrency=1)
+    # instance (task pool): actor pools cost 1.5-2 s startup PER dataset
+    # execution (actors are not reused across executions) — for
+    # broadcast-lookup state a pickled instance amortizes identically
+    # in reused task workers
+    return top.map_batches(AttachName(), batch_format="pandas")
 
 
 def top_customers_sql() -> str:
@@ -375,8 +379,7 @@ def supplier_counts_by_region(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    out = (sup.map_batches(Attach, batch_format="pandas", batch_size=None,
-                           concurrency=2)
+    out = (sup.map_batches(Attach(), batch_format="pandas", batch_size=None)
            .groupby("r_name").aggregate(Sum("n", alias_name="n_suppliers")))
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -401,8 +404,9 @@ def doc_token_stats(sf_dir: str):
     from .textops import TokenCount
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(TokenCount, batch_format="pandas",
-                          concurrency=2)
+    # instances, not classes: the compiled-regex state pickles into the
+    # task closure; an actor pool would pay 1.5-2 s startup per execution
+    return ds.map_batches(TokenCount(), batch_format="pandas")
 
 
 def doc_token_stats_sql() -> str:
@@ -419,7 +423,7 @@ def doc_quality(sf_dir: str):
     from .textops import QualityScore
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(QualityScore, batch_format="pandas", concurrency=2)
+    out = ds.map_batches(QualityScore(), batch_format="pandas")
     return out.select_columns(["doc_id", "n_words", "stop_ratio", "keep"])
 
 
@@ -453,7 +457,7 @@ def doc_lang_id(sf_dir: str):
     from .textops import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+    return ds.map_batches(LangId(), batch_format="pandas")
 
 
 def doc_lang_id_sql() -> str:
@@ -488,7 +492,7 @@ def doc_fingerprint(sf_dir: str):
     from .textops import Fingerprint
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(Fingerprint, batch_format="pandas", concurrency=2)
+    return ds.map_batches(Fingerprint(), batch_format="pandas")
 
 
 def doc_fingerprint_sql() -> str:
