@@ -919,6 +919,62 @@ def image_embed_knn(sf_dir: str):
                           n_queries=5, k=5)
 
 
+def audio_features(sf_dir: str):
+    """Audio modality pipeline: synthesize deterministic pcmz clips →
+    AudioFeatures (windowed FFT log-filterbank) → per-clip aggregate
+    (window count + feature-energy sum, rounded) so the result is a
+    compact deterministic table. Rows-only check (FFT filterbanks are
+    not SQL-expressible)."""
+    from ..pipelines.synth import audio_dataset
+    from ..stages.codec_stage import AudioFeatures
+
+    ds = audio_dataset(64, seconds=0.5)
+    out = ds.map_batches(AudioFeatures(), batch_format="pyarrow",
+                         batch_size=16)
+
+    def agg(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "media_id": b["media_id"].to_pylist(),
+            "energy": [round(float(np.sum(f)), 3)
+                       for f in b["features"].to_pylist()]})
+        g = df.groupby("media_id", as_index=False).agg(
+            n_windows=("energy", "size"), energy=("energy", "sum"))
+        g["energy"] = g["energy"].round(2)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # one group stage: windows of one clip may span batches
+    return (out.groupby("media_id")
+            .map_groups(agg, batch_format="pyarrow"))
+
+
+def video_frame_sample(sf_dir: str):
+    """Video modality pipeline: synthesize deterministic vraw clips →
+    FrameSample (demux + every-Nth frame re-encoded rawz) → per-frame
+    phash fingerprint. Rows-only check; deterministic per seed."""
+    from ..functions.phash import phash64
+    from ..pipelines.synth import video_dataset
+    from ..stages.codec_stage import FrameSample
+
+    ds = video_dataset(32, n_frames=30)
+    frames = ds.map_batches(FrameSample(every_n=10), batch_format="pyarrow",
+                            batch_size=4)
+
+    def fp(b: pa.Table) -> pa.Table:
+        from ..codecs import decode as img_decode
+        from ..functions.binview import binary_views
+
+        phs = [phash64(img_decode(buf, fmt))
+               for buf, fmt in zip(binary_views(b["bytes"]),
+                                   b["fmt"].to_pylist())]
+        return pa.table({"media_id": b["media_id"],
+                         "frame_idx": b["frame_idx"],
+                         "phash": pa.array(phs, pa.int64())})
+
+    return frames.map_batches(fp, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- embeddings
 def embedding_knn(sf_dir: str):
     from .similarity import knn_bruteforce
@@ -1047,6 +1103,8 @@ QUERIES = {
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_dedup_pipeline": doc_dedup_pipeline,
     "image_embed_knn": image_embed_knn,
+    "audio_features": audio_features,
+    "video_frame_sample": video_frame_sample,
     "embedding_knn": embedding_knn,
     "embedding_knn_ivf": embedding_knn_ivf,
     "embedding_near_dup": embedding_near_dup,

@@ -210,3 +210,76 @@ def changeset_dataset(n_base: int, n_changes: int, seed: int = 43,
     return rd.range(n_changes).map_batches(
         SynthChanges(n_base, seed, n_partitions, start_seq),
         batch_format="pyarrow", batch_size=batch_size)
+
+
+# ------------------------------------------------------------- audio/video
+def make_audio_row(rid: int, seed: int, sample_rate: int = 16000,
+                   seconds: float = 1.0) -> dict:
+    """One deterministic pcmz audio clip: a sum of 2-3 seeded sine
+    tones + light noise. Pre-encode form (samples as int16)."""
+    rng = np.random.default_rng([seed, 5_000_000 + rid])
+    n = int(sample_rate * seconds)
+    t = np.arange(n) / sample_rate
+    x = np.zeros(n)
+    for _ in range(int(rng.integers(2, 4))):
+        f = float(rng.uniform(100, sample_rate / 2 * 0.8))
+        x += float(rng.uniform(0.1, 0.4)) * np.sin(2 * np.pi * f * t)
+    x += rng.normal(0, 0.01, n)
+    x = np.clip(x, -1, 1)
+    return {"media_id": f"aud-{rid:08d}", "samples": x,
+            "sample_rate": sample_rate}
+
+
+def audio_dataset(n_rows: int, seed: int = 42, sample_rate: int = 16000,
+                  seconds: float = 1.0, batch_size: int = 32):
+    """Lazy Dataset of pcmz-encoded clips:
+    (media_id, bytes, fmt, sample_rate)."""
+    import ray.data as rd
+
+    from ..codecs import pcmz
+
+    def synth(b: pa.Table) -> pa.Table:
+        rows = [make_audio_row(int(i), seed, sample_rate, seconds)
+                for i in b["id"].to_pylist()]
+        return pa.table({
+            "media_id": pa.array([r["media_id"] for r in rows]),
+            "bytes": pa.array([pcmz.encode(r["samples"]) for r in rows],
+                              pa.large_binary()),
+            "fmt": pa.array(["pcmz"] * len(rows)),
+            "sample_rate": pa.array([r["sample_rate"] for r in rows],
+                                    pa.int32()),
+        })
+
+    return rd.range(n_rows).map_batches(synth, batch_format="pyarrow",
+                                        batch_size=batch_size)
+
+
+def make_video_row(rid: int, seed: int, n_frames: int = 60,
+                   w: int = 32, h: int = 32) -> dict:
+    """One deterministic vraw clip: a seeded pattern drifting one pixel
+    per frame (frame i is frame 0 rolled by i)."""
+    rng = np.random.default_rng([seed, 7_000_000 + rid])
+    base = make_pattern(PATTERNS[rid % len(PATTERNS)], w, h, rng)
+    frames = np.stack([np.roll(base, i, axis=1) for i in range(n_frames)])
+    return {"media_id": f"vid-{rid:08d}", "frames": frames}
+
+
+def video_dataset(n_rows: int, seed: int = 42, n_frames: int = 60,
+                  w: int = 32, h: int = 32, batch_size: int = 8):
+    """Lazy Dataset of vraw-encoded clips: (media_id, bytes, fmt)."""
+    import ray.data as rd
+
+    from ..codecs import vraw
+
+    def synth(b: pa.Table) -> pa.Table:
+        rows = [make_video_row(int(i), seed, n_frames, w, h)
+                for i in b["id"].to_pylist()]
+        return pa.table({
+            "media_id": pa.array([r["media_id"] for r in rows]),
+            "bytes": pa.array([vraw.encode(r["frames"]) for r in rows],
+                              pa.large_binary()),
+            "fmt": pa.array(["vraw"] * len(rows)),
+        })
+
+    return rd.range(n_rows).map_batches(synth, batch_format="pyarrow",
+                                        batch_size=batch_size)

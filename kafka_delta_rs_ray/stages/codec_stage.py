@@ -15,10 +15,12 @@ Batch sizes stay SMALL for these stages: the ``bytes`` column dominates
 (a 256×256 RGB image is ~200 KB decoded), so batch_size is a
 bytes-budget decision, not a row-count one.
 
-Video/audio frame-sampling is a declared stub: those container formats
-need external libs this environment doesn't ship, so ``FrameSample``
-raises NotImplementedError at construction while the Ray-side plumbing
-(schema, actor signature, output layout) is real and tested.
+Audio and video run for REAL against the repo's own pure-numpy codecs
+(``pcmz`` lossless PCM, ``vraw`` raw-frame container): commercial
+container formats (mp3/aac/h264) need external libs this environment
+doesn't ship, so only the innermost decode seam is repo-local — the
+window framing, FFT filterbank, and frame demux/sample computations
+are the real ones a production pipeline runs.
 """
 
 from __future__ import annotations
@@ -131,12 +133,21 @@ class ImageEmbed:
 
 
 class AudioFeatures:
-    """STUB: audio feature extraction (e.g. log-mel frames) — audio
-    codecs need external libraries not present here. The stage contract
-    is the real one: input (media_id, bytes, fmt, sample_rate), output
-    one row per window (media_id, window_idx, features list<float>).
-    Like all media stages it belongs in an actor pool with a SMALL
-    bytes-budgeted batch_size."""
+    """Audio feature extraction: decode pcmz payloads → frame into
+    windows → Hann-windowed rFFT → log power pooled into ``n_bands``
+    log-spaced triangular bands (a mel-style filterbank, pure numpy).
+    One output row per window: (media_id, window_idx, features
+    list<float32>). Commercial container codecs (mp3/aac) need external
+    libs this environment doesn't ship, so the decode seam is the
+    repo's own lossless ``pcmz`` codec — everything downstream of
+    decode (framing, FFT, filterbank) is the real computation.
+
+    Expensive per-(sample_rate) state — the filterbank matrix and Hann
+    window — is built once and cached on the instance, which amortizes
+    per worker process (task pool) exactly like actor ``__init__``.
+    Input (media_id, bytes, fmt, sample_rate); batch_size stays small
+    (bytes-budgeted): one second of 16 kHz PCM is ~32 KB compressed,
+    ~100 windows out."""
 
     OUTPUT_SCHEMA = pa.schema([
         pa.field("media_id", pa.string()),
@@ -144,19 +155,67 @@ class AudioFeatures:
         pa.field("features", pa.list_(pa.float32())),
     ])
 
-    def __init__(self, window_ms: int = 25, hop_ms: int = 10):
-        raise NotImplementedError(
-            "audio decode requires external codec libraries; plumbing only")
+    def __init__(self, window_ms: int = 25, hop_ms: int = 10,
+                 n_bands: int = 16):
+        self.window_ms = window_ms
+        self.hop_ms = hop_ms
+        self.n_bands = n_bands
+        self._bank: dict = {}  # sample_rate -> (win, hop, hann, filters)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
-        raise NotImplementedError
+    def _plan(self, sr: int):
+        plan = self._bank.get(sr)
+        if plan is None:
+            win = max(16, sr * self.window_ms // 1000)
+            hop = max(1, sr * self.hop_ms // 1000)
+            hann = 0.5 - 0.5 * np.cos(
+                2 * np.pi * np.arange(win) / max(1, win - 1))
+            n_bins = win // 2 + 1
+            freqs = np.fft.rfftfreq(win, d=1.0 / sr)
+            # log-spaced triangular filters, 50 Hz .. Nyquist
+            edges = np.geomspace(50.0, sr / 2.0, self.n_bands + 2)
+            filt = np.zeros((self.n_bands, n_bins), np.float64)
+            for b in range(self.n_bands):
+                lo, mid, hi = edges[b], edges[b + 1], edges[b + 2]
+                up = (freqs - lo) / max(mid - lo, 1e-9)
+                down = (hi - freqs) / max(hi - mid, 1e-9)
+                filt[b] = np.clip(np.minimum(up, down), 0.0, None)
+            plan = self._bank[sr] = (win, hop, hann, filt)
+        return plan
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs import pcmz
+
+        ids, idxs, feats = [], [], []
+        for mid, buf, sr in zip(batch["media_id"].to_pylist(),
+                                binary_views(batch["bytes"]),
+                                batch["sample_rate"].to_pylist()):
+            win, hop, hann, filt = self._plan(int(sr))
+            x = pcmz.decode(buf).astype(np.float64) / 32768.0
+            if len(x) < win:
+                continue
+            n_win = 1 + (len(x) - win) // hop
+            # all windows of one clip as a strided matrix → ONE rFFT
+            frames = np.lib.stride_tricks.sliding_window_view(
+                x, win)[::hop][:n_win]
+            spec = np.abs(np.fft.rfft(frames * hann, axis=1)) ** 2
+            banded = np.log1p(spec @ filt.T).astype(np.float32)
+            ids.extend([mid] * n_win)
+            idxs.extend(range(n_win))
+            feats.extend(banded.tolist())
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "window_idx": pa.array(idxs, pa.int32()),
+            "features": pa.array(feats, pa.list_(pa.float32())),
+        })
 
 
 class FrameSample:
-    """STUB: video frame sampling — container demux needs external
-    libraries not present here. The stage contract is the real one:
-    input (media_id, bytes, fmt), output one row per sampled frame
-    (media_id, frame_idx, bytes, w, h, fmt)."""
+    """Video frame sampling: demux ``vraw`` payloads and emit every
+    ``every_n``-th frame re-encoded as a standalone rawz image row
+    (media_id, frame_idx, bytes, w, h, fmt) — appendable to an image
+    table as-is. Inter-frame commercial codecs need external libs this
+    environment doesn't ship; the demux contract (random frame access
+    by index) runs for real against the repo's own lossless container."""
 
     OUTPUT_SCHEMA = pa.schema([
         pa.field("media_id", pa.string()),
@@ -167,9 +226,28 @@ class FrameSample:
         pa.field("fmt", pa.string()),
     ])
 
-    def __init__(self, every_n: int = 30):
-        raise NotImplementedError(
-            "video demux requires external codec libraries; plumbing only")
+    def __init__(self, every_n: int = 30, out_fmt: str = "rawz"):
+        self.every_n = max(1, every_n)
+        self.out_fmt = out_fmt
 
-    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
-        raise NotImplementedError
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs import vraw
+
+        ids, idxs, bufs, ws, hs = [], [], [], [], []
+        for mid, buf in zip(batch["media_id"].to_pylist(),
+                            binary_views(batch["bytes"])):
+            frames = vraw.decode(buf)
+            for i in range(0, frames.shape[0], self.every_n):
+                ids.append(mid)
+                idxs.append(i)
+                bufs.append(encode(frames[i], self.out_fmt))
+                hs.append(int(frames.shape[1]))
+                ws.append(int(frames.shape[2]))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "bytes": pa.array(bufs, pa.large_binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array([self.out_fmt] * len(ids), pa.string()),
+        })

@@ -1,0 +1,97 @@
+"""Audio/video modality: pcmz + vraw codecs and the feature/demux
+stages (SURVEY §2 multimodal operators; the decode seam is repo-local,
+everything downstream is the real computation)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kafka_delta_rs_ray.codecs import pcmz, vraw
+from kafka_delta_rs_ray.errors import FormatError
+from kafka_delta_rs_ray.pipelines.synth import (audio_dataset,
+                                                make_video_row,
+                                                video_dataset)
+from kafka_delta_rs_ray.stages.codec_stage import AudioFeatures, FrameSample
+
+
+def test_pcmz_roundtrip_exact():
+    rng = np.random.default_rng(0)
+    a = rng.integers(-32768, 32767, 5000).astype(np.int16)
+    assert np.array_equal(pcmz.decode(pcmz.encode(a)), a)
+    # float input quantizes once, then round-trips exactly
+    f = rng.uniform(-1, 1, 1000)
+    q = pcmz.decode(pcmz.encode(f))
+    assert np.array_equal(pcmz.decode(pcmz.encode(q)), q)
+
+
+def test_pcmz_corrupt_raises():
+    with pytest.raises(FormatError):
+        pcmz.decode(b"nope")
+    good = pcmz.encode(np.zeros(100, np.int16))
+    with pytest.raises(FormatError):
+        pcmz.decode(good[:8] + b"garbage")
+
+
+def test_vraw_roundtrip_exact():
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, (7, 16, 24, 3), dtype=np.uint8)
+    assert np.array_equal(vraw.decode(vraw.encode(frames)), frames)
+    with pytest.raises(FormatError):
+        vraw.encode(frames[..., :2])  # not RGB
+    with pytest.raises(FormatError):
+        vraw.decode(b"VRW1" + b"\0" * 20)
+
+
+def test_audio_features_sine_band(ray_session):
+    """A pure 1 kHz tone's energy must land in the band containing
+    1 kHz, and the window count must match the framing arithmetic."""
+    sr, secs = 16000, 0.5
+    t = np.arange(int(sr * secs)) / sr
+    clip = pcmz.encode(0.5 * np.sin(2 * np.pi * 1000.0 * t))
+    batch = pa.table({
+        "media_id": pa.array(["tone"]),
+        "bytes": pa.array([clip], pa.large_binary()),
+        "fmt": pa.array(["pcmz"]),
+        "sample_rate": pa.array([sr], pa.int32()),
+    })
+    af = AudioFeatures(window_ms=25, hop_ms=10, n_bands=16)
+    out = af(batch)
+    win, hop = sr * 25 // 1000, sr * 10 // 1000
+    n_expected = 1 + (int(sr * secs) - win) // hop
+    assert out.num_rows == n_expected
+    feats = np.array(out["features"].to_pylist())
+    assert feats.shape == (n_expected, 16)
+    # the hottest band must be the one whose filter peaks nearest 1 kHz
+    _, _, _, filt = af._plan(sr)
+    freqs = np.fft.rfftfreq(win, d=1.0 / sr)
+    peak_freq = freqs[np.argmax(filt[np.argmax(feats.mean(axis=0))])]
+    assert 500 <= peak_freq <= 2000
+
+
+def test_audio_features_dataset_deterministic(ray_session):
+    ds = audio_dataset(3, seconds=0.25)
+    out = (ds.map_batches(AudioFeatures(), batch_format="pyarrow")
+           .to_pandas().sort_values(["media_id", "window_idx"])
+           .reset_index(drop=True))
+    out2 = (audio_dataset(3, seconds=0.25)
+            .map_batches(AudioFeatures(), batch_format="pyarrow")
+            .to_pandas().sort_values(["media_id", "window_idx"])
+            .reset_index(drop=True))
+    assert out.equals(out2)
+    assert set(out["media_id"]) == {f"aud-{i:08d}" for i in range(3)}
+    assert (out.groupby("media_id")["window_idx"].count() > 10).all()
+
+
+def test_frame_sample_indices_and_pixels(ray_session):
+    from kafka_delta_rs_ray.codecs import decode
+
+    out = (video_dataset(2, n_frames=10)
+           .map_batches(FrameSample(every_n=4), batch_format="pyarrow")
+           .to_pandas().sort_values(["media_id", "frame_idx"])
+           .reset_index(drop=True))
+    assert list(out[out["media_id"] == "vid-00000000"]["frame_idx"]) == [0, 4, 8]
+    # sampled frame pixels must equal the synthesized source frame
+    src = make_video_row(0, 42, n_frames=10)["frames"]
+    row = out[(out["media_id"] == "vid-00000000")
+              & (out["frame_idx"] == 4)].iloc[0]
+    assert np.array_equal(decode(row["bytes"], row["fmt"]), src[4])
+    assert row["fmt"] == "rawz" and row["w"] == 32 and row["h"] == 32

@@ -200,11 +200,13 @@ def test_resize_transcode_stage(ray_session):
         assert r["w"] == 32 and r["h"] == 32
 
 
-def test_frame_sample_is_declared_stub():
+def test_frame_sample_output_schema_contract():
+    # FrameSample is REAL since the vraw codec landed (test_media.py
+    # covers demux/sampling); here just pin the output-schema contract
     from kafka_delta_rs_ray.stages.codec_stage import FrameSample
 
-    with pytest.raises(NotImplementedError):
-        FrameSample()
+    names = [f.name for f in FrameSample.OUTPUT_SCHEMA]
+    assert names == ["media_id", "frame_idx", "bytes", "w", "h", "fmt"]
 
 
 def test_changeset_source_schema_first(ray_session, tmp_path):
