@@ -377,7 +377,7 @@ def run_scaling_sharded() -> dict:
     def spawn(env):
         return subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--lifecycle-only"],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, cwd=os.path.dirname(os.path.abspath(__file__)))
 
     def env_for(seed: int) -> dict:
@@ -387,7 +387,11 @@ def run_scaling_sharded() -> dict:
                     GRAFT_SYNTH_SEED=str(seed))
 
     def res(proc) -> dict:
-        out, _ = proc.communicate()
+        out, err = proc.communicate()
+        if proc.returncode != 0 or not out.strip():
+            raise RuntimeError(
+                f"shard subprocess failed (exit {proc.returncode}); "
+                f"stderr tail: {err[-2000:] if err else '<empty>'}")
         return json.loads(out.strip().splitlines()[-1])
 
     reps = []

@@ -18,10 +18,17 @@ from __future__ import annotations
 import numpy as np
 
 from ..errors import FormatError
-from . import dctq, rawz
+from . import dctq, pcmz, rawz, vraw
 
-_ENCODERS = {"rawz": rawz.encode, "dctq": dctq.encode}
-_DECODERS = {"rawz": rawz.decode, "dctq": dctq.decode}
+# One registry across modalities, keyed by the table's ``fmt`` column:
+# rawz/dctq decode to (h, w, 3) images, pcmz to 1-D int16 samples, vraw
+# to (n, h, w, 3) frame stacks — callers know their modality's shape;
+# an image-validation stage rejects a 1-D pcmz array at the dimension
+# check, so cross-modality rows still dead-letter cleanly.
+_ENCODERS = {"rawz": rawz.encode, "dctq": dctq.encode,
+             "pcmz": pcmz.encode, "vraw": vraw.encode}
+_DECODERS = {"rawz": rawz.decode, "dctq": dctq.decode,
+             "pcmz": pcmz.decode, "vraw": vraw.decode}
 
 FORMATS = tuple(_ENCODERS)
 

@@ -38,7 +38,7 @@ def decode(buf: bytes) -> np.ndarray:
         raw = zlib.decompress(buf[8:])
     except zlib.error as e:
         raise FormatError(f"pcmz: corrupt stream: {e}") from None
-    a = np.frombuffer(raw, dtype="<i2")
-    if len(a) != n:
-        raise FormatError(f"pcmz: length mismatch: header {n}, got {len(a)}")
-    return a.astype(np.int16)
+    if len(raw) != 2 * n:
+        raise FormatError(f"pcmz: length mismatch: header says {2 * n} B, "
+                          f"got {len(raw)}")
+    return np.frombuffer(raw, dtype="<i2").astype(np.int16)

@@ -135,13 +135,17 @@ def _dup_seq_rows(g: pa.Table) -> pa.Table:
         pa.array(dup))
 
 
-def _seq_losers(validated, n_buckets: int, n_rows: int | None = None) -> set:
+def _seq_losers(validated, n_buckets: int,
+                n_rows: int | None = None) -> dict:
     """Rows violating the OFFSET uniqueness domain — the reference's
     HashSet<i64> over offsets (src/pipeline/mod.rs:58-80), scoped to
     (partition_id, seq) because independent sources own independent
-    seq spaces (SURVEY §1.2). Returns the LOSER identity set
-    {(partition_id, seq, image_id)}: every row of a duplicated
-    (partition_id, seq) except the lowest-image_id one.
+    seq spaces (SURVEY §1.2). Returns {(partition_id, seq, image_id):
+    n_losing_copies} — a COUNT per identity, not a set, because an
+    exactly-redelivered row (same partition, seq AND key) produces
+    copies that share the full triple; the count says how many copies
+    lose while exactly one survives (the reference's skip-if-seen
+    keeps the first copy).
 
     Scale shape: duplicate detection touches only the three slim
     identity columns (~20 B/row), never the image payloads. A
@@ -149,20 +153,22 @@ def _seq_losers(validated, n_buckets: int, n_rows: int | None = None) -> set:
     normal case; the driver already holds its changed-key set) takes
     the driver fast path: one streamed pass over the slim columns and
     a local sort, no shuffle execution at all. Larger changesets run
-    the distributed bucketed groupby. The loser set itself is
+    the distributed bucketed groupby. The loser map itself is
     duplicate-sized, typically empty."""
+    from collections import Counter
+
     slim = validated.select_columns(["partition_id", "seq", "image_id"])
 
-    out = set()
+    out: Counter = Counter()
     if n_rows is not None and n_rows <= SEQ_LOSER_DRIVER_MAX:
         parts = [b for b in slim.iter_batches(batch_format="pyarrow",
                                               batch_size=None) if b.num_rows]
         if not parts:
-            return out
+            return dict(out)
         dup = _dup_seq_rows(pa.concat_tables(parts))
         out.update(zip(dup["partition_id"].to_pylist(),
                        dup["seq"].to_pylist(), dup["image_id"].to_pylist()))
-        return out
+        return dict(out)
 
     bucketed = slim.map_batches(lambda b: _seq_bucket(b, n_buckets),
                                 batch_format="pyarrow")
@@ -173,20 +179,27 @@ def _seq_losers(validated, n_buckets: int, n_rows: int | None = None) -> set:
               .iter_batches(batch_format="pyarrow", batch_size=None)):
         out.update(zip(b["partition_id"].to_pylist(),
                        b["seq"].to_pylist(), b["image_id"].to_pylist()))
-    return out
+    return dict(out)
 
 
-def _repair_seq_losers(validated, deduped, losers: set, n_buckets: int):
+def _repair_seq_losers(validated, deduped, losers: dict, n_buckets: int):
     """Fix-up for the optimistic dual-domain dedup: the key-domain
     first-wins shuffle runs CONCURRENTLY with seq-duplicate detection
     (losers are normally empty, so the slim seq pass stays off the
     critical path). When losers DO exist, the sequential semantics —
     drop seq-domain losers FIRST, then keep the lowest surviving seq
     per key — may differ for exactly the keys that own a loser row, so
-    those keys' winners are recomputed here: re-collect the affected
-    keys' raw rows (bounded by the duplicate count, tiny), drop the
-    loser triples, first-wins the remainder, and splice the result
-    over the optimistic output.
+    those keys' winners are recomputed here in three bounded steps:
+
+    1. collect the affected keys' SLIM identity rows (~20 B/row on the
+       driver — never payloads, so a hot key redelivered millions of
+       times costs megabytes, not its payload bytes);
+    2. subtract the per-triple loser COUNTS (an exact-duplicate triple
+       keeps ``copies - losses`` survivors, i.e. the one first-seen
+       copy) and pick each key's winner identity = min (seq,
+       partition_id) among survivors;
+    3. fetch ONE full row per winner identity with a distributed
+       filter and splice those over the optimistic output.
     """
     import ray
     import ray.data as rd
@@ -206,23 +219,70 @@ def _repair_seq_losers(validated, deduped, losers: set, n_buckets: int):
             m = pc.is_in(b["image_id"], value_set=self._keys)
             return b.filter(pc.invert(m) if self.invert else m)
 
-    parts = [b for b in (validated
-                         .map_batches(_PickKeys(invert=False),
-                                      batch_format="pyarrow")
-                         .iter_batches(batch_format="pyarrow",
-                                       batch_size=None))
-             if b.num_rows]
-    rows = pa.concat_tables(parts)
-    trip = set(losers)
-    keep = [(p, s, k) not in trip
-            for p, s, k in zip(rows["partition_id"].to_pylist(),
-                               rows["seq"].to_pylist(),
-                               rows["image_id"].to_pylist())]
-    repl = _first_wins(_add_bucket(rows.filter(pa.array(keep)), n_buckets))
+    # 1: slim identities of affected keys only
+    slim_parts = [b for b in (validated
+                              .select_columns(["partition_id", "seq",
+                                               "image_id"])
+                              .map_batches(_PickKeys(invert=False),
+                                           batch_format="pyarrow")
+                              .iter_batches(batch_format="pyarrow",
+                                            batch_size=None))
+                  if b.num_rows]
+    slim = pa.concat_tables(slim_parts)
 
+    # 2: survivors per triple = copies - losses; winner per key
+    from collections import Counter
+
+    copies = Counter(zip(slim["partition_id"].to_pylist(),
+                         slim["seq"].to_pylist(),
+                         slim["image_id"].to_pylist()))
+    winners: dict = {}  # image_id -> (seq, partition_id)
+    for trip, n in copies.items():
+        if n - losers.get(trip, 0) <= 0:
+            continue  # every copy of this identity lost
+        p, s, k = trip
+        cur = winners.get(k)
+        if cur is None or (s, p) < cur:
+            winners[k] = (s, p)
+    win_ref = ray.put(winners)
+
+    class _PickWinners:
+        """Distributed fetch of full rows matching winner identities;
+        exact-duplicate copies are collapsed to one per batch here and
+        across batches on the driver."""
+
+        def __init__(self):
+            self._w = None
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if self._w is None:
+                self._w = ray.get(win_ref)
+            keep = np.zeros(b.num_rows, dtype=bool)
+            seen = set()
+            ks = b["image_id"].to_pylist()
+            ss = b["seq"].to_numpy(zero_copy_only=False)
+            ps = b["partition_id"].to_numpy(zero_copy_only=False)
+            for i, k in enumerate(ks):
+                ident = self._w.get(k)
+                if (ident is not None and k not in seen
+                        and ident == (ss[i], ps[i])):
+                    keep[i] = True
+                    seen.add(k)
+            return b.filter(pa.array(keep))
+
+    fetched = [b for b in (validated
+                           .map_batches(_PickWinners(),
+                                        batch_format="pyarrow")
+                           .iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+               if b.num_rows]
     kept = deduped.map_batches(_PickKeys(invert=True),
                                batch_format="pyarrow")
-    if repl.num_rows:
+    if fetched:
+        repl = pa.concat_tables(fetched)
+        # exact-duplicate winner copies may arrive from several blocks;
+        # keep one per key (they share the full identity triple)
+        repl = _first_wins(_add_bucket(repl, n_buckets))
         repl = repl.select(deduped.schema().names)
         kept = kept.union(rd.from_arrow(repl))
     return kept.materialize()

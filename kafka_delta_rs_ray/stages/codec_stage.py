@@ -183,14 +183,15 @@ class AudioFeatures:
         return plan
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..codecs import pcmz
-
         ids, idxs, feats = [], [], []
-        for mid, buf, sr in zip(batch["media_id"].to_pylist(),
-                                binary_views(batch["bytes"]),
-                                batch["sample_rate"].to_pylist()):
+        for mid, buf, fmt, sr in zip(batch["media_id"].to_pylist(),
+                                     binary_views(batch["bytes"]),
+                                     batch["fmt"].to_pylist(),
+                                     batch["sample_rate"].to_pylist()):
             win, hop, hann, filt = self._plan(int(sr))
-            x = pcmz.decode(buf).astype(np.float64) / 32768.0
+            # registry dispatch on the row's fmt (P3 pluggable seam) —
+            # an unknown fmt raises FormatError for the dead-letter path
+            x = decode(buf, fmt).astype(np.float64) / 32768.0
             if len(x) < win:
                 continue
             n_win = 1 + (len(x) - win) // hop
@@ -231,12 +232,11 @@ class FrameSample:
         self.out_fmt = out_fmt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..codecs import vraw
-
         ids, idxs, bufs, ws, hs = [], [], [], [], []
-        for mid, buf in zip(batch["media_id"].to_pylist(),
-                            binary_views(batch["bytes"])):
-            frames = vraw.decode(buf)
+        for mid, buf, fmt in zip(batch["media_id"].to_pylist(),
+                                 binary_views(batch["bytes"]),
+                                 batch["fmt"].to_pylist()):
+            frames = decode(buf, fmt)  # registry dispatch on fmt
             for i in range(0, frames.shape[0], self.every_n):
                 ids.append(mid)
                 idxs.append(i)

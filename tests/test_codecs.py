@@ -45,9 +45,16 @@ def test_unknown_fmt_raises():
 
 
 def test_corrupt_payload_raises():
-    img = np.zeros((16, 16, 3), np.uint8)
+    # the registry spans modalities: each fmt gets its modality's payload
+    payloads = {
+        "rawz": np.zeros((16, 16, 3), np.uint8),
+        "dctq": np.zeros((16, 16, 3), np.uint8),
+        "pcmz": np.zeros(256, np.int16),
+        "vraw": np.zeros((4, 16, 16, 3), np.uint8),
+    }
+    assert set(payloads) == set(FORMATS)
     for fmt in FORMATS:
-        buf = encode(img, fmt)
+        buf = encode(payloads[fmt], fmt)
         truncated = buf[: len(buf) // 2]
         with pytest.raises(FormatError):
             decode(truncated, fmt)

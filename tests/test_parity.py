@@ -81,6 +81,37 @@ def test_seq_loser_winner_falls_back_to_next_row(table):
     assert rows["new-c"] == "c survivor"
 
 
+def test_exact_duplicate_row_survives_once(table):
+    """At-least-once redelivery of the SAME row (same partition, seq
+    AND key) must apply the row once, not drop it entirely — the loser
+    identity is counted, not set-membership (a set cannot distinguish
+    the surviving copy from the losing copies of one triple)."""
+    ch = rd.from_arrow(pa.Table.from_pylist(
+        [_chrow("new-x", 500, "copy 1"),
+         _chrow("new-x", 500, "copy 2")],
+        schema=CHANGESET_SCHEMA))
+    merge(table, ch, app_id="exact-dup")
+    t = table.snapshot().to_arrow()
+    rows = [r for r in t.to_pylist() if r["image_id"] == "new-x"]
+    assert len(rows) == 1
+    assert rows[0]["caption"] in ("copy 1", "copy 2")
+
+
+def test_exact_duplicate_does_not_shadow_lower_seq(table):
+    """With an exact-duplicate pair at seq 500 plus a seq-9 row for the
+    same key, the key domain must keep the seq-9 row (the duplicate
+    pair resolves to one survivor, which then loses the key domain)."""
+    ch = rd.from_arrow(pa.Table.from_pylist(
+        [_chrow("new-y", 500, "late copy 1"),
+         _chrow("new-y", 500, "late copy 2"),
+         _chrow("new-y", 9, "early winner")],
+        schema=CHANGESET_SCHEMA))
+    merge(table, ch, app_id="exact-dup-shadow")
+    t = table.snapshot().to_arrow()
+    rows = [r for r in t.to_pylist() if r["image_id"] == "new-y"]
+    assert len(rows) == 1 and rows[0]["caption"] == "early winner"
+
+
 def test_seq_losers_distributed_matches_driver_path(ray_session):
     """The >2M-row distributed groupby path must produce the same
     loser set as the driver fast path on any input."""
