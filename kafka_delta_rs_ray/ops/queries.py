@@ -399,6 +399,84 @@ def supplier_counts_by_region_sql() -> str:
     """
 
 
+def orders_lineitem_revenue(sf_dir: str):
+    """Fact-fact hash-partition JOIN (the shape broadcast joins can't
+    cover: BOTH sides are table-sized at 100 TB): revenue per order
+    priority. Canonical decomposition — each side pre-aggregates /
+    projects to slim columns per batch, both are bucketed on the join
+    key, ONE cogroup shuffle joins them per bucket with a vectorized
+    pandas merge, and the final priority rollup is a tiny groupby.
+    Neither table's full width ever crosses the wire; the exchange
+    carries (orderkey, rev) and (orderkey, priority) only."""
+    from ray.data.aggregate import Sum
+
+    N_BUCKETS = 64
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # pre-aggregate BEFORE the shuffle: one row per orderkey per
+        # batch, not one per lineitem
+        b = b.assign(rev=b["l_extendedprice"] * (1 - b["l_discount"]))
+        g = (b.groupby("l_orderkey", as_index=False)
+             .agg(rev=("rev", "sum")))
+        g["bucket"] = (g["l_orderkey"] % N_BUCKETS).astype("int32")
+        g["o_orderpriority"] = None
+        return g.rename(columns={"l_orderkey": "orderkey"})
+
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def od_slim(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "orderkey": b["o_orderkey"],
+            "rev": np.nan,
+            "bucket": (b["o_orderkey"] % N_BUCKETS).astype("int32"),
+            "o_orderpriority": b["o_orderpriority"],
+        })
+
+    tagged = (li.map_batches(li_partial, batch_format="pandas",
+                             batch_size=None)
+              .union(od.map_batches(od_slim, batch_format="pandas",
+                                    batch_size=None)))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = (g[g["o_orderpriority"].isna()]
+                .groupby("orderkey", as_index=False).agg(rev=("rev", "sum")))
+        right = g[g["o_orderpriority"].notna()][["orderkey",
+                                                 "o_orderpriority"]]
+        j = left.merge(right, on="orderkey", how="inner")
+        return (j.groupby("o_orderpriority", as_index=False)
+                .agg(n_orders=("orderkey", "size"), revenue=("rev", "sum")))
+
+    out = (tagged.groupby("bucket")
+           .map_groups(join_bucket, batch_format="pandas")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("revenue", alias_name="revenue")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_orders"] = b["n_orders"].astype("int64")
+        b["revenue"] = b["revenue"].round(2)
+        return b
+
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def orders_lineitem_revenue_sql() -> str:
+    # same two-level aggregation nesting as the Ray plan (per-order
+    # first) so float summation error stays below the rounding grain
+    return """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(rev), 2) AS revenue
+        FROM (SELECT l_orderkey,
+                     sum(l_extendedprice * (1 - l_discount)) AS rev
+              FROM lineitem GROUP BY l_orderkey) li
+        JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """
+
+
 # -------------------------------------------------------------- documents
 def doc_token_stats(sf_dir: str):
     from .textops import TokenCount
@@ -1091,6 +1169,7 @@ QUERIES = {
     "lineitem_pricing_summary": lineitem_pricing_summary,
     "top_customers": top_customers,
     "supplier_counts_by_region": supplier_counts_by_region,
+    "orders_lineitem_revenue": orders_lineitem_revenue,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_exact_dedup": doc_exact_dedup,
@@ -1122,6 +1201,7 @@ ORACLES = {
     "lineitem_pricing_summary": lineitem_pricing_summary_sql(),
     "top_customers": top_customers_sql(),
     "supplier_counts_by_region": supplier_counts_by_region_sql(),
+    "orders_lineitem_revenue": orders_lineitem_revenue_sql(),
     "doc_token_stats": doc_token_stats_sql(),
     "doc_quality": doc_quality_sql(),
     "doc_exact_dedup": doc_exact_dedup_sql(),
