@@ -477,6 +477,57 @@ def orders_lineitem_revenue_sql() -> str:
     """
 
 
+def events_distinct_users_hll(sf_dir: str):
+    """Approximate distinct users via a HyperLogLog sketch (2^12
+    registers): every block folds its user_ids into a 4 KB register
+    array, arrays merge by element-wise max in any order, one tiny
+    reduce yields the estimate. The exact version
+    (events_distinct_users) needs a key shuffle; the sketch exchanges
+    4 KB per block regardless of row count — the 10^12-row shape.
+    Rows-only check (approximate by design); accuracy vs exact is
+    pinned in tests (HLL p=12 → ~1.6% standard error)."""
+    from ..functions import hll
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def sketch(b: pa.Table) -> pa.Table:
+        regs = hll.empty_registers(12)
+        hll.add_hashed(regs, b["user_id"].to_numpy(zero_copy_only=False), 12)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = hll.empty_registers(12)
+    for b in (ds.map_batches(sketch, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        for buf in b["regs"].to_pylist():
+            merged = hll.merge(merged, np.frombuffer(buf, np.uint8))
+    return pa.table({"n_users_approx":
+                     pa.array([int(round(hll.estimate(merged)))],
+                              pa.int64())})
+
+
+def doc_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling — a training-data staple:
+    per-language keep rates (1-in-4 for 'en', 1-in-8 otherwise) applied
+    as a pure modulus predicate on doc_id, so the sample is exactly
+    reproducible, embarrassingly parallel (a vectorized filter per
+    batch, no shuffle, no RNG state), and SQL-expressible for the
+    oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        rate = np.where(b["lang"] == "en", 4, 8)
+        return b[b["doc_id"] % rate == 0]
+
+    return ds.map_batches(pick, batch_format="pandas", batch_size=None)
+
+
+def doc_stratified_sample_sql() -> str:
+    return """
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id % (CASE WHEN lang = 'en' THEN 4 ELSE 8 END) = 0
+    """
+
+
 # -------------------------------------------------------------- documents
 def doc_token_stats(sf_dir: str):
     from .textops import TokenCount
@@ -1170,6 +1221,8 @@ QUERIES = {
     "top_customers": top_customers,
     "supplier_counts_by_region": supplier_counts_by_region,
     "orders_lineitem_revenue": orders_lineitem_revenue,
+    "events_distinct_users_hll": events_distinct_users_hll,
+    "doc_stratified_sample": doc_stratified_sample,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_exact_dedup": doc_exact_dedup,
@@ -1202,6 +1255,7 @@ ORACLES = {
     "top_customers": top_customers_sql(),
     "supplier_counts_by_region": supplier_counts_by_region_sql(),
     "orders_lineitem_revenue": orders_lineitem_revenue_sql(),
+    "doc_stratified_sample": doc_stratified_sample_sql(),
     "doc_token_stats": doc_token_stats_sql(),
     "doc_quality": doc_quality_sql(),
     "doc_exact_dedup": doc_exact_dedup_sql(),

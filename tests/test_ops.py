@@ -333,3 +333,44 @@ def test_doc_dedup_pipeline_first_wins(ray_session):
     assert 10 in out and 11 not in out
     assert 4 in out and 5 in out              # unrelated docs survive
     assert len(out) < 12
+
+
+def test_hll_sketch_accuracy_and_merge_order():
+    """HLL estimate within ~3x standard error of truth, and register
+    merge is order-independent (the property the distributed reduce
+    relies on)."""
+    import numpy as np
+
+    from kafka_delta_rs_ray.functions import hll
+
+    rng = np.random.default_rng(7)
+    keys = rng.choice(2**40, size=50_000, replace=False).astype(np.int64)
+    parts = np.array_split(keys, 7)
+    regs = [hll.empty_registers(12) for _ in parts]
+    for r, p in zip(regs, parts):
+        hll.add_hashed(r, p, 12)
+    fwd = regs[0]
+    for r in regs[1:]:
+        fwd = hll.merge(fwd, r)
+    rev = regs[-1]
+    for r in regs[-2::-1]:
+        rev = hll.merge(rev, r)
+    assert np.array_equal(fwd, rev)
+    est = hll.estimate(fwd)
+    assert abs(est - 50_000) / 50_000 < 0.05  # p=12 → ~1.6% stderr
+
+
+def test_hll_query_close_to_exact(ray_session):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from kafka_delta_rs_ray.ops.queries import events_distinct_users_hll
+
+    sf = "/root/testdata/sf0.001"
+    approx = events_distinct_users_hll(sf)["n_users_approx"][0].as_py()
+    exact = len(pc.unique(
+        pq.read_table(f"{sf}/events.parquet", columns=["user_id"])
+        ["user_id"].combine_chunks()))
+    assert exact > 0
+    # linear-counting regime at tiny cardinality is near-exact
+    assert abs(approx - exact) <= max(2, 0.05 * exact)
