@@ -375,10 +375,17 @@ def run_scaling_sharded() -> dict:
     real 4-node clusters do not share. Efficiency = T_single /
     T_slowest_shard (the slowest shard gates a real fleet)."""
     def spawn(env):
-        return subprocess.Popen(
+        # stderr goes to an unlinked temp FILE, not a pipe: four
+        # concurrent children reaped sequentially would block on a
+        # full 64 KB stderr pipe mid-benchmark (Ray log chatter),
+        # inflating the very timings the probe measures
+        errf = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
+        proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--lifecycle-only"],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env, stdout=subprocess.PIPE, stderr=errf,
             text=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        proc._errf = errf
+        return proc
 
     def env_for(seed: int) -> dict:
         return dict(os.environ, RAY_GRAFT_CPUS="8",
@@ -387,18 +394,35 @@ def run_scaling_sharded() -> dict:
                     GRAFT_SYNTH_SEED=str(seed))
 
     def res(proc) -> dict:
-        out, err = proc.communicate()
+        out, _ = proc.communicate()
+        errf = proc._errf
+        errf.seek(0)
+        err = errf.read()
+        errf.close()
         if proc.returncode != 0 or not out.strip():
             raise RuntimeError(
                 f"shard subprocess failed (exit {proc.returncode}); "
                 f"stderr tail: {err[-2000:] if err else '<empty>'}")
         return json.loads(out.strip().splitlines()[-1])
 
+    def res_all(procs) -> list:
+        """Reap every child before surfacing any failure — an early
+        raise must not leave concurrent 8-CPU Ray instances running."""
+        results, errors = [], []
+        for p in procs:
+            try:
+                results.append(res(p))
+            except Exception as e:
+                errors.append(e)
+        if errors:
+            raise errors[0]
+        return results
+
     reps = []
     for rep in range(2):
         single = res(spawn(env_for(100 + rep)))
         procs = [spawn(env_for(200 + 10 * rep + i)) for i in range(4)]
-        shards = [res(p) for p in procs]
+        shards = res_all(procs)
         reps.append({"t_single": single["lifecycle_sec"], "t_shards": sorted(
             round(s["lifecycle_sec"], 3) for s in shards)})
     # best-of per ARM (same policy as --scaling): a noisy-window single

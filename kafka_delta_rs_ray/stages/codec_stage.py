@@ -190,8 +190,14 @@ class AudioFeatures:
                                      batch["sample_rate"].to_pylist()):
             win, hop, hann, filt = self._plan(int(sr))
             # registry dispatch on the row's fmt (P3 pluggable seam) —
-            # an unknown fmt raises FormatError for the dead-letter path
-            x = decode(buf, fmt).astype(np.float64) / 32768.0
+            # unknown fmt raises FormatError for the dead-letter path
+            x = decode(buf, fmt)
+            if x.ndim != 1:
+                # a decodable wrong-modality payload (image/video fmt)
+                # must dead-letter too, not crash the framing below
+                raise FormatError(
+                    f"{fmt}: not an audio payload (shape {x.shape})")
+            x = x.astype(np.float64) / 32768.0
             if len(x) < win:
                 continue
             n_win = 1 + (len(x) - win) // hop
@@ -237,6 +243,9 @@ class FrameSample:
                                  binary_views(batch["bytes"]),
                                  batch["fmt"].to_pylist()):
             frames = decode(buf, fmt)  # registry dispatch on fmt
+            if frames.ndim != 4 or frames.shape[3] != 3:
+                raise FormatError(
+                    f"{fmt}: not a video payload (shape {frames.shape})")
             for i in range(0, frames.shape[0], self.every_n):
                 ids.append(mid)
                 idxs.append(i)

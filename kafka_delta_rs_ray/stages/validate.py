@@ -101,6 +101,14 @@ class ValidateImages:
                 continue
             try:
                 img = decode(bufs[i], fmts[i])
+                # modality gate: the registry spans audio/video too, so
+                # a decodable non-image payload (1-D pcmz samples, 4-D
+                # vraw frames) must dead-letter, not slip through or
+                # crash the shape checks below
+                if img.ndim != 3 or img.shape[2] != 3:
+                    raise FormatError(
+                        f"{fmts[i]}: not an image payload "
+                        f"(shape {img.shape})")
                 if self.check_pixels and (img.shape[0] != hs[i]
                                           or img.shape[1] != ws[i]):
                     raise FormatError(

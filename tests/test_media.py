@@ -95,3 +95,50 @@ def test_frame_sample_indices_and_pixels(ray_session):
               & (out["frame_idx"] == 4)].iloc[0]
     assert np.array_equal(decode(row["bytes"], row["fmt"]), src[4])
     assert row["fmt"] == "rawz" and row["w"] == 32 and row["h"] == 32
+
+def test_cross_modality_payloads_dead_letter(ray_session, tmp_path):
+    """The fmt registry spans modalities, so a decodable WRONG-modality
+    payload must hit the FormatError dead-letter path everywhere, never
+    crash a stage or slip through validation."""
+    from kafka_delta_rs_ray.stages.validate import ValidateImages
+
+    audio_buf = pcmz.encode(np.zeros(16, np.int16))
+    video_buf = vraw.encode(np.zeros((2, 4, 4, 3), np.uint8))
+    image_buf = __import__(
+        "kafka_delta_rs_ray.codecs", fromlist=["encode"]).encode(
+        np.zeros((4, 4, 3), np.uint8), "rawz")
+
+    # image validation quarantines audio/video payloads (both with and
+    # without the pixel-dimension check)
+    for check_pixels in (True, False):
+        vi = ValidateImages(str(tmp_path), check_pixels=check_pixels,
+                            retry_backoff_secs=0.0)
+        bad = pa.table({
+            "image_id": pa.array(["a", "v"]),
+            "bytes": pa.array([audio_buf, video_buf], pa.large_binary()),
+            "w": pa.array([16, 4], pa.int32()),
+            "h": pa.array([1, 4], pa.int32()),
+            "fmt": pa.array(["pcmz", "vraw"]),
+            "caption": pa.array(["x", "y"]),
+            "phash": pa.array([0, 0], pa.int64()),
+        })
+        assert vi(bad).num_rows == 0
+
+    # audio stage rejects image/video payloads with FormatError
+    af = AudioFeatures()
+    for buf, fmt in ((image_buf, "rawz"), (video_buf, "vraw")):
+        b = pa.table({"media_id": pa.array(["m"]),
+                      "bytes": pa.array([buf], pa.large_binary()),
+                      "fmt": pa.array([fmt]),
+                      "sample_rate": pa.array([16000], pa.int32())})
+        with pytest.raises(FormatError):
+            af(b)
+
+    # video stage rejects audio/image payloads with FormatError
+    fs = FrameSample(every_n=1)
+    for buf, fmt in ((audio_buf, "pcmz"), (image_buf, "rawz")):
+        b = pa.table({"media_id": pa.array(["m"]),
+                      "bytes": pa.array([buf], pa.large_binary()),
+                      "fmt": pa.array([fmt])})
+        with pytest.raises(FormatError):
+            fs(b)
