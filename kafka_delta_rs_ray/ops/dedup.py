@@ -531,11 +531,41 @@ def simhash64(text: str) -> int:
     return int(batch_simhash64([text])[0])
 
 
+def _n_block_groups(n_docs: int) -> int:
+    """Shuffle-group count for the 16-bit-block LSH variants (4 block
+    rows per doc, vs N_BANDS for minhash) — same TARGET_GROUP_ROWS
+    budget as _n_groups."""
+    return int(min(MAX_GROUPS,
+                   max(64, n_docs * 4 // TARGET_GROUP_ROWS)))
+
+
+def _block_bucket(block_id: np.ndarray, block_val: np.ndarray,
+                  n_groups: int) -> np.ndarray:
+    """Hash (block_id, block_val) into one of ``n_groups`` int32
+    shuffle buckets — the _bands_table recipe applied to block LSH.
+    groupby("block_id") alone has FOUR distinct keys, so each
+    map_groups task would receive ~corpus/4 rows (a whole-corpus
+    materialization per task at scale); bucketing by the (position,
+    value) pair keeps groups ~TARGET_GROUP_ROWS while still
+    co-locating all rows of one (block_id, block_val) — the only
+    correctness requirement."""
+    with np.errstate(over="ignore"):
+        mix = (block_val.astype(np.uint64)
+               | (block_id.astype(np.uint64) << np.uint64(16)))
+        mix = _avalanche64(mix * np.uint64(0x9E3779B97F4A7C15))
+    return (mix % np.uint64(n_groups)).astype(np.int32)
+
+
 class SimhashBlocks:
-    """doc → 4 rows (block_id, block_val, doc_id, simhash): any pair
-    within Hamming distance 3 shares at least one exact 16-bit block
-    (pigeonhole), so blocking finds all near pairs. Fully vectorized:
-    batch simhash, then a 4-way repeat/tile for the block rows."""
+    """doc → 4 rows (bucket, block_id, block_val, doc_id, simhash): any
+    pair within Hamming distance 3 shares at least one exact 16-bit
+    block (pigeonhole), so blocking finds all near pairs. Fully
+    vectorized: batch simhash, then a 4-way repeat/tile for the block
+    rows; ``bucket`` = hash(block_id, block_val) % n_groups is the
+    scale-safe shuffle key (see _block_bucket)."""
+
+    def __init__(self, n_groups: int = 64):
+        self.n_groups = n_groups
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -547,6 +577,8 @@ class SimhashBlocks:
                                       * np.arange(4, dtype=np.uint64)[None, :]))
                      & np.uint64(0xFFFF)).astype(np.int32).reshape(-1)
         return pa.table({
+            "bucket": pa.array(_block_bucket(block_id, block_val,
+                                             self.n_groups)),
             "block_id": pa.array(block_id),
             "block_val": pa.array(block_val),
             "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
@@ -555,16 +587,18 @@ class SimhashBlocks:
 
 
 def _block_pairs(g: pd.DataFrame, max_dist: int) -> pd.DataFrame:
-    """One BLOCK position's rows → Hamming-verified pairs (inner
-    vectorized groupby over block_val; single-doc buckets filtered)."""
-    g = g.drop_duplicates("doc_id")
-    g = g[g["block_val"].duplicated(keep=False)]
+    """One shuffle bucket's block rows → Hamming-verified pairs (inner
+    vectorized groupby over (block_id, block_val); single-doc buckets
+    filtered). A bucket holds many (block_id, block_val) combinations
+    — sub-grouping on the pair keeps verification per exact block."""
+    g = g.drop_duplicates(["block_id", "block_val", "doc_id"])
+    g = g[g.duplicated(["block_id", "block_val"], keep=False)]
     if g.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
                              "hamming": pd.Series([], dtype="int64")})
     out = {"doc_a": [], "doc_b": [], "hamming": []}
-    for _, grp in g.groupby("block_val", sort=False):
+    for _, grp in g.groupby(["block_id", "block_val"], sort=False):
         grp = grp.sort_values("doc_id")
         hs = grp["simhash"].to_numpy().astype(np.int64).view(np.uint64)
         ids = grp["doc_id"].to_numpy()
@@ -580,10 +614,16 @@ def _block_pairs(g: pd.DataFrame, max_dist: int) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def simhash_pairs(docs_ds, max_dist: int = 3):
+def simhash_pairs(docs_ds, max_dist: int = 3, n_docs: int | None = None):
+    """``n_docs``: sizing hint for the shuffle-group count; when None
+    it is taken from ``docs_ds.count()`` (metadata-cheap on parquet
+    reads — pass it explicitly when the input carries transforms)."""
+    if n_docs is None:
+        n_docs = docs_ds.count()
+    n_groups = _n_block_groups(n_docs)
     pairs = (docs_ds
-             .map_batches(SimhashBlocks(), batch_format="pyarrow")
-             .groupby("block_id")
+             .map_batches(SimhashBlocks(n_groups), batch_format="pyarrow")
+             .groupby("bucket")
              .map_groups(lambda g: _block_pairs(g, max_dist),
                          batch_format="pandas"))
     return _dedup_pairs(pairs, ["hamming"], empty=pd.DataFrame(
@@ -761,10 +801,14 @@ def embedding_near_dup(emb_ds, threshold: float = 0.95,
 
 # ------------------------------------------------- image phash near-dup
 class PhashBlocks:
-    """Image row → 4 rows (block_id, block_val, image_id, phash) —
-    the SimHash 16-bit-block pigeonhole applied to the image table's
-    perceptual hash column. Fully vectorized: phash is already an
-    int64 column, so banding is numpy shifts, no per-row Python."""
+    """Image row → 4 rows (bucket, block_id, block_val, image_id,
+    phash) — the SimHash 16-bit-block pigeonhole applied to the image
+    table's perceptual hash column. Fully vectorized: phash is already
+    an int64 column, so banding is numpy shifts, no per-row Python;
+    ``bucket`` is the scale-safe shuffle key (see _block_bucket)."""
+
+    def __init__(self, n_groups: int = 64):
+        self.n_groups = n_groups
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ph = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -773,9 +817,11 @@ class PhashBlocks:
         ids = batch["image_id"]
         parts = []
         for b in range(4):
+            bid = np.full(n, b, dtype=np.int32)
             bv = ((phu >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int32)
             parts.append(pa.table({
-                "block_id": pa.array(np.full(n, b, dtype=np.int32)),
+                "bucket": pa.array(_block_bucket(bid, bv, self.n_groups)),
+                "block_id": pa.array(bid),
                 "block_val": pa.array(bv),
                 "image_id": ids,
                 "phash": pa.array(ph, pa.int64()),
@@ -784,15 +830,15 @@ class PhashBlocks:
 
 
 def _phash_block_pairs(g: pd.DataFrame, max_dist: int) -> pd.DataFrame:
-    g = g.drop_duplicates("image_id")
-    g = g[g["block_val"].duplicated(keep=False)]
+    g = g.drop_duplicates(["block_id", "block_val", "image_id"])
+    g = g[g.duplicated(["block_id", "block_val"], keep=False)]
     empty = pd.DataFrame({"img_a": pd.Series([], dtype="object"),
                           "img_b": pd.Series([], dtype="object"),
                           "hamming": pd.Series([], dtype="int64")})
     if g.empty:
         return empty
     out = {"img_a": [], "img_b": [], "hamming": []}
-    for _, grp in g.groupby("block_val", sort=False):
+    for _, grp in g.groupby(["block_id", "block_val"], sort=False):
         grp = grp.sort_values("image_id")
         hs = grp["phash"].to_numpy().astype(np.int64).view(np.uint64)
         ids = grp["image_id"].to_numpy()
@@ -811,15 +857,22 @@ def _phash_block_pairs(g: pd.DataFrame, max_dist: int) -> pd.DataFrame:
 _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
-def phash_near_dup_pairs(image_ds, max_dist: int = 3):
+def phash_near_dup_pairs(image_ds, max_dist: int = 3,
+                         n_images: int | None = None):
     """Near-duplicate image pairs by perceptual-hash Hamming distance:
     16-bit block LSH (pigeonhole: distance <= 3 shares a block) →
-    per-block candidate buckets → vectorized popcount verify. The
-    all-pairs quadratic only ever runs inside one shared 16-bit bucket."""
+    bucketed candidate groups → vectorized popcount verify. The
+    all-pairs quadratic only ever runs inside one shared 16-bit bucket.
+
+    ``n_images``: shuffle-group sizing hint; pass it when the input
+    dataset carries transforms (count() would re-execute them)."""
+    if n_images is None:
+        n_images = image_ds.count()
+    n_groups = _n_block_groups(n_images)
     pairs = (image_ds
-             .map_batches(PhashBlocks(), batch_format="pyarrow",
+             .map_batches(PhashBlocks(n_groups), batch_format="pyarrow",
                           batch_size=None)
-             .groupby("block_id")
+             .groupby("bucket")
              .map_groups(lambda g: _phash_block_pairs(g, max_dist),
                          batch_format="pandas"))
     return _dedup_pairs(pairs, ["hamming"], keys=("img_a", "img_b"),

@@ -898,7 +898,9 @@ def image_phash_near_dup(sf_dir: str):
 
     survivors = ds.groupby("phash").map_groups(keep_first,
                                                batch_format="pandas")
-    return phash_near_dup_pairs(survivors, max_dist=3)
+    # n_images: sizing hint (upper bound) — calling count() on the
+    # survivors dataset would re-execute the dedup groupby
+    return phash_near_dup_pairs(survivors, max_dist=3, n_images=2000)
 
 
 def image_exact_dedup(sf_dir: str):

@@ -256,11 +256,11 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
         dctx.max_hash_shuffle_aggregators = max(1, total_cpus // 4)
         # aggregator actors reserve CPU per shuffle PARTITION (not per
         # actor): the 200-partition default demands 12.5 CPUs and
-        # deadlocks an 8-CPU cluster — scale partitions to the cluster
-        # (and never past the CPU count on tiny clusters, where the
-        # reservation plus one reducer task must still fit)
-        dctx.default_hash_shuffle_parallelism = max(min(8, total_cpus),
-                                                    total_cpus * 2)
+        # deadlocks an 8-CPU cluster — scale partitions with the
+        # cluster instead (~2x CPUs, the measured sweet spot; the
+        # per-partition reservation is then ~cpus/8, which fits even
+        # alongside a reducer task on a tiny cluster)
+        dctx.default_hash_shuffle_parallelism = total_cpus * 2
         sw = _SortWriteBucket(table.root, ctx.run_id, target_fragment_rows,
                               target_bytes=target_fragment_bytes)
 

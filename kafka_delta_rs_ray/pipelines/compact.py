@@ -197,14 +197,20 @@ class _RewriteBin:
             bin_id = str(row["bin_id"])
             fp = {fid: self._fps.get(fid) for fid in row["fragment_ids"]}
             done = self._ctx.read_marker("bin", bin_id)
-            if done is not None:  # resume: skip finished bin
+            # Resume requires the marker to carry the delete state the
+            # ORIGINAL rewrite applied (fp_json). A pre-upgrade marker
+            # without it is NOT resumable: substituting the current
+            # snapshot's fingerprint would let a delete that landed
+            # between the original rewrite and this resume pass the
+            # commit check — the stale rewrite would resurrect deleted
+            # rows, exactly what the fingerprint exists to prevent.
+            if done is not None and "fp_json" in done:
                 out_rows.append({"bin_id": row["bin_id"],
                                  "frag_json": done["frag_json"],
                                  "input_ids": row["fragment_ids"],
                                  # the delete state the ORIGINAL rewrite
                                  # applied, not this run's snapshot
-                                 "fp_json": done.get("fp_json",
-                                                     json.dumps(fp)),
+                                 "fp_json": done["fp_json"],
                                  "resumed": True})
                 continue
             t0 = time.time()

@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -428,9 +429,16 @@ def merge(table: Table, changes_ds, app_id: str,
     # the changeset, materialized once (changeset-sized, bounded —
     # never the base table). The round-2 predecessor materialized the
     # replay filter separately just to feed the watermark pass.
+    # per-call nonce in the quarantine prefix: stream_ingest reuses one
+    # ctx.run_id across every flush, so counting by run_id glob alone
+    # would include EARLIER flushes' dead letters — a fully-replayed
+    # later flush would then see n_fresh>0, skip the no-op return and
+    # commit a spurious empty merge version. The nonce extends the
+    # run_id prefix, so quarantine_report(run_id=...) still sees it.
+    call_tag = f"{ctx.run_id}-c{uuid.uuid4().hex[:8]}"
     stages = [_ReplayFilter(wm0)]
     if validate:
-        stages.append(_ValidateChanges(table.root, ctx.run_id))
+        stages.append(_ValidateChanges(table.root, call_tag))
 
     def _materialize_validated():
         out = changes_ds
@@ -450,8 +458,9 @@ def merge(table: Table, changes_ds, app_id: str,
     if validate:
         import glob as _glob
 
+        # count only THIS call's dead letters (call_tag, not run_id)
         for p in _glob.glob(os.path.join(table.root, "quarantine",
-                                         f"q-{ctx.run_id}-*.parquet")):
+                                         f"q-{call_tag}-*.parquet")):
             quarantined += pq.read_metadata(p).num_rows
     n_fresh = validated.count() + quarantined
     if n_fresh == 0:

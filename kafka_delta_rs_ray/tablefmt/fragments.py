@@ -42,18 +42,43 @@ def _is_payload(f: pa.Field) -> bool:
     return pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type)
 
 
+def _leaf_paths(name: str, typ: pa.DataType) -> list[str]:
+    """Parquet column-chunk paths for one arrow field. Parquet keys
+    per-column writer properties by LEAF path (``embedding.list.element``,
+    ``attrs.key_value.key``), not the top-level field name — a map keyed
+    by field names silently leaves nested columns on the default codec."""
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ) \
+            or pa.types.is_fixed_size_list(typ):
+        return _leaf_paths(f"{name}.list.element", typ.value_type)
+    if pa.types.is_map(typ):
+        return (_leaf_paths(f"{name}.key_value.key", typ.key_type)
+                + _leaf_paths(f"{name}.key_value.value", typ.item_type))
+    if pa.types.is_struct(typ):
+        out = []
+        for i in range(typ.num_fields):
+            child = typ.field(i)
+            out.extend(_leaf_paths(f"{name}.{child.name}", child.type))
+        return out
+    return [name]
+
+
 def fragment_compression(schema: pa.Schema) -> dict:
-    """Per-column parquet codec map: payload columns follow
+    """Per-leaf-path parquet codec map: payload columns follow
     PAYLOAD_COMPRESSION (see above), everything else ZSTD-3
     (reference parity, src/pipeline/mod.rs:120-122)."""
-    return {f.name: (PAYLOAD_COMPRESSION if _is_payload(f) else "zstd")
-            for f in schema}
+    out = {}
+    for f in schema:
+        codec = PAYLOAD_COMPRESSION if _is_payload(f) else "zstd"
+        for path in _leaf_paths(f.name, f.type):
+            out[path] = codec
+    return out
 
 
 def fragment_compression_level(schema: pa.Schema) -> dict:
     """Companion level map — only codecs that take a level get one."""
-    return {f.name: ZSTD_LEVEL for f in schema
-            if not _is_payload(f) or PAYLOAD_COMPRESSION == "zstd"}
+    return {path: ZSTD_LEVEL
+            for path, codec in fragment_compression(schema).items()
+            if codec == "zstd"}
 
 
 def _json_safe(v):

@@ -606,3 +606,35 @@ def test_compact_preserves_clustering(table):
         lo, hi = spans[0]
         sel = table.snapshot()._select_fragments({"zcode": (lo, hi)})
         assert len(sel) < len(m.fragments)
+
+
+def test_compact_resume_redoes_bin_without_delete_fingerprint(table):
+    """A resume marker lacking fp_json (pre-upgrade format) is NOT
+    resumable: substituting the current snapshot's delete state would
+    let a delete that landed between the original rewrite and the
+    resume pass the commit check and resurrect deleted rows. The bin
+    must be redone, not resumed from the stale marker."""
+    import json
+
+    from kafka_delta_rs_ray.tablefmt.manifest import Fragment
+
+    run_id = "fpless-resume-1"
+    ctx = RunContext(table.root, run_id, job="compact")
+    snap = table.snapshot()
+    bins = plan_compaction(snap.manifest, target_bytes=64 << 20)
+    assert bins
+    ctx.write_plan({"bins": bins, "base_version": snap.version,
+                    "target_bytes": 64 << 20, "transcode_fmt": None})
+    # stale marker WITHOUT fp_json, pointing at a fragment that was
+    # never written -- resuming from it would commit a dangling path
+    bogus = Fragment(id="bogus", path="data/frag-bogus.parquet",
+                     rows=1, bytes=1)
+    ctx.write_marker("bin", str(bins[0]["bin_id"]),
+                     {"frag_json": json.dumps(bogus.to_json()), "rows": 1,
+                      "seconds": 0.0})
+
+    before = _sorted_rows(table.snapshot().to_arrow())
+    m = compact(table, target_bytes=64 << 20, run_id=run_id)
+    assert m is not None
+    assert all(f.id != "bogus" for f in m.fragments)
+    assert _sorted_rows(table.snapshot().to_arrow()) == before

@@ -374,3 +374,52 @@ def test_hll_query_close_to_exact(ray_session):
     assert exact > 0
     # linear-counting regime at tiny cardinality is near-exact
     assert abs(approx - exact) <= max(2, 0.05 * exact)
+
+
+def test_block_lsh_shuffle_groups_bounded():
+    """The block-LSH shuffle key must SCALE: groupby('block_id') had 4
+    distinct keys (one task sees ~corpus/4 rows). Pin (a) the group
+    count grows with the corpus so groups stay ~TARGET_GROUP_ROWS, and
+    (b) uniform hashes spread evenly over the buckets."""
+    import numpy as np
+
+    from kafka_delta_rs_ray.ops.dedup import (
+        MAX_GROUPS, TARGET_GROUP_ROWS, PhashBlocks, _n_block_groups)
+
+    # (a) group sizing: ~TARGET_GROUP_ROWS rows per group at scale
+    for n in (10**6, 10**8, 10**9):
+        g = _n_block_groups(n)
+        assert 64 <= g <= MAX_GROUPS
+        rows_per_group = n * 4 / g
+        assert rows_per_group <= TARGET_GROUP_ROWS * 1.01
+    assert _n_block_groups(100) == 64          # floor
+    assert _n_block_groups(10**9) >= 64_000    # grows, not constant 4
+
+    # (b) bucket balance on uniform hashes
+    n = 20_000
+    rng = np.random.default_rng(7)
+    ph = rng.integers(-(2**63), 2**63, n, dtype=np.int64)
+    import pyarrow as pa
+
+    batch = pa.table({"image_id": [f"i{i}" for i in range(n)],
+                      "phash": pa.array(ph, pa.int64())})
+    n_groups = _n_block_groups(n)
+    out = PhashBlocks(n_groups)(batch)
+    counts = np.bincount(out["bucket"].to_numpy(), minlength=n_groups)
+    assert (counts > 0).sum() == n_groups          # all buckets used
+    assert counts.max() <= 4 * counts.mean()       # no hot bucket
+
+
+def test_simhash_bucketed_matches_blockwise(ray_session):
+    """The bucketed shuffle must emit the SAME pair set the 4-group
+    block shuffle did: every (block_id, block_val) still co-locates."""
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.ops.dedup import simhash_pairs
+
+    out = simhash_pairs(_docs_ds(), max_dist=3).to_pandas()
+    # a duplicate pair matches in ALL 4 blocks -> must appear ONCE
+    assert not out.duplicated(["doc_a", "doc_b"]).any()
+    pairs = set(map(tuple, out[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert (0, 1) in pairs and (10, 11) in pairs
+    assert (4, 5) not in pairs

@@ -434,3 +434,21 @@ def test_quarantine_report(table):
     assert sum(rep["errors"].values()) == 3
     # unscoped report includes this run too
     assert quarantine_report(table.root)["rows"] >= 3
+
+
+def test_replayed_flush_with_shared_run_id_is_noop(table):
+    """stream_ingest passes ONE ctx.run_id to every flush, so the
+    per-merge quarantine count must not glob earlier flushes' files:
+    a fully-replayed later flush would then see n_fresh>0, skip the
+    no-op return and commit a spurious empty merge version."""
+    ch = rd.from_arrow(pa.Table.from_pylist(
+        [_chrow("sq-good", 800, "fine"),
+         _chrow("sq-bad", 801, "corrupt", bytes_=b"not-an-image")],
+        schema=CHANGESET_SCHEMA))
+    m1 = merge(table, ch, app_id="sharedrun", run_id="shared-run-1")
+    assert m1 is not None
+    v1 = table.read_manifest().version
+    # full replay, SAME run_id (as stream_ingest does): no new rows,
+    # no new quarantine files -> must be a commit-level no-op
+    assert merge(table, ch, app_id="sharedrun", run_id="shared-run-1") is None
+    assert table.read_manifest().version == v1

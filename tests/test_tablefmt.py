@@ -2,6 +2,8 @@
 commit CAS conflict behavior (the reference's flush/commit tests,
 src/pipeline/mod.rs:252-385, translated to table maintenance)."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -389,3 +391,41 @@ def test_timestamp_time_travel(table, ray_session):
         table.snapshot(as_of=1.0)  # before the table existed
     with pytest.raises(ValueError):
         table.snapshot(version=1, as_of=t_mid)
+
+
+def test_nested_column_parquet_compression(tmp_path, ray_session):
+    """Parquet keys per-column codecs by LEAF path: a compression map
+    keyed by top-level field names silently writes nested columns
+    (list<float32> embeddings, map attrs) UNCOMPRESSED. Pin that every
+    non-payload leaf chunk is ZSTD and payload leaves follow
+    PAYLOAD_COMPRESSION."""
+    import pyarrow.parquet as pq
+
+    from kafka_delta_rs_ray.tablefmt.fragments import (
+        PAYLOAD_COMPRESSION, write_fragment_table)
+
+    schema = pa.schema([
+        pa.field("image_id", pa.string()),
+        pa.field("bytes", pa.large_binary()),
+        pa.field("embedding", pa.list_(pa.float32())),
+        pa.field("attrs", pa.map_(pa.string(), pa.int64())),
+    ])
+    tbl = pa.table({
+        "image_id": [f"i{i}" for i in range(100)],
+        "bytes": [b"x" * 64] * 100,
+        "embedding": [[0.5] * 16] * 100,
+        "attrs": [[("k", 1)]] * 100,
+    }, schema=schema)
+    root = str(tmp_path / "nc")
+    os.makedirs(os.path.join(root, "data"))
+    frag = write_fragment_table(tbl, root, "run1")
+
+    rg = pq.ParquetFile(os.path.join(root, frag.path)).metadata.row_group(0)
+    codecs = {rg.column(i).path_in_schema: rg.column(i).compression
+              for i in range(rg.num_columns)}
+    expect_payload = ("UNCOMPRESSED" if PAYLOAD_COMPRESSION == "none"
+                      else PAYLOAD_COMPRESSION.upper())
+    assert codecs["bytes"] == expect_payload
+    for leaf in ("image_id", "embedding.list.element",
+                 "attrs.key_value.key", "attrs.key_value.value"):
+        assert codecs[leaf] == "ZSTD", (leaf, codecs)
