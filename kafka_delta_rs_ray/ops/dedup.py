@@ -759,17 +759,28 @@ def _empty_vec_pairs() -> pd.DataFrame:
 
 
 def embedding_near_dup(emb_ds, threshold: float = 0.95,
-                       n_centroids: int = 16, probes: int = 2):
+                       n_centroids: int | None = None, probes: int = 2,
+                       n_rows: int | None = None):
     """Cosine ≥ threshold pairs via IVF bucketing: vectors are grouped
     by nearest centroid (top-``probes`` buckets each, the boundary
     probe), and the pair matmul runs INTRA-BUCKET only — work is
     Σ bucket² instead of corpus², and nothing corpus-sized ever lands
     on the driver (the round-1 version collected the whole embedding
     table driver-side). Pairs surfacing from two shared buckets are
-    deduped at the end."""
-    from .similarity import _normalize, train_centroids
+    deduped at the end.
+
+    ``n_centroids`` defaults to corpus-scaled (~TARGET_BUCKET_ROWS rows
+    per bucket): with a FIXED centroid count, bucket size grows
+    linearly with the corpus and the intra-bucket quadratic blows up;
+    the probe logic is centroid-count-agnostic. ``n_rows`` is the
+    sizing hint (counted when absent)."""
+    from .similarity import _normalize, n_centroids_for, train_centroids
     import ray
 
+    if n_centroids is None:
+        if n_rows is None:
+            n_rows = emb_ds.count()
+        n_centroids = n_centroids_for(n_rows)
     cent = train_centroids(emb_ds, n_centroids)
     cent_ref = ray.put(cent)
 

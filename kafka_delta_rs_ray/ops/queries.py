@@ -222,26 +222,42 @@ def events_count_by_type_sql() -> str:
 
 
 def events_distinct_users(sf_dir: str):
-    """COUNT DISTINCT per group, pre-deduplicated: each batch first
-    drops its own (event_type, user_id) duplicates, so the shuffle
-    moves one row per distinct pair per batch rather than every event;
-    the groupby then dedups across batches and counts. This is the
-    scalable `unique` decomposition (partial dedup → exchange → final
-    dedup), never a driver-side set."""
+    """COUNT DISTINCT per group, pre-deduplicated and sub-bucketed:
+    each batch first drops its own (event_type, user_id) duplicates,
+    so the shuffle moves one row per distinct pair per batch rather
+    than every event. The exchange key is (event_type, user_id % K),
+    NOT event_type alone — with a handful of event types, a terminal
+    per-type group would land ALL distinct users of one type in one
+    task (~n_users rows, a hot-key group at corpus scale). Each
+    sub-bucket counts its own distinct users (disjoint by
+    construction: a user is in exactly one bucket of its type) and a
+    metadata-sized Sum reduces the K partial counts per type."""
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    K = 64  # sub-buckets per event type; ~n_users/K rows per group
 
     def local_dedup(b: pd.DataFrame) -> pd.DataFrame:
-        return b.drop_duplicates(["event_type", "user_id"])
+        b = b.drop_duplicates(["event_type", "user_id"])
+        return b.assign(ubucket=(b["user_id"] % K).astype("int64"))
 
     def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "event_type": [g["event_type"].iloc[0]],
-            "n_users": [g["user_id"].nunique()]})
+            "partial_users": [g["user_id"].nunique()]})
 
-    return (ds.map_batches(local_dedup, batch_format="pandas",
-                           batch_size=None)
-            .groupby("event_type")
-            .map_groups(count_distinct, batch_format="pandas"))
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(local_dedup, batch_format="pandas",
+                          batch_size=None)
+           .groupby(["event_type", "ubucket"])
+           .map_groups(count_distinct, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("partial_users", alias_name="n_users")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_users"] = b["n_users"].astype("int64")
+        return b
+
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
 def events_distinct_users_sql() -> str:
@@ -302,14 +318,15 @@ def lineitem_pricing_summary_sql() -> str:
 
 
 def top_customers(sf_dir: str):
-    """Top 10 customers by order total — broadcast hash join: the
-    customer dimension is ray.put once and looked up per batch; only
-    the small aggregated side ever shuffles."""
+    """Top 10 customers by order total. The winners are computed FIRST
+    (partial per-batch sums → small groupby → top-10); their 10 names
+    are then fetched with a distributed ``is_in`` semi-join over the
+    customer table. The round-2 version broadcast a dict of the ENTIRE
+    customer dimension just to label 10 rows — customer scales with SF,
+    so that was a driver-side materialization of a scaling table."""
     import ray
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return (b.groupby("o_custkey", as_index=False)
@@ -319,24 +336,32 @@ def top_customers(sf_dir: str):
 
     agg = (orders.map_batches(partial, batch_format="pandas", batch_size=None)
            .groupby("o_custkey").aggregate(Sum("total", alias_name="total")))
-    top = agg.sort("total", descending=True).limit(10)
+    top = agg.sort("total", descending=True).limit(10).materialize()
+    win_keys = sorted(r["o_custkey"] for r in top.take_all())  # 10 values
+    keys_ref = ray.put(win_keys)
 
-    class AttachName:
+    class _PickNames:
         def __init__(self):
-            self._names = None
+            self._k = None
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            if self._names is None:
-                self._names = ray.get(name_ref)
-            b["c_name"] = b["o_custkey"].map(self._names)
-            b["total"] = b["total"].round(4)
-            return b.rename(columns={"o_custkey": "c_custkey"})
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-    # instance (task pool): actor pools cost 1.5-2 s startup PER dataset
-    # execution (actors are not reused across executions) — for
-    # broadcast-lookup state a pickled instance amortizes identically
-    # in reused task workers
-    return top.map_batches(AttachName(), batch_format="pandas")
+            if self._k is None:
+                self._k = pa.array(ray.get(keys_ref), pa.int64())
+            return b.filter(pc.is_in(b["c_custkey"], value_set=self._k))
+
+    picked = (_read(sf_dir, "customer", ["c_custkey", "c_name"])
+              .map_batches(_PickNames(), batch_format="pyarrow",
+                           batch_size=None).take_all())
+    names = {r["c_custkey"]: r["c_name"] for r in picked}  # 10 entries
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        b["c_name"] = b["o_custkey"].map(names)
+        b["total"] = b["total"].round(4)
+        return b.rename(columns={"o_custkey": "c_custkey"})
+
+    return top.map_batches(attach, batch_format="pandas")
 
 
 def top_customers_sql() -> str:

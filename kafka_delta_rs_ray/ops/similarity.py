@@ -7,11 +7,13 @@
   small groupby reduces to global top-k. Work per task is a dense
   numpy matmul; driver never sees full score matrices.
 - ``knn_ivf``: the scale path — deterministic k-means (few Lloyd
-  iterations over a sample) builds C centroids; vectors are bucketed
-  by nearest centroid (ONE pass, no shuffle of raw vectors beyond the
-  bucket groupby); queries probe the ``nprobe`` nearest buckets only.
-  At 10^12 scale this is the difference between scanning everything
-  and scanning nprobe/C of it; tests check recall >= 0.9 vs brute force.
+  iterations over a sample) builds C centroids (corpus-scaled:
+  ~TARGET_BUCKET_ROWS rows per bucket); vectors are bucketed by
+  nearest centroid (ONE pass, no shuffle of raw vectors beyond the
+  bucket groupby); each bucket task multiplies ONLY the queries that
+  probe it (non-probed buckets do zero similarity work), so total
+  compute is ~nprobe/C of brute force. Tests check recall >= 0.9 vs
+  brute force and that non-probed buckets are skipped.
 """
 
 from __future__ import annotations
@@ -74,6 +76,34 @@ def _query_matrix(emb_ds, n_queries: int):
     return ids[order], _normalize(m[order])
 
 
+def _empty_topk() -> pa.Table:
+    return pa.table({"query_id": pa.array([], pa.int64()),
+                     "neighbor_id": pa.array([], pa.int64()),
+                     "sim": pa.array([], pa.float64())})
+
+
+def _topk_rows(qids: np.ndarray, qm: np.ndarray, ids: np.ndarray,
+               m: np.ndarray, k: int) -> pa.Table:
+    """Dense (queries × rows) cosine top-k kernel shared by the brute
+    and IVF paths: one matmul, per-query partial sort, self-match
+    excluded."""
+    sims = qm @ m.T  # (n_queries, rows)
+    out = {"query_id": [], "neighbor_id": [], "sim": []}
+    for qi in range(len(qids)):
+        s = sims[qi]
+        mask = ids != qids[qi]  # exclude self-match
+        cand = np.nonzero(mask)[0]
+        if len(cand) == 0:
+            continue
+        top = cand[np.argsort(-s[cand], kind="stable")[:k]]
+        out["query_id"].extend([int(qids[qi])] * len(top))
+        out["neighbor_id"].extend(int(ids[t]) for t in top)
+        out["sim"].extend(round(float(s[t]), 6) for t in top)
+    return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
+                     "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                     "sim": pa.array(out["sim"], pa.float64())})
+
+
 class _BatchTopK:
     """Emit batch-local top-k per query: (query_id, neighbor_id, sim)."""
 
@@ -91,21 +121,7 @@ class _BatchTopK:
         ids = np.asarray(batch["vec_id"].to_pylist())
         m = _normalize(np.stack(
             batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64))
-        sims = qm @ m.T  # (n_queries, batch)
-        out = {"query_id": [], "neighbor_id": [], "sim": []}
-        for qi in range(len(qids)):
-            s = sims[qi]
-            mask = ids != qids[qi]  # exclude self-match
-            cand = np.nonzero(mask)[0]
-            if len(cand) == 0:
-                continue
-            top = cand[np.argsort(-s[cand], kind="stable")[:self.k]]
-            out["query_id"].extend([int(qids[qi])] * len(top))
-            out["neighbor_id"].extend(int(ids[t]) for t in top)
-            out["sim"].extend(round(float(s[t]), 6) for t in top)
-        return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
-                         "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
-                         "sim": pa.array(out["sim"], pa.float64())})
+        return _topk_rows(qids, qm, ids, m, self.k)
 
 
 def _final_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -130,10 +146,27 @@ def knn_bruteforce(emb_ds, n_queries: int = 10, k: int = 10):
 
 
 # ------------------------------------------------------------------ IVF
+# Target rows per IVF bucket: centroid count must GROW with the corpus
+# (a fixed 16 centroids puts ~corpus/16 rows in one map_groups task and
+# makes intra-bucket work quadratic in corpus size). 50k vectors per
+# bucket keeps a bucket's matmul in one worker's cache-friendly range.
+TARGET_BUCKET_ROWS = 50_000
+
+
+def n_centroids_for(n_rows: int, target_bucket: int = TARGET_BUCKET_ROWS) -> int:
+    """Centroid count sized so buckets average ~target_bucket rows."""
+    return int(max(16, -(-n_rows // target_bucket)))
+
+
 def train_centroids(emb_ds, n_centroids: int = 16, iters: int = 5,
                     sample: int = 4096, seed: int = 7) -> np.ndarray:
-    """Deterministic mini k-means on a driver-side sample (the sample is
-    tiny; training is O(sample × C) — never touches the full table)."""
+    """Deterministic mini k-means on a driver-side sample (training is
+    O(sample × C) — never touches the full table). The sample grows
+    with the centroid count (≥8 points per centroid, capped at 256k
+    rows ≈ tens of MB); past ~32k centroids swap this for a
+    distributed k-means (assign via map_batches, mean via groupby) —
+    the assignment/probe machinery is centroid-count-agnostic."""
+    sample = min(max(sample, 8 * n_centroids), 262_144)
     ids, m = _collect_matrix(emb_ds.limit(sample))
     m = _normalize(m)
     rng = np.random.default_rng(seed)
@@ -164,12 +197,60 @@ class _AssignBucket:
         return batch.append_column("bucket", pa.array(b, pa.int32()))
 
 
-def knn_ivf(emb_ds, n_queries: int = 10, k: int = 10, n_centroids: int = 16,
-            nprobe: int = 4):
+class _BucketTopK:
+    """One IVF bucket's rows → top-k rows for the queries that PROBE
+    this bucket. The probing query SUBSET is selected BEFORE the
+    matmul, so a non-probed bucket does zero similarity work and a
+    probed one multiplies only its own queries — total compute is
+    ~nprobe/C of brute force (the round-2 version ran the full query
+    matmul in every bucket and filtered afterward: brute-force compute
+    wearing an IVF costume). ``stats`` instruments the skip behavior
+    for the unit test."""
+
+    def __init__(self, qref, bucket_queries_ref, k: int):
+        self.qref = qref
+        self.bq_ref = bucket_queries_ref  # {bucket: np.array(query idx)}
+        self.k = k
+        self._q = None
+        self._bq = None
+        self.stats = {"buckets_skipped": 0, "matmul_query_rows": 0}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._q is None:
+            self._q = ray.get(self.qref)
+            self._bq = ray.get(self.bq_ref)
+        if batch.num_rows == 0:
+            return _empty_topk()
+        qids, qm = self._q
+        bucket = int(batch["bucket"][0].as_py())
+        qidx = self._bq.get(bucket)
+        if qidx is None or len(qidx) == 0:
+            self.stats["buckets_skipped"] += 1
+            return _empty_topk()
+        self.stats["matmul_query_rows"] += len(qidx)
+        ids = np.asarray(batch["vec_id"].to_pylist())
+        m = _normalize(np.stack(
+            batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64))
+        return _topk_rows(qids[qidx], qm[qidx], ids, m, self.k)
+
+
+def knn_ivf(emb_ds, n_queries: int = 10, k: int = 10,
+            n_centroids: int | None = None, nprobe: int = 4,
+            n_rows: int | None = None):
     """IVF ANN: probe only the nprobe closest centroid buckets per
-    query. Same output shape as knn_bruteforce; approximate."""
+    query. Same output shape as knn_bruteforce; approximate.
+
+    ``n_centroids`` defaults to corpus-scaled (~TARGET_BUCKET_ROWS rows
+    per bucket) so bucket size stays bounded as the table grows;
+    ``n_rows`` is the sizing hint (counted from the dataset if absent)."""
     import ray
 
+    if n_centroids is None:
+        if n_rows is None:
+            n_rows = emb_ds.count()
+        n_centroids = n_centroids_for(n_rows)
     cent = train_centroids(emb_ds, n_centroids)
     cent_ref = ray.put(cent)
     bucketed = emb_ds.map_batches(_AssignBucket(cent_ref),
@@ -178,33 +259,18 @@ def knn_ivf(emb_ds, n_queries: int = 10, k: int = 10, n_centroids: int = 16,
     qids, qm = _query_matrix(emb_ds, n_queries)
     probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # per-query buckets
 
-    # a query participates only in its probed buckets
-    probe_map = {int(q): set(int(b) for b in row)
-                 for q, row in zip(qids, probes)}
-    pm_ref = ray.put(probe_map)
+    # invert to bucket → query indices: the per-bucket task slices its
+    # query subset in O(1) instead of scanning every query's probe set
+    bucket_queries: dict[int, list] = {}
+    for qi, row in enumerate(probes):
+        for b in row:
+            bucket_queries.setdefault(int(b), []).append(qi)
+    bucket_queries = {b: np.asarray(v, dtype=np.int64)
+                      for b, v in bucket_queries.items()}
+    bq_ref = ray.put(bucket_queries)
     qref = ray.put((qids, qm))
 
-    class _BucketTopK(_BatchTopK):
-        def __init__(self):
-            super().__init__(qref, k)
-            self._pm = None
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import ray as _r
-
-            if self._pm is None:
-                self._pm = _r.get(pm_ref)
-            if batch.num_rows == 0:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "neighbor_id": pa.array([], pa.int64()),
-                                 "sim": pa.array([], pa.float64())})
-            bucket = batch["bucket"][0].as_py()
-            full = super().__call__(batch.drop_columns(["bucket"]))
-            keep = [bucket in self._pm.get(q, ())
-                    for q in full["query_id"].to_pylist()]
-            return full.filter(pa.array(keep, pa.bool_()))
-
-    inst = _BucketTopK()
+    inst = _BucketTopK(qref, bq_ref, k)
 
     def bucket_topk(batch: pa.Table) -> pa.Table:  # map_groups needs __name__
         return inst(batch)

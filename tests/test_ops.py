@@ -423,3 +423,60 @@ def test_simhash_bucketed_matches_blockwise(ray_session):
     pairs = set(map(tuple, out[["doc_a", "doc_b"]].itertuples(index=False)))
     assert (0, 1) in pairs and (10, 11) in pairs
     assert (4, 5) not in pairs
+
+
+def test_knn_ivf_skips_non_probed_buckets(ray_session):
+    """The IVF point: a bucket no query probes must do ZERO similarity
+    work, and a probed bucket must multiply only its own query subset
+    (the round-2 version ran the full query matmul in every bucket and
+    filtered afterward — brute-force compute in an IVF costume)."""
+    import numpy as np
+    import ray
+
+    from kafka_delta_rs_ray.ops.similarity import (_BucketTopK,
+                                                   _normalize)
+
+    rng = np.random.default_rng(3)
+    qids = np.array([100, 101], dtype=np.int64)
+    qm = _normalize(rng.normal(size=(2, 8)))
+    qref = ray.put((qids, qm))
+    # query 0 probes bucket 0 only; query 1 probes buckets 0 and 2
+    bq_ref = ray.put({0: np.array([0, 1]), 2: np.array([1])})
+    inst = _BucketTopK(qref, bq_ref, k=3)
+
+    def batch(bucket, n=6):
+        return pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64) + bucket * 10),
+            "embedding": pa.array([rng.normal(size=8).tolist()] * n),
+            "bucket": pa.array([bucket] * n, pa.int32())})
+
+    out0 = inst(batch(0))
+    assert set(out0["query_id"].to_pylist()) == {100, 101}
+    out1 = inst(batch(1))  # nobody probes bucket 1
+    assert out1.num_rows == 0
+    assert inst.stats["buckets_skipped"] == 1
+    out2 = inst(batch(2))  # only query 101 probes bucket 2
+    assert set(out2["query_id"].to_pylist()) == {101}
+    # matmul rows: 2 (bucket 0) + 1 (bucket 2); bucket 1 contributed 0
+    assert inst.stats["matmul_query_rows"] == 3
+
+
+def test_ivf_centroid_count_scales():
+    from kafka_delta_rs_ray.ops.similarity import (TARGET_BUCKET_ROWS,
+                                                   n_centroids_for)
+
+    assert n_centroids_for(100) == 16          # floor at test scale
+    assert n_centroids_for(10**6) == 20        # 1e6/50k
+    big = n_centroids_for(10**9)
+    assert big * TARGET_BUCKET_ROWS >= 10**9   # buckets stay bounded
+    assert big >= 20_000
+
+
+def test_embedding_near_dup_scaled_centroids(ray_session):
+    """Planted duplicates still found when the centroid count is
+    computed from the corpus (default path) rather than fixed."""
+    from kafka_delta_rs_ray.ops.dedup import embedding_near_dup
+
+    out = embedding_near_dup(_emb_ds(), threshold=0.99).to_pandas()
+    pairs = set(map(tuple, out[["vec_a", "vec_b"]].itertuples(index=False)))
+    assert (0, 1) in pairs
