@@ -13,7 +13,13 @@ from .errors import ConfigError
 log = logging.getLogger(__name__)
 
 JOBS = ("append", "merge", "compact", "cluster", "expire", "lifecycle",
-        "delete", "rollback", "history", "quarantine")
+        "delete", "rollback", "history", "quarantine", "metrics")
+
+# monitoring section keys (reference MonitoringConfig,
+# src/config/mod.rs:81-94: enabled / endpoint / service_name; here the
+# "endpoint" analog is the table's own _runs event store, and
+# last_n_runs bounds the aggregation window)
+MONITORING_KEYS = {"enabled", "service_name", "last_n_runs"}
 
 DEFAULT_TARGET_FRAGMENT_BYTES = 128 << 20
 DEFAULT_TARGET_FRAGMENT_ROWS = 4096
@@ -37,6 +43,7 @@ class MaintenanceConfig:
     transcode_fmt: str | None = None  # compact: rewrite-with-recompression
     predicate: dict | None = None     # delete: {col: [lo, hi]}
     restore_version: int | None = None  # rollback target
+    monitoring: dict = field(default_factory=dict)
     options: dict = field(default_factory=dict)
 
     @classmethod
@@ -88,6 +95,14 @@ class MaintenanceConfig:
             raise ConfigError("keep_last must be >= 1")
         if self.min_age_seconds < 0:
             raise ConfigError("min_age_seconds must be >= 0")
+        unknown_mon = set(self.monitoring) - MONITORING_KEYS
+        if unknown_mon:
+            raise ConfigError(
+                f"unknown monitoring keys: {sorted(unknown_mon)}; "
+                f"one of {sorted(MONITORING_KEYS)}")
+        if self.monitoring.get("last_n_runs") is not None \
+                and int(self.monitoring["last_n_runs"]) < 1:
+            raise ConfigError("monitoring.last_n_runs must be >= 1")
         if self.cluster_curve not in ("morton", "hilbert"):
             raise ConfigError(
                 f"cluster_curve must be 'morton' or 'hilbert', "

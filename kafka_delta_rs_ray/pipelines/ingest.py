@@ -12,8 +12,10 @@ reference its exactly-once anchor (src/kafka/mod.rs:187-231).
 
 from __future__ import annotations
 
+import time
 import uuid
 
+from ..state.lineage import RunContext
 from ..tablefmt.catalog import Table
 from ..tablefmt.fragments import FragmentWriter, frags_from_meta
 from ..tablefmt.manifest import Manifest
@@ -36,6 +38,7 @@ def append(table: Table, ds, run_id: str | None = None,
     columns are appended as nullable, and older fragments surface
     nulls for them at read time.
     """
+    t0 = time.time()
     run_id = run_id or uuid.uuid4().hex[:8]
     incoming = ds.schema().base_schema  # Ray Dataset schema → pa.Schema
     if mode == "default":
@@ -66,4 +69,15 @@ def append(table: Table, ds, run_id: str | None = None,
                         fragments=list(latest.fragments) + new_frags,
                         txn=merged_txn, properties=props)
 
-    return table.commit(build)
+    m = table.commit(build)
+    # monitoring surface (A1): rows/bytes landed + flush seconds — the
+    # reference records the same counters per flush
+    # (src/pipeline/mod.rs:186-248 + src/monitoring/mod.rs:150-202)
+    RunContext(table.root, run_id, job="append").log_metric(
+        "append_done",
+        rows=sum(f.rows for f in new_frags),
+        bytes_written=sum(f.bytes for f in new_frags),
+        fragments=len(new_frags),
+        seconds=time.time() - t0,
+        committed_version=m.version)
+    return m

@@ -651,6 +651,7 @@ def merge(table: Table, changes_ds, app_id: str,
     # quarantine files right after validation
     ctx.log_metric("merge_done", app_id=app_id, rows_effective=n_effective,
                    quarantined=quarantined,
+                   bytes_written=sum(f.bytes for f in new_frags),
                    deletes=del_tbl.num_rows,
                    inserted_fragments=len(new_frags),
                    touched_fragments=len(deletes_by_frag),

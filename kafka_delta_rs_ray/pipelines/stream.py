@@ -34,6 +34,11 @@ from ..tablefmt.catalog import Table
 
 DEFAULT_MAX_BUFFER_ROWS = 10_000  # reference default (src/kafka/mod.rs:142)
 DEFAULT_MAX_WAIT_SECS = 360.0     # reference default (src/kafka/mod.rs:141)
+# backpressure: the reference bounds in-flight work by rows AND by
+# being single-threaded (src/kafka/mod.rs:182-190); with arbitrary
+# payload columns a row bound alone lets a few huge media rows pin the
+# driver heap, so buffered BYTES also trigger a flush
+DEFAULT_MAX_BUFFER_BYTES = 256 << 20
 
 
 def interleave_sources(*sources: Iterable) -> Iterable:
@@ -59,12 +64,21 @@ def stream_ingest(table: Table, source: Iterable,
                   app_id: str,
                   max_buffer_rows: int = DEFAULT_MAX_BUFFER_ROWS,
                   max_wait_secs: float = DEFAULT_MAX_WAIT_SECS,
+                  max_buffer_bytes: int = DEFAULT_MAX_BUFFER_BYTES,
                   run_id: str | None = None,
                   merge_kwargs: dict | None = None,
                   sources: list | None = None) -> dict:
     """Consume an iterable of changeset micro-batches (pyarrow Tables)
-    and merge them under the size/time flush policy. Returns counters
-    (micro_batches, flushes, rows_in, committed_versions).
+    and merge them under the size/time/bytes flush policy. Returns
+    counters (micro_batches, flushes, rows_in, committed_versions,
+    max_backlog_rows).
+
+    Backpressure: flushes are SYNCHRONOUS (a merge must commit before
+    the next micro-batch is buffered — the reference's single-threaded
+    consumer loop), and the buffer is bounded three ways (rows, wall
+    time, bytes), so pending work can never outrun commit drain. Each
+    flush logs a ``backlog`` gauge event (rows staged at flush) — the
+    offset-lag instrument's stream-side observation.
 
     ``sources``: a list of micro-batch iterables to consume instead of
     ``source`` (multi-topic parity) — interleaved round-robin; each
@@ -78,20 +92,24 @@ def stream_ingest(table: Table, source: Iterable,
     ctx = RunContext(table.root, run_id, job="stream")
     buf: list[pa.Table] = []
     buffered = 0
+    buffered_bytes = 0
     last_flush = time.time()
     stats = {"micro_batches": 0, "flushes": 0, "rows_in": 0,
-             "committed_versions": []}
+             "committed_versions": [], "max_backlog_rows": 0}
 
     def flush():
-        nonlocal buf, buffered, last_flush
+        nonlocal buf, buffered, buffered_bytes, last_flush
         if buffered:
+            stats["max_backlog_rows"] = max(stats["max_backlog_rows"],
+                                            buffered)
+            ctx.log_metric("backlog", rows=buffered, bytes=buffered_bytes)
             ds = rd.from_arrow(pa.concat_tables(buf))
             m = merge(table, ds, app_id=app_id, run_id=ctx.run_id,
                       **(merge_kwargs or {}))
             stats["flushes"] += 1
             if m is not None:
                 stats["committed_versions"].append(m.version)
-        buf, buffered = [], 0
+        buf, buffered, buffered_bytes = [], 0, 0
         last_flush = time.time()
 
     for batch in source:
@@ -100,9 +118,11 @@ def stream_ingest(table: Table, source: Iterable,
                 if hasattr(batch, "to_batches") else pa.table(batch)
         buf.append(batch)
         buffered += batch.num_rows
+        buffered_bytes += batch.nbytes
         stats["micro_batches"] += 1
         stats["rows_in"] += batch.num_rows
         if (buffered >= max_buffer_rows
+                or buffered_bytes >= max_buffer_bytes
                 or time.time() - last_flush >= max_wait_secs):
             flush()
     flush()  # final flush at stream end (src/kafka/mod.rs:243-250)

@@ -44,6 +44,18 @@ def run(cfg: MaintenanceConfig) -> dict:
     table = Table(cfg.table_root)
     if cfg.job == "history":
         return {"job": "history", "history": table.history()}
+    if cfg.job == "metrics":
+        from .state.monitoring import aggregate_metrics
+
+        mon = cfg.monitoring
+        if mon.get("enabled") is False:  # reference no-op handle
+            return {"job": "metrics", "enabled": False}
+        return {"job": "metrics", "enabled": True,
+                **aggregate_metrics(
+                    table.root,
+                    last_n_runs=mon.get("last_n_runs"),
+                    service_name=mon.get("service_name",
+                                         "kafka-delta-rs-ray"))}
     if cfg.job == "quarantine":
         from .stages.validate import quarantine_report
 

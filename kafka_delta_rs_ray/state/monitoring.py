@@ -1,0 +1,144 @@
+"""Aggregate monitoring view over a table's run metrics.
+
+The reference publishes 7 live OTLP instruments — messages read,
+message bytes, source commits, offset-lag gauge, dead letters, rows
+written, flush-seconds histogram (src/monitoring/mod.rs:18-26,
+150-202) — behind a config-gated ``MonitoringConfig`` section
+(src/config/mod.rs:81-94). This sandbox has no network, so the analog
+is pull- not push-based: every pipeline appends metric events to
+``<table>/_runs/<run_id>/metrics.jsonl`` (state/lineage.py) and this
+module folds those event streams into the same 7-instrument view on
+demand ("what's my merge throughput and dead-letter rate over the last
+N runs"). On a real deployment the fold runs wherever the OTLP
+exporter would — the event records carry everything the reference's
+counters do.
+
+Driver-side by design: the input is O(runs) small JSON lines, never
+data rows.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+# flush-duration histogram bucket upper bounds (seconds); the
+# reference's f64_histogram uses the exporter's defaults, these mirror
+# the OTLP default boundaries that matter at maintenance timescales
+HIST_BOUNDS = (0.1, 0.5, 1.0, 5.0, 10.0, 30.0, 60.0, 300.0)
+
+# events that represent one completed flush/maintenance transaction
+_DONE_EVENTS = ("merge_done", "append_done", "compact_done",
+                "cluster_done", "delete_done", "expire_done",
+                "merge_noop", "merge_all_quarantined", "delete_noop")
+
+
+def _iter_run_events(table_root: str):
+    """Yield (run_id, earliest_ts, [events]) per run directory."""
+    for p in glob.glob(os.path.join(table_root, "_runs", "*",
+                                    "metrics.jsonl")):
+        run_id = os.path.basename(os.path.dirname(p))
+        events = []
+        with open(p) as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln:
+                    events.append(json.loads(ln))
+        if events:
+            yield run_id, min(e.get("ts", 0.0) for e in events), events
+
+
+def _histogram(values: list) -> dict:
+    buckets = [0] * (len(HIST_BOUNDS) + 1)
+    for v in values:
+        i = 0
+        while i < len(HIST_BOUNDS) and v > HIST_BOUNDS[i]:
+            i += 1
+        buckets[i] += 1
+    s = sorted(values)
+    pct = (lambda q: s[min(len(s) - 1, int(q * len(s)))]) if s else None
+    return {
+        "count": len(values),
+        "sum": round(sum(values), 3),
+        "min": round(min(values), 3) if values else None,
+        "max": round(max(values), 3) if values else None,
+        "p50": round(pct(0.50), 3) if values else None,
+        "p95": round(pct(0.95), 3) if values else None,
+        "bounds": list(HIST_BOUNDS),
+        "bucket_counts": buckets,
+    }
+
+
+def aggregate_metrics(table_root: str, last_n_runs: int | None = None,
+                      service_name: str = "kafka-delta-rs-ray") -> dict:
+    """Fold ``_runs/*/metrics.jsonl`` into the reference's
+    7-instrument monitoring view.
+
+    ``last_n_runs``: restrict to the N most-recent runs (by each run's
+    earliest event timestamp); None = all runs.
+    """
+    runs = sorted(_iter_run_events(table_root), key=lambda r: r[1])
+    if last_n_runs is not None:
+        runs = runs[-last_n_runs:]
+
+    rows_read = 0          # 1. messages_read: rows entering merge/append
+    bytes_written = 0      # 2. messages_size: bytes landed in fragments
+    commits = 0            # 3. commits: manifest versions committed
+    commit_attempts = 0    #    (CAS retries included, where recorded)
+    dead_letters = 0       # 5. dead_letters: quarantined rows
+    rows_written = 0       # 6. messages_written: rows landed
+    flush_seconds: list = []  # 7. flush-time histogram
+    backlog = None         # 4. offset-lag gauge: latest observation
+    backlog_ts = -1.0
+    per_job: dict[str, int] = {}
+
+    for _run_id, _ts, events in runs:
+        for e in events:
+            name = e.get("metric", "")
+            if name in _DONE_EVENTS:
+                per_job[name] = per_job.get(name, 0) + 1
+                if "seconds" in e:
+                    flush_seconds.append(float(e["seconds"]))
+                if e.get("committed_version") is not None:
+                    commits += 1
+                commit_attempts += int(e.get("commit_attempts", 0))
+            if name == "merge_done":
+                rows_read += int(e.get("rows_effective", 0)) \
+                    + int(e.get("quarantined", 0))
+                rows_written += int(e.get("rows_effective", 0))
+                dead_letters += int(e.get("quarantined", 0))
+                bytes_written += int(e.get("bytes_written", 0))
+            elif name == "merge_all_quarantined":
+                rows_read += int(e.get("rows_fresh", 0))
+                dead_letters += int(e.get("rows_fresh", 0))
+            elif name == "append_done":
+                rows_read += int(e.get("rows", 0))
+                rows_written += int(e.get("rows", 0))
+                bytes_written += int(e.get("bytes_written", 0))
+            elif name == "backlog" and e.get("ts", 0.0) > backlog_ts:
+                backlog, backlog_ts = int(e.get("rows", 0)), e["ts"]
+
+    window = sum(flush_seconds) or None
+    return {
+        "service_name": service_name,
+        "runs": len(runs),
+        "instruments": {
+            "messages_read": rows_read,
+            "messages_size_bytes": bytes_written,
+            "commits": commits,
+            "commit_attempts": commit_attempts,
+            "offset_lag": backlog,            # latest gauge observation
+            "dead_letters": dead_letters,
+            "messages_written": rows_written,
+            "flush_time_seconds": _histogram(flush_seconds),
+        },
+        "derived": {
+            # the day-one operator questions, precomputed
+            "merge_rows_per_sec": (round(rows_written / window, 1)
+                                   if window else None),
+            "dead_letter_rate": (round(dead_letters / rows_read, 6)
+                                 if rows_read else 0.0),
+            "events_per_job": per_job,
+        },
+    }
