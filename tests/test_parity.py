@@ -452,3 +452,61 @@ def test_replayed_flush_with_shared_run_id_is_noop(table):
     # no new quarantine files -> must be a commit-level no-op
     assert merge(table, ch, app_id="sharedrun", run_id="shared-run-1") is None
     assert table.read_manifest().version == v1
+
+
+def test_distributed_changed_key_path_matches_driver_path(tmp_path,
+                                                          ray_session):
+    """Above driver_keys_max, merge swaps the driver key set +
+    broadcast for sorted-block-range prune + hash-partitioned
+    semi-join + worker-written per-fragment delete files. Results must
+    be IDENTICAL to the driver path on the same input, including
+    deleted_rows accounting across a second overlapping merge (the
+    dead-key subtraction now runs inside the per-fragment task)."""
+    def mk(root):
+        t = Table.create(str(root), IMAGE_SCHEMA)
+        append(t, image_dataset(60, batch_size=20), target_fragment_rows=20)
+        return t
+
+    def ch(tag, lo, hi, seq0):
+        from kafka_delta_rs_ray.pipelines.synth import image_id_for
+        rows = [_chrow(image_id_for(i), seq0 + i, f"{tag}-{i}")
+                for i in range(lo, hi)]
+        rows.append(_chrow(image_id_for(hi), seq0 + hi, None, op="delete"))
+        return rd.from_arrow(pa.Table.from_pylist(
+            rows, schema=CHANGESET_SCHEMA)).materialize()
+
+    t_drv = mk(tmp_path / "drv")
+    t_dst = mk(tmp_path / "dst")
+    c1 = ch("v1", 5, 25, 1000)
+    merge(t_drv, c1, app_id="eq")
+    m1 = merge(t_dst, c1, app_id="eq", driver_keys_max=1)
+    assert m1 is not None
+
+    def scan(t):
+        tb = t.snapshot().to_arrow()
+        return tb.select(sorted(tb.column_names)).sort_by("image_id")
+
+    assert scan(t_drv).equals(scan(t_dst))
+    # worker-side delete files: every touched fragment got its OWN file
+    dst_frags = [f for f in t_dst.snapshot().manifest.fragments
+                 if f.delete_paths]
+    assert dst_frags, "distributed merge attached no deletion vectors"
+    assert len({p for f in dst_frags for p in f.delete_paths}) \
+        == len(dst_frags)
+    dd = {f.id: f.deleted_rows for f in t_dst.snapshot().manifest.fragments}
+    dv = {f.id: f.deleted_rows for f in t_drv.snapshot().manifest.fragments}
+    assert sorted(dd.values()) == sorted(dv.values())
+
+    # second, overlapping merge: dead-key subtraction must not double
+    # count deleted_rows on either path
+    c2 = ch("v2", 15, 35, 2000)
+    merge(t_drv, c2, app_id="eq")
+    assert merge(t_dst, c2, app_id="eq", driver_keys_max=1) is not None
+    assert scan(t_drv).equals(scan(t_dst))
+    sum_drv = sum(f.deleted_rows
+                  for f in t_drv.snapshot().manifest.fragments)
+    sum_dst = sum(f.deleted_rows
+                  for f in t_dst.snapshot().manifest.fragments)
+    assert sum_drv == sum_dst
+    # replay on the distributed path is still a no-op
+    assert merge(t_dst, c2, app_id="eq", driver_keys_max=1) is None

@@ -429,3 +429,40 @@ def test_nested_column_parquet_compression(tmp_path, ray_session):
     for leaf in ("image_id", "embedding.list.element",
                  "attrs.key_value.key", "attrs.key_value.value"):
         assert codecs[leaf] == "ZSTD", (leaf, codecs)
+
+
+def test_map_column_schema_evolution(tmp_path, ray_session):
+    """merge_schema evolution ADDING a map<string,int64> column
+    (reference treats Map as first-class in its builder factory,
+    src/utils/mod.rs:190-200,297-327): new fragments carry it, OLD
+    fragments null-fill it on read, and a projection including the map
+    column scans clean."""
+    import ray.data as rd
+
+    schema = pa.schema([pa.field("media_id", pa.string()),
+                        pa.field("n", pa.int64())])
+    t = Table.create(str(tmp_path / "me"), schema)
+    append(t, rd.from_arrow(pa.table({
+        "media_id": pa.array(["a", "b"], pa.string()),
+        "n": pa.array([1, 2], pa.int64())})), target_fragment_rows=10)
+
+    evolved = pa.schema(list(schema)
+                        + [pa.field("attrs",
+                                    pa.map_(pa.string(), pa.int64()))])
+    new = pa.table({
+        "media_id": pa.array(["c", "d"], pa.string()),
+        "n": pa.array([3, 4], pa.int64()),
+        "attrs": pa.array([[("x", 1)], [("y", 2), ("z", 3)]],
+                          pa.map_(pa.string(), pa.int64()))}).cast(evolved)
+    m = append(t, rd.from_arrow(new), mode="merge_schema",
+               target_fragment_rows=10)
+    assert m.schema.field("attrs").type == pa.map_(pa.string(), pa.int64())
+
+    out = t.snapshot().to_arrow().sort_by("media_id")
+    attrs = dict(zip(out["media_id"].to_pylist(),
+                     out["attrs"].to_pylist()))
+    assert attrs["a"] is None and attrs["b"] is None  # old frags: null
+    assert attrs["c"] == [("x", 1)]
+    assert attrs["d"] == [("y", 2), ("z", 3)]
+    proj = t.snapshot().dataset(columns=["media_id", "attrs"])
+    assert proj.count() == 4
