@@ -573,6 +573,51 @@ def doc_token_stats_sql() -> str:
     """
 
 
+def doc_vocab_topk(sf_dir: str, k: int = 100):
+    """Corpus vocabulary statistics: top-k tokens by total frequency
+    (deterministic tie-break: n DESC, token ASC) — the vocab-coverage
+    check every tokenizer-training / corpus-QA pipeline runs.
+
+    Scale shape: per-batch value_counts partials (VocabPartial) bound
+    the exchange to distinct-tokens-per-batch; ONE vocabulary-sized
+    groupby sum is the only shuffle; top-k is per-block partial top-k
+    (vectorized sort+slice) + a final sort over ≤ k × n_blocks
+    survivors — no corpus-sized sort, nothing driver-side beyond the
+    k-row answer."""
+    from .textops import VocabPartial
+
+    ds = _read(sf_dir, "documents", ["text"])
+    parts = ds.map_batches(VocabPartial(), batch_format="pandas")
+    totals = parts.groupby("token").sum("n")
+
+    def _block_topk(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pa.table({"token": b["token"],
+                      "n": b["sum(n)"].combine_chunks()
+                      if "sum(n)" in b.column_names else b["n"]})
+        idx = pc.sort_indices(b, sort_keys=[("n", "descending"),
+                                            ("token", "ascending")])
+        return b.take(idx[:k])
+
+    return (totals.map_batches(_block_topk, batch_format="pyarrow",
+                               batch_size=None)
+            .sort(["n", "token"], descending=[True, False])
+            .limit(k))
+
+
+def doc_vocab_topk_sql() -> str:
+    return """
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS token
+              FROM documents) t
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 100
+    """
+
+
 def doc_quality(sf_dir: str):
     from .textops import QualityScore
 
@@ -1251,6 +1296,7 @@ QUERIES = {
     "events_distinct_users_hll": events_distinct_users_hll,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_token_stats": doc_token_stats,
+    "doc_vocab_topk": doc_vocab_topk,
     "doc_quality": doc_quality,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_lang_id": doc_lang_id,
@@ -1284,6 +1330,7 @@ ORACLES = {
     "orders_lineitem_revenue": orders_lineitem_revenue_sql(),
     "doc_stratified_sample": doc_stratified_sample_sql(),
     "doc_token_stats": doc_token_stats_sql(),
+    "doc_vocab_topk": doc_vocab_topk_sql(),
     "doc_quality": doc_quality_sql(),
     "doc_exact_dedup": doc_exact_dedup_sql(),
     "doc_lang_id": doc_lang_id_sql(),

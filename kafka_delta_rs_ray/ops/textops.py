@@ -37,6 +37,26 @@ class TokenCount:
         })
 
 
+class VocabPartial:
+    """Per-batch token-frequency partials — the map-side combiner for
+    the corpus vocabulary groupby: tokenize (lowercased alnum runs,
+    same lexer as TokenCount/the DuckDB oracle), explode and count
+    WITHIN the batch, so the exchange carries (token, n) rows bounded
+    by the batch's distinct tokens, never its token instances. At
+    corpus scale the shuffle is vocabulary-sized (Zipf: distinct
+    tokens grow ~sublinearly) while the text never leaves the map
+    stage."""
+
+    def __init__(self):
+        self.token_re = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(self.token_re)
+        vc = toks.explode().dropna().value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "n": vc.to_numpy(dtype="int64")})
+
+
 class QualityScore:
     """Length / punctuation / stopword-ratio quality features
     (the standard web-corpus filters, e.g. C4/Gopher rules)."""
