@@ -91,6 +91,79 @@ def events_ordered_head_sql() -> str:
             "ORDER BY event_id LIMIT 100")
 
 
+def heavy_hitters(ds, phi: float, key: str = "user_id"):
+    """Keys generating > phi of all rows, with EXACT counts — the
+    frequent-items primitive (abusive-client detection, hot-key
+    discovery for salting) via sketch-then-verify:
+
+    Pass 1: per-batch exact value_counts compressed to a k-counter
+    Misra-Gries summary (k = ceil(2/phi); subtract the (k+1)-th
+    largest count, keep positives — Agarwal et al., Mergeable
+    Summaries), so the exchange carries <= k rows per batch regardless
+    of per-batch key cardinality; a groupby sum of the summaries
+    yields lower-bound counts with total undercount <= n/k < phi*n/2,
+    hence every true heavy hitter has lb > phi*n/2. Candidates
+    (lb > phi*n/2) number <= 2/phi — driver-safe by construction.
+
+    Pass 2: broadcast the candidate list, exact-count ONLY candidates
+    (is_in filter + per-batch partial counts + tiny groupby), keep
+    count > phi*n. Exact output, no key-cardinality shuffle ever."""
+    import pyarrow.compute as pc
+
+    n_total = ds.count()  # parquet metadata, no scan
+    k = max(16, int(np.ceil(2.0 / phi)))
+
+    def mg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[key].value_counts()
+        if len(vc) > k:
+            t = vc.iloc[k]  # (k+1)-th largest
+            vc = (vc - t).iloc[:k]
+            vc = vc[vc > 0]
+        return pd.DataFrame({key: vc.index.astype("int64"),
+                             "lb": vc.to_numpy(dtype="int64")})
+
+    lbs = (ds.map_batches(mg_partial, batch_format="pandas")
+           .groupby(key).sum("lb"))
+    cand = lbs.map_batches(
+        lambda b: b.filter(pa.compute.greater(
+            b["sum(lb)"], phi * n_total / 2.0)).select([key]),
+        batch_format="pyarrow", batch_size=None).take_all()
+    cand_ids = pa.array(sorted({r[key] for r in cand}), pa.int64())
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        hit = b.filter(pc.is_in(b[key], value_set=cand_ids))
+        if hit.num_rows == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        vc = hit.to_pandas()[key].value_counts()
+        return pa.table({key: pa.array(vc.index, pa.int64()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    exact = (ds.map_batches(exact_partial, batch_format="pyarrow")
+             .groupby(key).sum("n"))
+    return exact.map_batches(
+        lambda b: pa.table({
+            key: b.filter(pa.compute.greater(
+                b["sum(n)"], phi * n_total))[key],
+            "n": b.filter(pa.compute.greater(
+                b["sum(n)"], phi * n_total))["sum(n)"]}),
+        batch_format="pyarrow", batch_size=None)
+
+
+def events_heavy_hitters(sf_dir: str, phi: float = 0.005):
+    """Driver-contract wrapper: heavy hitters over events.user_id."""
+    return heavy_hitters(_read(sf_dir, "events", ["user_id"]), phi)
+
+
+def events_heavy_hitters_sql() -> str:
+    return """
+        SELECT user_id, count(*) AS n
+        FROM events
+        GROUP BY user_id
+        HAVING count(*) > 0.005 * (SELECT count(*) FROM events)
+    """
+
+
 def events_json_projection(sf_dir: str):
     """Schema-projected JSON parse (P1): extract props.k, keep k > 50.
     Vectorized regex extraction — no per-row json.loads."""
@@ -1288,6 +1361,7 @@ QUERIES = {
     "events_window_agg": events_window_agg,
     "events_sessionize": events_sessionize,
     "events_count_by_type": events_count_by_type,
+    "events_heavy_hitters": events_heavy_hitters,
     "events_distinct_users": events_distinct_users,
     "lineitem_pricing_summary": lineitem_pricing_summary,
     "top_customers": top_customers,
@@ -1324,6 +1398,7 @@ ORACLES = {
     "events_sessionize": events_sessionize_sql(),
     "events_distinct_users": events_distinct_users_sql(),
     "events_count_by_type": events_count_by_type_sql(),
+    "events_heavy_hitters": events_heavy_hitters_sql(),
     "lineitem_pricing_summary": lineitem_pricing_summary_sql(),
     "top_customers": top_customers_sql(),
     "supplier_counts_by_region": supplier_counts_by_region_sql(),

@@ -480,3 +480,32 @@ def test_embedding_near_dup_scaled_centroids(ray_session):
     out = embedding_near_dup(_emb_ds(), threshold=0.99).to_pandas()
     pairs = set(map(tuple, out[["vec_a", "vec_b"]].itertuples(index=False)))
     assert (0, 1) in pairs
+
+
+def test_heavy_hitters_mg_truncation_exact(ray_session):
+    """The Misra-Gries compression path (per-batch cardinality >> k)
+    must still yield EXACT heavy-hitter counts: skewed synthetic keys
+    with 2 true heavy hitters among 3000 cold keys, phi=0.1 → k=20
+    counters, 500-row batches each holding ~hundreds of distinct keys,
+    so every batch truncates."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.ops.queries import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    keys = np.concatenate([
+        np.full(3000, 1, dtype=np.int64),          # 30%
+        np.full(1500, 2, dtype=np.int64),          # 15%
+        rng.integers(100, 3100, size=5500),        # cold tail
+    ])
+    rng.shuffle(keys)
+    n = len(keys)
+    ds = rd.from_pandas(pd.DataFrame({"user_id": keys})).repartition(20)
+    out = heavy_hitters(ds, phi=0.1).to_pandas()
+    truth = pd.Series(keys).value_counts()
+    expect = truth[truth > 0.1 * n]
+    got = dict(zip(out["user_id"], out["n"]))
+    assert got == {int(k): int(v) for k, v in expect.items()}
+    assert set(got) == {1, 2}
