@@ -13,7 +13,8 @@ from .errors import ConfigError
 log = logging.getLogger(__name__)
 
 JOBS = ("append", "merge", "compact", "cluster", "expire", "lifecycle",
-        "delete", "rollback", "history", "quarantine", "metrics")
+        "delete", "rollback", "history", "quarantine", "metrics",
+        "stream")
 
 # monitoring section keys (reference MonitoringConfig,
 # src/config/mod.rs:81-94: enabled / endpoint / service_name; here the
@@ -43,6 +44,12 @@ class MaintenanceConfig:
     transcode_fmt: str | None = None  # compact: rewrite-with-recompression
     predicate: dict | None = None     # delete: {col: [lo, hi]}
     restore_version: int | None = None  # rollback target
+    # stream job: the reference's PipelineConfig flush policy
+    # (max_buffer_size / max_wait_secs, src/config/mod.rs:82-86 +
+    # defaults src/kafka/mod.rs:141-142) + the byte cap
+    max_buffer_rows: int = 10_000
+    max_wait_secs: float = 360.0
+    max_buffer_bytes: int = 256 << 20
     monitoring: dict = field(default_factory=dict)
     options: dict = field(default_factory=dict)
 
@@ -79,9 +86,18 @@ class MaintenanceConfig:
             raise ConfigError(f"unknown job {self.job!r}; one of {JOBS}")
         if not self.app_id:
             raise ConfigError("app_id must not be empty")
-        if self.job in ("merge", "append") and not self.changeset_path:
+        if self.job in ("merge", "append", "stream") \
+                and not self.changeset_path:
             raise ConfigError(
-                f"{self.job} requires changeset_path (the input parquet)")
+                f"{self.job} requires changeset_path (the input parquet"
+                f"{' glob' if self.job == 'stream' else ''})")
+        if self.job == "stream":
+            if self.max_buffer_rows < 1:
+                raise ConfigError("max_buffer_rows must be >= 1")
+            if self.max_wait_secs <= 0:
+                raise ConfigError("max_wait_secs must be > 0")
+            if self.max_buffer_bytes < 1:
+                raise ConfigError("max_buffer_bytes must be >= 1")
         if self.job == "delete" and not self.predicate:
             raise ConfigError("delete requires predicate ({col: [lo, hi]})")
         if self.job == "rollback" and self.restore_version is None:

@@ -89,6 +89,32 @@ def run(cfg: MaintenanceConfig) -> dict:
         m = ig.append(table, src, run_id=cfg.run_id,
                       target_fragment_rows=cfg.target_fragment_rows,
                       mode=cfg.options.get("write_mode", "default"))
+    elif cfg.job == "stream":
+        # the reference's main runtime: consume a stream of micro-
+        # batches under the size/time flush policy (src/main.rs:27-60
+        # wires config -> consumer loop). Each parquet file matched by
+        # the changeset_path glob is one micro-batch, consumed in
+        # filename order (a file-drop directory is the sandbox's
+        # stand-in for a topic partition feed).
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        from .pipelines.stream import stream_ingest
+
+        files = sorted(_glob.glob(cfg.changeset_path))
+        if not files:
+            raise ValueError(
+                f"stream: no parquet files match {cfg.changeset_path!r}")
+        stats = stream_ingest(
+            table, (_pq.read_table(p) for p in files), app_id=cfg.app_id,
+            max_buffer_rows=cfg.max_buffer_rows,
+            max_wait_secs=cfg.max_wait_secs,
+            max_buffer_bytes=cfg.max_buffer_bytes, run_id=cfg.run_id,
+            merge_kwargs={"target_fragment_rows": cfg.target_fragment_rows})
+        return {"job": "stream", "files": len(files),
+                **{k: (len(v) if isinstance(v, list) else v)
+                   for k, v in stats.items()}}
     elif cfg.job == "merge":
         import ray.data as rd
 

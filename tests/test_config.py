@@ -82,3 +82,56 @@ def test_append_requires_input_path(tmp_path):
     p.write_text(yaml.safe_dump({"table_root": "/tmp/t", "job": "append"}))
     with pytest.raises(ConfigError, match="append requires changeset_path"):
         MaintenanceConfig.load(str(p))
+
+
+def test_stream_job_cli_end_to_end(tmp_path, ray_session):
+    """The reference's main runtime shape (src/main.rs:27-60: config →
+    consumer loop) as a CLI job: parquet micro-batch files → size/time/
+    byte flush policy → merges; replay of the same stream is a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_delta_rs_ray.config import MaintenanceConfig
+    from kafka_delta_rs_ray.pipelines.ingest import append
+    from kafka_delta_rs_ray.pipelines.synth import image_dataset
+    from kafka_delta_rs_ray.run import run
+    from kafka_delta_rs_ray.tablefmt import IMAGE_SCHEMA, Table
+    from kafka_delta_rs_ray.tablefmt.schema import CHANGESET_SCHEMA
+
+    t = Table.create(str(tmp_path / "t"), IMAGE_SCHEMA)
+    append(t, image_dataset(20, batch_size=20), target_fragment_rows=20)
+
+    from test_parity import _chrow
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i in range(4):
+        rows = [_chrow(f"st-{i}-{j}", i * 10 + j, f"c{i}{j}")
+                for j in range(5)]
+        pq.write_table(pa.Table.from_pylist(rows, schema=CHANGESET_SCHEMA),
+                       str(feed / f"mb-{i:04d}.parquet"))
+
+    cfgp = tmp_path / "stream.yaml"
+    cfgp.write_text(f"table_root: {t.root}\njob: stream\napp_id: cli\n"
+                    f"changeset_path: {feed}/*.parquet\n"
+                    "max_buffer_rows: 8\n")
+    out = run(MaintenanceConfig.load(str(cfgp)))
+    assert out["files"] == 4 and out["rows_in"] == 20
+    assert out["flushes"] >= 2 and out["committed_versions"] >= 2
+    ids = set(t.snapshot().to_arrow()["image_id"].to_pylist())
+    assert all(f"st-{i}-{j}" in ids for i in range(4) for j in range(5))
+
+    # replay the whole stream: watermarks absorb it, no new versions
+    v = t.snapshot().manifest.version
+    out2 = run(MaintenanceConfig.load(str(cfgp)))
+    assert out2["committed_versions"] == 0
+    assert t.snapshot().manifest.version == v
+
+    # validation: stream requires changeset_path
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(f"table_root: {t.root}\njob: stream\n")
+    import pytest as _pytest
+
+    from kafka_delta_rs_ray.errors import ConfigError
+    with _pytest.raises(ConfigError, match="changeset_path"):
+        MaintenanceConfig.load(str(bad))
