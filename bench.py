@@ -439,6 +439,7 @@ def run_scaling_sharded() -> dict:
             raise errors[0]
         return results
 
+    ceiling = _memcpy_ceiling()  # window-quality calibration, inline
     reps = []
     for rep in range(2):
         single = res(spawn(env_for(100 + rep)))
@@ -458,6 +459,10 @@ def run_scaling_sharded() -> dict:
             "n_images_per_shard": n,
             "t_single": round(t1, 3), "t_slowest_shard": round(t4, 3),
             "scaling_efficiency": round(t1 / t4, 3),
+            # the same-session host calibration makes a degraded window
+            # machine-readable in the record itself (this probe swung
+            # 0.26-0.84 across windows on identical code)
+            "host_ceiling": ceiling,
             "reps": reps}
 
 

@@ -638,3 +638,62 @@ def test_compact_resume_redoes_bin_without_delete_fingerprint(table):
     assert m is not None
     assert all(f.id != "bogus" for f in m.fragments)
     assert _sorted_rows(table.snapshot().to_arrow()) == before
+
+
+def test_distributed_merge_concurrent_same_key_conflicts(table):
+    """Same interleaving as test_merge_concurrent_same_key_conflicts
+    but with the DISTRIBUTED changed-key path forced (driver_keys_max=
+    1): the commit-time concurrent-fragment check must detect the
+    overlap via the distributed key dataset (the key set never sat on
+    the driver) and raise CommitConflict; the rerun converges."""
+    from kafka_delta_rs_ray.errors import CommitConflict
+
+    iid = "img-0000000011"
+    orig = Table.commit
+    state = {"fired": False}
+
+    def hooked(build, max_attempts=3):
+        if not state["fired"]:
+            state["fired"] = True
+            merge(Table(table.root), _one_key_changeset(iid, "from-m2"),
+                  app_id="dm2", driver_keys_max=1)
+        return orig(table, build, max_attempts)
+
+    table.commit = hooked
+    try:
+        with pytest.raises(CommitConflict):
+            merge(table, _one_key_changeset(iid, "from-m1"),
+                  app_id="dm1", driver_keys_max=1)
+    finally:
+        del table.commit
+
+    merge(table, _one_key_changeset(iid, "from-m1"), app_id="dm1",
+          driver_keys_max=1)  # rerun against the fresh snapshot
+    t = table.snapshot().to_arrow()
+    rows = t.filter(pc.equal(t["image_id"], iid)).to_pylist()
+    assert len(rows) == 1
+    assert rows[0]["caption"] == "from-m1"
+
+
+def test_distributed_merge_concurrent_disjoint_keys_both_commit(table):
+    """Two concurrent DISTRIBUTED merges with disjoint keys: the
+    commit-time check must NOT false-positive — both land."""
+    orig = Table.commit
+    state = {"fired": False}
+
+    def hooked(build, max_attempts=3):
+        if not state["fired"]:
+            state["fired"] = True
+            merge(Table(table.root), _one_key_changeset("dj-b", "b"),
+                  app_id="dj2", driver_keys_max=1)
+        return orig(table, build, max_attempts)
+
+    table.commit = hooked
+    try:
+        m = merge(table, _one_key_changeset("dj-a", "a"),
+                  app_id="dj1", driver_keys_max=1)
+    finally:
+        del table.commit
+    assert m is not None
+    ids = set(table.snapshot().to_arrow()["image_id"].to_pylist())
+    assert {"dj-a", "dj-b"} <= ids
