@@ -66,6 +66,24 @@ from ..tablefmt.manifest import Manifest
 _EXTRA_COLS = ("partition_id", "seq", "op", "bucket")
 
 
+def _polars():
+    """Import polars with its rayon pool capped to ONE thread.
+
+    Measured on the 48k lifecycle (interleaved A/B, 2 reps): letting
+    polars spawn its default num_cpus-sized pool in every Ray worker
+    (~32 workers x 32 threads) degraded the SUBSEQUENT cluster
+    exchange ~25-30% (cluster 11.4/8.3 s vs 9.2/6.5 s without polars)
+    — the hash kernel itself doesn't need the pool (single-threaded it
+    still measures ~20M rows/s on 16-char ids, 3x the crc32 loop).
+    Must run before the worker's FIRST polars import to take effect."""
+    import os as _os
+
+    _os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    return pl
+
+
 class _ReplayFilter:
     """Drop rows already covered by the app's committed watermarks."""
 
@@ -95,7 +113,7 @@ def _add_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
     (every worker ships the same polars build), so ahash's
     cross-version instability is irrelevant."""
     try:
-        import polars as pl
+        pl = _polars()
 
         h = pl.from_arrow(batch["image_id"]).hash(seed=0).to_numpy()
         b = (h % np.uint64(n_buckets)).astype(np.int32)
@@ -723,7 +741,7 @@ def merge(table: Table, changes_ds, app_id: str,
         nb = max(64, n_effective // 200_000)
 
         def _add_kb(b: pa.Table) -> pa.Table:
-            import polars as pl
+            pl = _polars()
 
             h = pl.from_arrow(b["image_id"]).hash(seed=0).to_numpy()
             return b.append_column(
