@@ -466,3 +466,34 @@ def test_map_column_schema_evolution(tmp_path, ray_session):
     assert attrs["d"] == [("y", 2), ("z", 3)]
     proj = t.snapshot().dataset(columns=["media_id", "attrs"])
     assert proj.count() == 4
+
+
+def test_leaf_paths_match_parquet_column_paths(tmp_path):
+    """fragment_compression keys must be exactly the leaf paths parquet
+    itself uses (ADVICE round 2: a map keyed by top-level names left
+    nested columns silently uncompressed). Pin _leaf_paths against the
+    paths pyarrow actually writes for a deeply nested schema."""
+    import pyarrow.parquet as pq
+
+    from kafka_delta_rs_ray.tablefmt.fragments import fragment_compression
+
+    schema = pa.schema([
+        pa.field("id", pa.string()),
+        pa.field("emb", pa.list_(pa.float32())),
+        pa.field("attrs", pa.map_(pa.string(), pa.int64())),
+        pa.field("meta", pa.struct([("w", pa.int32()),
+                                    ("tags", pa.list_(pa.string()))])),
+    ])
+    tbl = pa.table({
+        "id": pa.array(["a"], pa.string()),
+        "emb": pa.array([[1.0]], pa.list_(pa.float32())),
+        "attrs": pa.array([[("k", 1)]], pa.map_(pa.string(), pa.int64())),
+        "meta": pa.array([{"w": 2, "tags": ["t"]}], schema.field("meta").type),
+    })
+    p = str(tmp_path / "leaf.parquet")
+    pq.write_table(tbl, p)
+    md = pq.ParquetFile(p).metadata
+    actual = {md.row_group(0).column(i).path_in_schema
+              for i in range(md.num_columns)}
+    computed = set(fragment_compression(schema))
+    assert computed == actual, (computed - actual, actual - computed)
