@@ -12,12 +12,12 @@ Scan strategy (scale notes):
   (block splitting, column pruning at the parquet reader).
 - fragments WITH delete files are scanned one task per fragment via
   ``from_items(frag metas) → map_batches(reader)``: the task reads its
-  parquet (columns pruned) and anti-joins its own delete-key set.
-  Delete keys are broadcast once with ``ray.put`` (a dict
-  fragment_id → key array), not re-shipped per batch. Fragment size is
-  bounded by the compaction target, so one task per dirty fragment is
-  memory-safe; dirty-fragment count is bounded by merges since the last
-  compaction.
+  parquet (columns pruned), loads ITS OWN fragment's delete files
+  (paths travel in the meta row) and anti-joins the dead keys. The
+  driver never reads delete data — scan startup is O(manifest
+  metadata) however many deletes accumulated since the last
+  compaction. Fragment size is bounded by the compaction target, so
+  one task per dirty fragment is memory-safe.
 """
 
 from __future__ import annotations
@@ -48,23 +48,36 @@ def _overlaps(stats: dict, col: str, lo, hi) -> bool:
 
 class _DirtyFragmentReader:
     """map_batches stage over fragment-meta rows: read parquet, drop
-    deleted keys. Delete sets come from a single ray.put broadcast."""
+    deleted keys. Each task reads ITS OWN fragment's delete files
+    (paths ship in the meta row) — the driver never materializes any
+    delete data, so scan startup is O(manifest metadata) no matter how
+    many deletes accumulated since the last compaction."""
 
-    def __init__(self, root: str, columns, deletes_ref, schema=None,
+    def __init__(self, root: str, columns, schema=None,
                  row_filter=None):
         self.root = root
         self.columns = columns
-        self.deletes_ref = deletes_ref
         self.schema = schema  # target schema for evolved tables, or None
         self.row_filter = row_filter  # pyarrow.dataset expression
-        self._deletes = None  # resolved lazily once per worker
+
+    def _dead_keys(self, frag_id: str, delete_paths) -> pa.Array | None:
+        import pyarrow.compute as pc
+
+        keys = []
+        for rel in delete_paths or ():
+            d = pq.read_table(os.path.join(self.root, rel),
+                              columns=["fragment_id", "image_id"])
+            d = d.filter(pc.equal(d["fragment_id"], frag_id))
+            if d.num_rows:
+                keys.append(d["image_id"].combine_chunks())
+        if not keys:
+            return None
+        return pa.concat_arrays([k.chunk(0) if isinstance(k, pa.ChunkedArray)
+                                 else k for k in keys])
 
     def __call__(self, meta: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        import ray
 
-        if self._deletes is None:
-            self._deletes = ray.get(self.deletes_ref)
         out = []
         for row in meta.to_pylist():
             cols = self.columns
@@ -78,9 +91,9 @@ class _DirtyFragmentReader:
                 read_cols = [c for c in read_cols if c in have]
             t = pq.read_table(os.path.join(self.root, row["path"]),
                               columns=read_cols, filters=self.row_filter)
-            keys = self._deletes.get(row["id"])
+            keys = self._dead_keys(row["id"], row.get("delete_paths"))
             if keys is not None and len(keys) > 0:
-                mask = pc.is_in(t["image_id"], value_set=pa.array(keys, pa.string()))
+                mask = pc.is_in(t["image_id"], value_set=keys)
                 t = t.filter(pc.invert(mask))
             if self.schema is not None:
                 proj = (self.schema if cols is None else
@@ -146,7 +159,6 @@ class Snapshot:
         filtering inside fragments; compose with ``prune`` for the full
         two-level pushdown).
         """
-        import ray
         import ray.data as rd
 
         frags = self._select_fragments(prune)
@@ -155,9 +167,13 @@ class Snapshot:
         if not frags:
             return rd.from_arrow(schema.empty_table())
 
-        deletes = self.read_deletes(frags) if apply_deletes else {}
-        clean = [f for f in frags if f.id not in deletes]
-        dirty = [f for f in frags if f.id in deletes]
+        # dirty = has delete files attached — a MANIFEST property, so
+        # classifying costs zero I/O; each dirty fragment's reader task
+        # loads its own delete files (driver never touches delete data)
+        dirty_ids = ({f.id for f in frags if f.delete_paths}
+                     if apply_deletes else set())
+        clean = [f for f in frags if f.id not in dirty_ids]
+        dirty = [f for f in frags if f.id in dirty_ids]
         # set once schema evolution has happened (see ingest.append
         # mode="merge_schema"); older fragments then need null-fill +
         # column reorder, which costs one extra map stage — tables that
@@ -170,12 +186,12 @@ class Snapshot:
             if evolved:
                 # per-fragment read tasks (parquet column sets differ
                 # per fragment, so push projection per file)
-                ref = ray.put({})
                 meta = rd.from_items(
-                    [{"id": f.id, "path": f.path} for f in clean],
+                    [{"id": f.id, "path": f.path, "delete_paths": []}
+                     for f in clean],
                     override_num_blocks=len(clean))
                 parts.append(meta.map_batches(
-                    _DirtyFragmentReader(self.table.root, columns, ref,
+                    _DirtyFragmentReader(self.table.root, columns,
                                          schema=conform_schema,
                                          row_filter=row_filter),
                     batch_format="pyarrow", batch_size=1))
@@ -185,11 +201,12 @@ class Snapshot:
                     [self.table.abspath(f.path) for f in clean],
                     columns=columns, **kw))
         if dirty:
-            ref = ray.put(deletes)
-            meta = rd.from_items([{"id": f.id, "path": f.path} for f in dirty],
-                                 override_num_blocks=len(dirty))
+            meta = rd.from_items(
+                [{"id": f.id, "path": f.path,
+                  "delete_paths": list(f.delete_paths)} for f in dirty],
+                override_num_blocks=len(dirty))
             parts.append(meta.map_batches(
-                _DirtyFragmentReader(self.table.root, columns, ref,
+                _DirtyFragmentReader(self.table.root, columns,
                                      schema=conform_schema,
                                      row_filter=row_filter),
                 batch_format="pyarrow", batch_size=1))
