@@ -158,7 +158,7 @@ class _RewriteBin:
                  transcode_fmt: str | None = None):
         self.root = root
         self.run_id = run_id
-        self.deletes_ref = deletes_ref  # (deletes, delete fingerprints)
+        self.deletes_ref = deletes_ref  # (delete-file paths, fingerprints)
         self.transcode_fmt = transcode_fmt
         self._deletes = None
         self._fps = None
@@ -175,12 +175,14 @@ class _RewriteBin:
         # zcode column itself lives only in the manifest, not the files
         sw = StreamingFragmentWriter(self.root, self.run_id,
                                      sorted_by=row.get("sorted_by"))
+        from ..tablefmt.fragments import read_dead_keys
+
         for fid, rel in zip(row["fragment_ids"], row["paths"]):
             t = pq.read_table(os.path.join(self.root, rel))
-            keys = self._deletes.get(fid)
-            if keys:
-                t = t.filter(pc.invert(pc.is_in(
-                    t["image_id"], value_set=pa.array(keys, pa.string()))))
+            keys = read_dead_keys(self.root, fid, self._deletes.get(fid))
+            if keys is not None and len(keys) > 0:
+                t = t.filter(pc.invert(pc.is_in(t["image_id"],
+                                                value_set=keys)))
             if self.transcode_fmt:
                 t = transcode_table(t, self.transcode_fmt)
             sw.write(t)
@@ -266,14 +268,17 @@ def compact(table: Table, target_bytes: int = DEFAULT_TARGET_BYTES,
     t0 = time.time()
     planned_ids = {fid for b in bins for fid in b["fragment_ids"]}
     frag_by_id = {f.id: f for f in snap.manifest.fragments}
-    deletes = snap.read_deletes([frag_by_id[i] for i in planned_ids
-                                 if i in frag_by_id])
+    # ship delete-file PATHS (manifest metadata), not key data: each
+    # rewrite task reads its own inputs' delete files, so the driver
+    # never materializes deleted keys however many merges accumulated
+    dv_paths = {i: list(frag_by_id[i].delete_paths) for i in planned_ids
+                if i in frag_by_id and frag_by_id[i].delete_paths}
     # per-input delete fingerprint: what delete state this rewrite
     # APPLIES — compared at commit time against the then-latest
     # manifest to detect concurrent merges/deletes on the same ids
     fps = {i: _delete_fp(frag_by_id[i]) for i in planned_ids
            if i in frag_by_id}
-    deletes_ref = ray.put((deletes, fps))
+    deletes_ref = ray.put((dv_paths, fps))
 
     kwargs = {"concurrency": concurrency} if concurrency is not None else {}
     # one block per bin — from_items yields a single block otherwise,

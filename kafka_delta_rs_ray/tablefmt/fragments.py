@@ -219,6 +219,26 @@ DELETE_SCHEMA = pa.schema([pa.field("fragment_id", pa.string()),
                            pa.field("image_id", pa.string())])
 
 
+def read_dead_keys(root: str, frag_id: str, delete_paths) -> pa.Array | None:
+    """One fragment's deleted keys, read from ITS delete files — the
+    worker-side primitive behind delete application (scan reader tasks
+    and compaction rewrite tasks call this with paths shipped in their
+    meta rows; the driver ships only path strings, never key data)."""
+    import pyarrow.compute as pc
+
+    keys = []
+    for rel in delete_paths or ():
+        d = pq.read_table(os.path.join(root, rel),
+                          columns=["fragment_id", "image_id"])
+        d = d.filter(pc.equal(d["fragment_id"], frag_id))
+        if d.num_rows:
+            keys.append(d["image_id"].combine_chunks())
+    if not keys:
+        return None
+    return pa.concat_arrays([k.chunk(0) if isinstance(k, pa.ChunkedArray)
+                             else k for k in keys])
+
+
 def write_delete_file(root: str, run_id: str, records: pa.Table) -> str:
     """Write key-delete records (fragment_id, image_id) → relative path.
 

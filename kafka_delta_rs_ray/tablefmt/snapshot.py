@@ -60,21 +60,6 @@ class _DirtyFragmentReader:
         self.schema = schema  # target schema for evolved tables, or None
         self.row_filter = row_filter  # pyarrow.dataset expression
 
-    def _dead_keys(self, frag_id: str, delete_paths) -> pa.Array | None:
-        import pyarrow.compute as pc
-
-        keys = []
-        for rel in delete_paths or ():
-            d = pq.read_table(os.path.join(self.root, rel),
-                              columns=["fragment_id", "image_id"])
-            d = d.filter(pc.equal(d["fragment_id"], frag_id))
-            if d.num_rows:
-                keys.append(d["image_id"].combine_chunks())
-        if not keys:
-            return None
-        return pa.concat_arrays([k.chunk(0) if isinstance(k, pa.ChunkedArray)
-                                 else k for k in keys])
-
     def __call__(self, meta: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -91,7 +76,10 @@ class _DirtyFragmentReader:
                 read_cols = [c for c in read_cols if c in have]
             t = pq.read_table(os.path.join(self.root, row["path"]),
                               columns=read_cols, filters=self.row_filter)
-            keys = self._dead_keys(row["id"], row.get("delete_paths"))
+            from .fragments import read_dead_keys
+
+            keys = read_dead_keys(self.root, row["id"],
+                                  row.get("delete_paths"))
             if keys is not None and len(keys) > 0:
                 mask = pc.is_in(t["image_id"], value_set=keys)
                 t = t.filter(pc.invert(mask))
