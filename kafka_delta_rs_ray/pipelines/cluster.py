@@ -50,7 +50,7 @@ import time
 import numpy as np
 import pyarrow as pa
 
-from ..stages.zorder import CURVES, add_zorder_keys
+from ..stages.zorder import add_zorder_keys, make_keyspec, zcode_for
 from ..state.lineage import RunContext
 from ..tablefmt.catalog import Table
 from ..tablefmt.fragments import (FRAG_META_SCHEMA, FragmentWriter,
@@ -68,7 +68,8 @@ MAX_BOUNDARY_FRAGMENTS = 64  # fragments whose key columns are sampled
 def _sample_boundaries(snap, prune, n_buckets: int,
                        hot_factor: float = 4.0,
                        salt_buckets: int = 4096,
-                       curve: str = "morton"):
+                       curve: str = "morton",
+                       keyspec: dict | None = None):
     """Equal-frequency zcode boundaries + hot-bucket split factors.
 
     I/O is bounded BY CONSTRUCTION, not by post-read sampling: at most
@@ -88,11 +89,14 @@ def _sample_boundaries(snap, prune, n_buckets: int,
     # one small Ray task per sampled fragment (key columns only) —
     # serial driver-side reads were a measurable Amdahl fraction of
     # the 32-CPU cluster stage
+    key_cols = (keyspec["cols"] if keyspec is not None
+                else ["phash", "w", "h"])
+
     @ray.remote(num_cpus=0.5)
     def _read_keys(path: str) -> pa.Table:
         import pyarrow.parquet as _pq
 
-        return _pq.read_table(path, columns=["phash", "w", "h"])
+        return _pq.read_table(path, columns=key_cols)
 
     parts = ray.get([_read_keys.remote(snap.table.abspath(f.path))
                      for f in chosen])
@@ -101,9 +105,7 @@ def _sample_boundaries(snap, prune, n_buckets: int,
         idx = np.linspace(0, mt.num_rows - 1, MAX_BOUNDARY_SAMPLE,
                           dtype=np.int64)
         mt = mt.take(pa.array(idx))
-    z = CURVES[curve](mt["phash"].to_numpy(zero_copy_only=False),
-                      mt["w"].to_numpy(zero_copy_only=False),
-                      mt["h"].to_numpy(zero_copy_only=False))
+    z = zcode_for(mt, curve, keyspec)
     zf = np.asarray(z, dtype=np.int64)
     qs = np.quantile(zf.astype(np.float64),
                      np.linspace(0, 1, n_buckets + 1)[1:-1])
@@ -122,10 +124,11 @@ class _AssignBucket:
     map arrive once per worker via ray.put broadcast."""
 
     def __init__(self, bounds_ref, salt_buckets: int,
-                 curve: str = "morton"):
+                 curve: str = "morton", keyspec: dict | None = None):
         self.bounds_ref = bounds_ref
         self.salt_buckets = salt_buckets
         self.curve = curve
+        self.keyspec = keyspec
         self._bh = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -134,7 +137,8 @@ class _AssignBucket:
         if self._bh is None:
             self._bh = ray.get(self.bounds_ref)
         bounds, hot = self._bh
-        b2 = add_zorder_keys(batch, self.salt_buckets, curve=self.curve)
+        b2 = add_zorder_keys(batch, self.salt_buckets, curve=self.curve,
+                             keyspec=self.keyspec)
         z = b2["zcode"].to_numpy(zero_copy_only=False)
         base = np.searchsorted(bounds, z, side="right").astype(np.int64)
         if hot:
@@ -208,13 +212,23 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
             prune: dict | None = None, strategy: str = "range",
             over_partition: int = 2,
             curve: str = "morton",
-            target_fragment_bytes: int | None = None) -> Manifest | None:
+            target_fragment_bytes: int | None = None,
+            key_cols: list | None = None,
+            salt_col: str = "image_id") -> Manifest | None:
     """Cluster the live table (or a zone-map-pruned slice) by zcode.
 
     ``curve``: "morton" (Z-order) or "hilbert" — the space-filling
-    curve packing (phash, w, h) into the sort key. Same machinery
+    curve packing the key columns into the sort key. Same machinery
     (boundaries, salt splits, zone maps) either way; the committed
     manifest records the curve in properties["cluster_curve"].
+
+    ``key_cols``: cluster by ANY 1-3 numeric columns instead of the
+    image-schema (phash, w, h) default — per-column bounds come from
+    the fragment zone maps (metadata only) and normalize each column
+    into the curve's 21-bit/dim domain; ``salt_col`` names the
+    high-cardinality tiebreaker column for hot-key splits. This makes
+    clustering usable on arbitrary tables (events by (ts, user),
+    documents by (lang bucket, length), ...).
 
     ``target_fragment_bytes``: when set, fragment slices are bounded
     by payload bytes as well as rows (see _SortWriteBucket) — use for
@@ -224,6 +238,27 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
     if not snap.manifest.fragments:
         return None
     t0 = time.time()
+
+    keyspec = None
+    if key_cols is not None:
+        frags_sel = snap._select_fragments(prune)
+        mins, maxs = [], []
+        for c in key_cols:
+            stats = [f.stats.get(c) for f in frags_sel]
+            if any(s is None or s.get("min") is None for s in stats):
+                raise ValueError(
+                    f"key_cols column {c!r} lacks zone-map stats on some "
+                    f"fragments (binary/nested columns can't be cluster "
+                    f"keys; re-append with stats or pick a numeric column)")
+            if not all(isinstance(s["min"], (int, float))
+                       and not isinstance(s["min"], bool) for s in stats):
+                raise ValueError(
+                    f"key_cols column {c!r} is not numeric; curve keys "
+                    f"need numeric zone-map stats (got "
+                    f"{type(stats[0]['min']).__name__})")
+            mins.append(min(s["min"] for s in stats))
+            maxs.append(max(s["max"] for s in stats))
+        keyspec = make_keyspec(key_cols, mins, maxs, salt_col=salt_col)
 
     rows_est = max(1, snap.manifest.total_rows())
 
@@ -236,7 +271,7 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
                                       // max(1, target_fragment_rows))))
         bounds, hot = _sample_boundaries(snap, prune, n_buckets,
                                          salt_buckets=salt_buckets,
-                                         curve=curve)
+                                         curve=curve, keyspec=keyspec)
         bref = ray.put((bounds, hot))
         # hash exchange on bucket (scoped): a plain streaming shuffle —
         # no giant merge-sorted blocks. Reducer-side concurrency is
@@ -276,7 +311,7 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
             # job cost); fewer larger blocks keep slices ~MB-sized
             assign_rows = max(256, min(int(target_fragment_rows), 2048))
             ds = ds.map_batches(_AssignBucket(bref, salt_buckets,
-                                              curve=curve),
+                                              curve=curve, keyspec=keyspec),
                                 batch_format="pyarrow",
                                 batch_size=assign_rows)
             # Reducer CPU reservation: sort+write tasks allocate and
@@ -305,7 +340,8 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
                       max(8, rows_est // max(1, target_fragment_rows)))
         ds = snap.dataset(prune=prune)
         ds = ds.map_batches(lambda b: add_zorder_keys(b, salt_buckets,
-                                                      curve=curve),
+                                                      curve=curve,
+                                                      keyspec=keyspec),
                             batch_format="pyarrow", batch_size=None)
         ds = ds.repartition(int(n_parts))
         ds = ds.sort(["zcode", "salt"])
@@ -326,6 +362,8 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
                 f"v{latest.version}; rerun the cluster job")
         props = dict(latest.properties)
         props["cluster_curve"] = curve
+        if key_cols is not None:
+            props["cluster_key_cols"] = list(key_cols)
         if prune is None:
             frags = list(new_frags)
             # every fragment was rewritten at the current schema, so

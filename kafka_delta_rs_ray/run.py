@@ -72,7 +72,10 @@ def run(cfg: MaintenanceConfig) -> dict:
     elif cfg.job == "cluster":
         m = cl.cluster(table, cfg.target_fragment_rows,
                        salt_buckets=cfg.salt_buckets, run_id=cfg.run_id,
-                       curve=cfg.cluster_curve)
+                       curve=cfg.cluster_curve,
+                       key_cols=cfg.options.get("cluster_key_cols"),
+                       salt_col=cfg.options.get("cluster_salt_col",
+                                                "image_id"))
     elif cfg.job == "expire":
         rep = ex.expire(table, keep_last=cfg.keep_last,
                         min_age_seconds=cfg.min_age_seconds,

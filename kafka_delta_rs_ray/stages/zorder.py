@@ -8,6 +8,11 @@ range-partitioned sort samples key boundaries — identical keys cannot
 be split, so a hot key would land one giant partition on one worker.
 Sorting by (zcode, salt) lets the sampler cut WITHIN a hot key, which
 is the salted-repartition skew handling the north_rule requires.
+
+Generic tables: ``make_keyspec`` normalizes ANY 1-3 numeric columns
+into the 21-bit/dim domain the curve kernels interleave (bounds from
+fragment zone maps, affine map to [0, 2^21-1]); add_zorder_keys with a
+keyspec then clusters arbitrary tables, not just the image schema.
 """
 
 from __future__ import annotations
@@ -15,30 +20,80 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hilbert import hcode_from_columns
-from ..functions.morton import zcode_from_columns
+from ..functions.hilbert import hcode_from_columns, hilbert3_21
+from ..functions.morton import morton3_21, zcode_from_columns
 
 CURVES = {"morton": zcode_from_columns, "hilbert": hcode_from_columns}
+_RAW_CURVES = {"morton": morton3_21, "hilbert": hilbert3_21}
+_DIM_MAX = (1 << 21) - 1
+
+
+def make_keyspec(cols, mins, maxs, salt_col: str = "image_id") -> dict:
+    """Affine per-column normalization spec for generic clustering.
+
+    ``cols``: 1-3 numeric column names; ``mins``/``maxs``: their global
+    bounds (fragment zone maps — metadata, no data scan). Values map to
+    [0, 2^21-1] per dimension; out-of-bounds values clamp to the edge
+    (zcode is only a sort key, so clamping costs locality at the
+    extremes, never correctness). Note int64 columns wider than 2^53
+    lose low bits to the float64 map — use the image-schema default
+    path (top-bits transform) when exact bit structure matters."""
+    if not 1 <= len(cols) <= 3:
+        raise ValueError("key_cols must name 1-3 numeric columns")
+    scales = []
+    for lo, hi in zip(mins, maxs):
+        span = float(hi) - float(lo)
+        scales.append(_DIM_MAX / span if span > 0 else 0.0)
+    return {"cols": list(cols), "mins": [float(m) for m in mins],
+            "scales": scales, "salt_col": salt_col}
+
+
+def _keyspec_dims(batch_cols, keyspec: dict, n: int) -> list:
+    dims = []
+    for c, lo, sc in zip(keyspec["cols"], keyspec["mins"],
+                         keyspec["scales"]):
+        v = batch_cols[c].astype(np.float64)
+        dims.append(np.clip((v - lo) * sc, 0, _DIM_MAX).astype(np.uint64))
+    while len(dims) < 3:
+        dims.append(np.zeros(n, dtype=np.uint64))
+    return dims
+
+
+def zcode_for(batch: pa.Table, curve: str, keyspec: dict | None):
+    """int64 curve key for a batch — legacy image-schema transform when
+    ``keyspec`` is None, normalized generic columns otherwise."""
+    if keyspec is None:
+        return CURVES[curve](batch["phash"].to_numpy(zero_copy_only=False),
+                             batch["w"].to_numpy(zero_copy_only=False),
+                             batch["h"].to_numpy(zero_copy_only=False))
+    cols = {c: batch[c].to_numpy(zero_copy_only=False)
+            for c in keyspec["cols"]}
+    d0, d1, d2 = _keyspec_dims(cols, keyspec, batch.num_rows)
+    return _RAW_CURVES[curve](d0, d1, d2).view(np.int64)
 
 
 def _crc32_batch(ids: pa.ChunkedArray | pa.Array) -> np.ndarray:
     import zlib
 
     arr = ids.to_pylist()
-    return np.array([zlib.crc32(s.encode()) for s in arr], dtype=np.uint32)
+    return np.array([zlib.crc32(str(s).encode()) for s in arr],
+                    dtype=np.uint32)
 
 
 def add_zorder_keys(batch: pa.Table, salt_buckets: int = 4096,
-                    curve: str = "morton") -> pa.Table:
+                    curve: str = "morton",
+                    keyspec: dict | None = None) -> pa.Table:
     """``curve``: "morton" (Z-order, default) or "hilbert" — both pack
-    (phash top bits, w, h) into one int64 sort key; the column is named
+    the key columns into one int64 sort key; the column is named
     ``zcode`` either way so zone maps / pruning / resume are
     curve-agnostic. Hilbert's unit-step continuity gives tighter
-    fragment bounding boxes on skewed keys."""
-    keyfn = CURVES[curve]
-    z = keyfn(batch["phash"].to_numpy(zero_copy_only=False),
-              batch["w"].to_numpy(zero_copy_only=False),
-              batch["h"].to_numpy(zero_copy_only=False))
-    salt = (_crc32_batch(batch["image_id"]) % salt_buckets).astype(np.int32)
+    fragment bounding boxes on skewed keys.
+
+    ``keyspec`` (from make_keyspec): cluster arbitrary numeric columns
+    instead of the image-schema (phash, w, h) default; its salt_col
+    names the high-cardinality tiebreaker column."""
+    z = zcode_for(batch, curve, keyspec)
+    salt_col = (keyspec or {}).get("salt_col", "image_id")
+    salt = (_crc32_batch(batch[salt_col]) % salt_buckets).astype(np.int32)
     return (batch.append_column("zcode", pa.array(z, pa.int64()))
                  .append_column("salt", pa.array(salt, pa.int32())))

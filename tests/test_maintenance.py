@@ -697,3 +697,50 @@ def test_distributed_merge_concurrent_disjoint_keys_both_commit(table):
     assert m is not None
     ids = set(table.snapshot().to_arrow()["image_id"].to_pylist())
     assert {"dj-a", "dj-b"} <= ids
+
+
+def test_cluster_generic_key_cols(tmp_path, ray_session):
+    """cluster(key_cols=[...]) works on an arbitrary (non-image)
+    table: per-column bounds come from fragment zone maps, scan
+    contents are preserved exactly, fragments get zcode zone maps and
+    are range-ordered by the leading key, and the manifest records the
+    key columns."""
+    import random
+
+    import ray.data as rd
+
+    schema = pa.schema([pa.field("doc_id", pa.string()),
+                        pa.field("n_tokens", pa.int64()),
+                        pa.field("score", pa.float64())])
+    t = Table.create(str(tmp_path / "g"), schema)
+    rng = random.Random(3)
+    rows = [{"doc_id": f"d{i:05d}", "n_tokens": rng.randrange(1, 5000),
+             "score": rng.random()} for i in range(400)]
+    append(t, rd.from_arrow(pa.Table.from_pylist(rows, schema=schema)),
+           target_fragment_rows=100)
+
+    pre = t.snapshot().to_arrow().sort_by("doc_id")
+    m = cluster(t, target_fragment_rows=64,
+                key_cols=["n_tokens", "score"], salt_col="doc_id")
+    assert m.properties["cluster_key_cols"] == ["n_tokens", "score"]
+    post = t.snapshot().to_arrow().sort_by("doc_id")
+    assert pre.equals(post.select(pre.column_names))
+
+    frags = t.snapshot().manifest.fragments
+    assert all("zcode" in f.stats for f in frags)
+    assert all(f.sorted_by == "zcode" for f in frags)
+    # clustering quality: fragment n_tokens ranges should be much
+    # narrower than the global range (the whole point of the curve)
+    widths = [f.stats["n_tokens"]["max"] - f.stats["n_tokens"]["min"]
+              for f in frags]
+    assert sorted(widths)[len(widths) // 2] < 5000 * 0.6
+
+    # hilbert + 1-column variants also run
+    cluster(t, target_fragment_rows=64, key_cols=["score"],
+            salt_col="doc_id", curve="hilbert")
+    assert t.snapshot().to_arrow().sort_by("doc_id") \
+            .select(pre.column_names).equals(pre)
+
+    # binary / stats-less columns are rejected early
+    with pytest.raises(ValueError, match="not numeric"):
+        cluster(t, key_cols=["doc_id"], salt_col="doc_id")
