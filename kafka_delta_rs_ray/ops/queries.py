@@ -294,6 +294,68 @@ def events_count_by_type_sql() -> str:
     return "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
 
 
+def events_asof_join(sf_dir: str):
+    """Per-user AS-OF join: for each 'click' event, the most recent
+    'view' by the same user at or before the click, reported as the
+    time gap in microseconds — the event-attribution shape equality
+    joins can't express (reference has no joins at all; this is a
+    north-star training-pipeline operator).
+
+    Distributed plan: one projected read, filtered to the two sides
+    per batch; ONE exchange on user_id % 64 co-locates each user's
+    clicks and views in bounded (~rows/64) buckets; the per-bucket
+    kernel is a single vectorized pandas merge_asof (compiled
+    timsort+galloping, never per-row Python). Timestamps move as
+    int64 epoch-micros so the gap arithmetic is exact."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["event_type"],
+                              value_set=pa.array(["click", "view"])))
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "is_click": pc.equal(b["event_type"], "click"),
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "bucket": pc.cast(pc.bit_wise_and(b["user_id"], 63),
+                              pa.int32())})
+
+    _empty = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                           "user_id": pd.Series([], dtype="int64"),
+                           "gap_us": pd.Series([], dtype="int64")})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["is_click"]].sort_values("ts_us")
+        right = g[~g["is_click"]].sort_values("ts_us")
+        if left.empty or right.empty:
+            return _empty
+        right = right[["user_id", "ts_us"]].assign(view_ts=right["ts_us"])
+        j = pd.merge_asof(left, right, on="ts_us", by="user_id",
+                          direction="backward")
+        j = j.dropna(subset=["view_ts"])  # inner semantics: no view yet
+        return pd.DataFrame({
+            "event_id": j["event_id"].astype("int64"),
+            "user_id": j["user_id"].astype("int64"),
+            "gap_us": (j["ts_us"]
+                       - j["view_ts"].astype("int64")).astype("int64")})
+
+    return (ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+            .groupby("bucket").map_groups(kernel, batch_format="pandas"))
+
+
+def events_asof_join_sql() -> str:
+    return """
+        SELECT l.event_id, l.user_id,
+               epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') l
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+
 def events_distinct_users(sf_dir: str):
     """COUNT DISTINCT per group, pre-deduplicated and sub-bucketed:
     each batch first drops its own (event_type, user_id) duplicates,
@@ -1362,6 +1424,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_count_by_type": events_count_by_type,
     "events_heavy_hitters": events_heavy_hitters,
+    "events_asof_join": events_asof_join,
     "events_distinct_users": events_distinct_users,
     "lineitem_pricing_summary": lineitem_pricing_summary,
     "top_customers": top_customers,
@@ -1399,6 +1462,7 @@ ORACLES = {
     "events_distinct_users": events_distinct_users_sql(),
     "events_count_by_type": events_count_by_type_sql(),
     "events_heavy_hitters": events_heavy_hitters_sql(),
+    "events_asof_join": events_asof_join_sql(),
     "lineitem_pricing_summary": lineitem_pricing_summary_sql(),
     "top_customers": top_customers_sql(),
     "supplier_counts_by_region": supplier_counts_by_region_sql(),
