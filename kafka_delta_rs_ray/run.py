@@ -56,6 +56,34 @@ def run(cfg: MaintenanceConfig) -> dict:
                     last_n_runs=mon.get("last_n_runs"),
                     service_name=mon.get("service_name",
                                          "kafka-delta-rs-ray"))}
+    if cfg.job == "changes":
+        # CDC consumer surface: the (from, to] change feed written as
+        # partitioned parquet for downstream re-consumers (the table-
+        # format analog of the reference's Kafka feed)
+        from .pipelines.cdc import table_changes
+
+        opts = cfg.options
+        if "from_version" not in opts or "output_path" not in opts:
+            raise ValueError(
+                "changes requires options.from_version and "
+                "options.output_path (options.to_version defaults to "
+                "latest)")
+        feed = table_changes(table, int(opts["from_version"]),
+                             opts.get("to_version"))
+        feed.write_parquet(opts["output_path"])
+        # row count from the written files' metadata — the feed
+        # itself streams exactly once
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        n = sum(_pq.read_metadata(p).num_rows for p in
+                _glob.glob(f"{opts['output_path']}/*.parquet"))
+        return {"job": "changes", "rows": int(n),
+                "from_version": int(opts["from_version"]),
+                "to_version": int(opts.get("to_version")
+                                  or table.latest_version()),
+                "output_path": opts["output_path"]}
     if cfg.job == "quarantine":
         from .stages.validate import quarantine_report
 

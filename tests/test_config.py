@@ -135,3 +135,37 @@ def test_stream_job_cli_end_to_end(tmp_path, ray_session):
     from kafka_delta_rs_ray.errors import ConfigError
     with _pytest.raises(ConfigError, match="changeset_path"):
         MaintenanceConfig.load(str(bad))
+
+
+def test_changes_job_cli_end_to_end(tmp_path, ray_session):
+    """CDC CLI: the (from, to] change feed lands as parquet with
+    _change_type/_commit_version, and the reported row count matches
+    the written files."""
+    import pyarrow.parquet as pq
+    import yaml
+
+    from kafka_delta_rs_ray.config import MaintenanceConfig
+    from kafka_delta_rs_ray.pipelines.ingest import append
+    from kafka_delta_rs_ray.pipelines.merge import merge
+    from kafka_delta_rs_ray.pipelines.synth import (changeset_dataset,
+                                                    image_dataset)
+    from kafka_delta_rs_ray.run import run
+    from kafka_delta_rs_ray.tablefmt import IMAGE_SCHEMA, Table
+
+    t = Table.create(str(tmp_path / "t"), IMAGE_SCHEMA)
+    append(t, image_dataset(40, batch_size=20), target_fragment_rows=20)
+    v0 = t.latest_version()
+    merge(t, changeset_dataset(40, 12, seed=9).materialize(), app_id="cdc")
+
+    outdir = tmp_path / "feed_out"
+    cfgp = tmp_path / "changes.yaml"
+    cfgp.write_text(yaml.safe_dump({
+        "table_root": t.root, "job": "changes",
+        "options": {"from_version": v0, "output_path": str(outdir)}}))
+    out = run(MaintenanceConfig.load(str(cfgp)))
+    assert out["rows"] > 0 and out["to_version"] == t.latest_version()
+    written = pq.read_table(str(outdir))
+    assert written.num_rows == out["rows"]
+    assert set(written["_change_type"].to_pylist()) <= {"insert", "delete"}
+    assert set(written.column_names) >= {"image_id", "_change_type",
+                                         "_commit_version"}

@@ -744,3 +744,76 @@ def test_cluster_generic_key_cols(tmp_path, ray_session):
     # binary / stats-less columns are rejected early
     with pytest.raises(ValueError, match="not numeric"):
         cluster(t, key_cols=["doc_id"], salt_col="doc_id")
+
+
+def test_table_changes_cdc(table):
+    """Change feed (CDC): the (from, to] span replays exactly —
+    applying the feed's deletes-then-inserts to the from-snapshot
+    reproduces the to-snapshot; delete rows carry the pre-image;
+    physical commits (compact/cluster) emit nothing; wholesale
+    fragment drops (contained predicate delete) emit their live rows;
+    rollback spans are rejected."""
+    from kafka_delta_rs_ray.pipelines.cdc import table_changes
+    from kafka_delta_rs_ray.pipelines.delete import delete_where, rollback
+
+    v0 = table.latest_version()
+    snap0 = table.snapshot().to_arrow()
+
+    ch = changeset_dataset(N, 40, seed=43, n_partitions=4).materialize()
+    merge(table, ch, app_id="cdc")
+    v1 = table.latest_version()
+    snap1 = table.snapshot().to_arrow()
+
+    compact(table)
+    cluster(table)
+    v2 = table.latest_version()
+
+    # physical-only span → zero changes
+    assert table_changes(table, v1, v2).count() == 0
+
+    feed = pa.Table.from_pylist(table_changes(table, v0, v1).take_all())
+    assert set(feed["_commit_version"].to_pylist()) == {v1}
+    # replay: deletes first (an update is delete(old)+insert(new))
+    state = {r["image_id"]: r for r in snap0.to_pylist()}
+    rows = feed.to_pylist()
+    pre_images = {}
+    for r in rows:
+        if r["_change_type"] == "delete":
+            pre_images[r["image_id"]] = r
+            old = state.pop(r["image_id"])
+            # the delete row is the PRE-image
+            assert old["caption"] == r["caption"]
+            assert old["phash"] == r["phash"]
+    for r in rows:
+        if r["_change_type"] == "insert":
+            state[r["image_id"]] = {k: r[k] for k in
+                                    ("image_id", "bytes", "w", "h",
+                                     "fmt", "caption", "phash")}
+    got = {r["image_id"]: r for r in snap1.to_pylist()}
+    assert sorted(state) == sorted(got)
+    for iid, r in got.items():
+        for col in ("caption", "phash", "bytes", "w", "h", "fmt"):
+            assert state[iid][col] == r[col], (iid, col)
+
+    # span across the physical commits ends at the same logical state
+    feed02 = pa.Table.from_pylist(table_changes(table, v0, v2).take_all())
+    assert feed02.num_rows == feed.num_rows
+
+    # wholesale fragment drop: clustering packs similar phash values
+    # together, so one fragment's exact phash range fully contains it
+    # (others overlap → scanned into DVs; both paths hit the feed)
+    frag0 = table.snapshot().manifest.fragments[0]
+    live_before = table.snapshot().to_arrow()
+    dm = delete_where(table, {"phash": (frag0.stats["phash"]["min"],
+                                        frag0.stats["phash"]["max"])})
+    assert dm is not None
+    v3 = table.latest_version()
+    dropped = pa.Table.from_pylist(table_changes(table, v2, v3).take_all())
+    assert set(dropped["_change_type"].to_pylist()) == {"delete"}
+    n_deleted = live_before.num_rows - table.snapshot().to_arrow().num_rows
+    assert dropped.num_rows == n_deleted
+
+    # rollback commits are rejected
+    rollback(table, v2)
+    with pytest.raises(ValueError, match="rollback"):
+        table_changes(table, v0).count()
