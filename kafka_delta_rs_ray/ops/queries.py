@@ -637,6 +637,105 @@ def orders_lineitem_revenue_sql() -> str:
     """
 
 
+def orders_top3_per_customer(sf_dir: str):
+    """Per-group top-k (the window-function ROW_NUMBER shape — top-k
+    samples per group is a core training-data selection primitive).
+
+    Scalable decomposition: each batch keeps its own per-customer
+    top-3 (one vectorized sort + groupby-head, no Python loop), so the
+    exchange carries <= 3 rows per (customer, batch); the final
+    per-bucket kernel repeats the same kernel on the survivors.
+    No full-table sort, no per-customer group materialization."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                  "o_totalprice"])
+
+    def local_top3(b: pd.DataFrame) -> pd.DataFrame:
+        b = (b.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                           ascending=[True, False, True])
+              .groupby("o_custkey", sort=False).head(3))
+        b["bucket"] = (b["o_custkey"] % 64).astype("int32")
+        return b
+
+    def final_top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                           ascending=[True, False, True])
+              .groupby("o_custkey", sort=False).head(3))
+        out = g[["o_custkey", "o_orderkey", "o_totalprice"]].copy()
+        out["rank"] = (out.groupby("o_custkey", sort=False).cumcount()
+                       + 1).astype("int64")
+        return out
+
+    return (ds.map_batches(local_top3, batch_format="pandas",
+                           batch_size=None)
+            .groupby("bucket").map_groups(final_top3,
+                                          batch_format="pandas"))
+
+
+def orders_top3_per_customer_sql() -> str:
+    return """
+        SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders)
+        WHERE rank <= 3
+    """
+
+
+# price-band boundaries for the range join: a small "dimension of
+# ranges" (band i = [BANDS[i], BANDS[i+1]) plus open-ended tails)
+_PRICE_BANDS = [50_000.0, 100_000.0, 200_000.0, 300_000.0]
+
+
+def orders_price_band_join(sf_dir: str):
+    """Range (band) join: orders x a small table of price intervals —
+    the inequality-join shape equality shuffles can't express.
+
+    Idiomatic Ray plan for a small ranges side: BROADCAST the sorted
+    band boundaries (module constant here; ray.put for a computed
+    side) and resolve each row with one vectorized searchsorted per
+    batch — zero shuffle for the join itself; the tiny per-band
+    aggregate shuffles <= n_bands rows per batch."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    bounds = np.asarray(_PRICE_BANDS)
+
+    def assign(b: pa.Table) -> pa.Table:
+        p = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        band = np.searchsorted(bounds, p, side="right").astype(np.int64)
+        return pa.table({"band_id": band, "o_totalprice": b["o_totalprice"]})
+
+    out = (ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+           .groupby("band_id")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="revenue")))
+    return out.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("revenue"),
+                               "revenue", pc.round(b["revenue"], 2)),
+        batch_format="pyarrow", batch_size=None)
+
+
+def orders_price_band_join_sql() -> str:
+    b = _PRICE_BANDS
+    lows = [None] + b
+    highs = b + [None]
+    rows = ", ".join(
+        f"({i}, {lo if lo is not None else 'NULL'}, "
+        f"{hi if hi is not None else 'NULL'})"
+        for i, (lo, hi) in enumerate(zip(lows, highs)))
+    return f"""
+        WITH bands(band_id, lo, hi) AS (VALUES {rows})
+        SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN bands
+          ON (lo IS NULL OR o_totalprice >= lo)
+         AND (hi IS NULL OR o_totalprice < hi)
+        GROUP BY band_id
+    """
+
+
 def events_distinct_users_hll(sf_dir: str):
     """Approximate distinct users via a HyperLogLog sketch (2^12
     registers): every block folds its user_ids into a 4 KB register
@@ -1430,6 +1529,8 @@ QUERIES = {
     "top_customers": top_customers,
     "supplier_counts_by_region": supplier_counts_by_region,
     "orders_lineitem_revenue": orders_lineitem_revenue,
+    "orders_top3_per_customer": orders_top3_per_customer,
+    "orders_price_band_join": orders_price_band_join,
     "events_distinct_users_hll": events_distinct_users_hll,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_token_stats": doc_token_stats,
@@ -1467,6 +1568,8 @@ ORACLES = {
     "top_customers": top_customers_sql(),
     "supplier_counts_by_region": supplier_counts_by_region_sql(),
     "orders_lineitem_revenue": orders_lineitem_revenue_sql(),
+    "orders_top3_per_customer": orders_top3_per_customer_sql(),
+    "orders_price_band_join": orders_price_band_join_sql(),
     "doc_stratified_sample": doc_stratified_sample_sql(),
     "doc_token_stats": doc_token_stats_sql(),
     "doc_vocab_topk": doc_vocab_topk_sql(),
