@@ -62,3 +62,23 @@ def test_rows_only_queries_run(ray_session):
         out2 = _to_pandas(QUERIES[name](SF_DIR))
         pd.testing.assert_frame_equal(
             _canon(out), _canon(out2), check_dtype=False)
+
+
+def test_quantiles_forced_multi_pass(ray_session):
+    """The histogram-refinement selection must stay exact when the
+    collect threshold forces multiple passes AND when duplicate-heavy
+    buckets can never shrink below the threshold (single-distinct-
+    value ranges terminate via the rmin==rmax detector)."""
+    import duckdb
+
+    from kafka_delta_rs_ray.ops.queries import (events_value_quantiles,
+                                                events_value_quantiles_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    ora = {float(k): v
+           for k, v in con.execute(events_value_quantiles_sql()).fetchall()}
+    got = events_value_quantiles(sf, collect_threshold=2)
+    assert dict(zip(got["q"].to_pylist(), got["value"].to_pylist())) == ora
