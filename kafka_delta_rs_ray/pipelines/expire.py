@@ -35,8 +35,11 @@ def expire(table: Table, keep_last: int = 2,
     t0 = time.time()
     versions = table.versions()
     keep_last = max(1, keep_last)
-    retained = versions[-keep_last:]
-    expired_versions = versions[:-keep_last]
+    # tagged versions are pinned: their full closure survives any
+    # keep_last (the named-ref contract; delete_tag releases them)
+    tagged = set(table.tags().values()) & set(versions)
+    retained = sorted(set(versions[-keep_last:]) | tagged)
+    expired_versions = [v for v in versions if v not in set(retained)]
 
     reachable: set[str] = set()
     for v in retained:

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 import uuid
 from collections.abc import Callable
 
@@ -129,15 +130,70 @@ class Table:
                 f"(earliest is {self.versions()[0]})")
         return best
 
+    # -- tags (named version refs; expire keeps tagged closures) -----------
+    def _tags_dir(self) -> str:
+        return os.path.join(self._manifest_dir(), "tags")
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``name`` to a version (default latest). Creation is an
+        atomic O_EXCL write — tags are immutable refs; re-pointing a
+        name is ``delete_tag`` + ``tag`` (two deliberate steps, like
+        the manifest CAS, so nothing ever mutates in place). A tagged
+        version's FULL file closure survives ``expire`` regardless of
+        ``keep_last``."""
+        import json as _json
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(f"bad tag name {name!r} "
+                             f"(allowed: [A-Za-z0-9._-], max 64)")
+        v = self.latest_version() if version is None else int(version)
+        if not os.path.exists(self.manifest_path(v)):
+            raise StateError(f"cannot tag missing version {v}")
+        os.makedirs(self._tags_dir(), exist_ok=True)
+        path = os.path.join(self._tags_dir(), f"{name}.json")
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            f.write(_json.dumps({"name": name, "version": v,
+                                 "created_at": time.time()}))
+        return v
+
+    def tags(self) -> dict:
+        """name -> version for every tag."""
+        import json as _json
+
+        d = self._tags_dir()
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    doc = _json.load(f)
+                out[doc["name"]] = int(doc["version"])
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        path = os.path.join(self._tags_dir(), f"{name}.json")
+        if not os.path.exists(path):
+            raise StateError(f"no such tag {name!r}")
+        os.unlink(path)
+
     def snapshot(self, version: int | None = None,
-                 as_of: float | None = None) -> Snapshot:
-        """Snapshot by version number, by unix timestamp (``as_of``),
-        or latest. A snapshot is immutable: reads are isolated from
-        concurrent commits."""
+                 as_of: float | None = None,
+                 tag: str | None = None) -> Snapshot:
+        """Snapshot by version number, unix timestamp (``as_of``),
+        tag name, or latest. A snapshot is immutable: reads are
+        isolated from concurrent commits."""
+        if sum(x is not None for x in (version, as_of, tag)) > 1:
+            raise ValueError("pass at most one of version/as_of/tag")
         if as_of is not None:
-            if version is not None:
-                raise ValueError("pass version OR as_of, not both")
             version = self.version_as_of(as_of)
+        if tag is not None:
+            tv = self.tags().get(tag)
+            if tv is None:
+                raise StateError(f"no such tag {tag!r}")
+            version = tv
         return Snapshot(self, self.read_manifest(version))
 
     def schema(self) -> pa.Schema:

@@ -817,3 +817,34 @@ def test_table_changes_cdc(table):
     rollback(table, v2)
     with pytest.raises(ValueError, match="rollback"):
         table_changes(table, v0).count()
+
+
+def test_tags_pin_versions_through_expire(table):
+    """Named version refs: tag → snapshot(tag=) time travel; expire
+    keeps a tagged version's FULL closure regardless of keep_last;
+    delete_tag releases it for the next expire; tags are immutable
+    (re-tagging a name is an explicit delete+create)."""
+    v0 = table.latest_version()
+    pre = table.snapshot().to_arrow().sort_by("image_id")
+    table.tag("baseline", v0)
+    assert table.tags() == {"baseline": v0}
+    with pytest.raises(FileExistsError):
+        table.tag("baseline", v0)  # immutable ref
+    with pytest.raises(Exception, match="missing version"):
+        table.tag("nope", 999)
+
+    merge(table, changeset_dataset(N, 30, seed=77).materialize(),
+          app_id="tags")
+    compact(table)
+    rep = expire(table, keep_last=1, min_age_seconds=0)
+    assert v0 in rep["retained_versions"]  # pinned by the tag
+
+    got = table.snapshot(tag="baseline").to_arrow().sort_by("image_id")
+    assert got.equals(pre)  # full closure intact, byte-identical
+
+    table.delete_tag("baseline")
+    assert table.tags() == {}
+    rep2 = expire(table, keep_last=1, min_age_seconds=0)
+    assert v0 in rep2["expired_versions"]  # released
+    with pytest.raises(Exception, match="no such tag"):
+        table.snapshot(tag="baseline")
