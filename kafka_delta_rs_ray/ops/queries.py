@@ -984,6 +984,97 @@ def doc_vocab_topk_sql() -> str:
     """
 
 
+def doc_tfidf_top3(sf_dir: str):
+    """Top-3 TF-IDF terms per document — the relevance/keyword
+    primitive of corpus QA and retrieval pipelines.
+
+    Scoring is INTEGER-exact for cross-engine determinism: score_u =
+    tf * floor(1e6 * ln(n_docs/df)) (idf quantized to micro-nats), so
+    selection and values can't flip on float noise; ties break term-
+    ascending.
+
+    Scale shape — two bounded shuffles, text never leaves the map
+    stage: (1) per-batch tokenize → (doc, term, tf) rows bucketed by
+    term hash; the per-bucket kernel sees EVERY row of its terms, so
+    df aggregation and the tf⋈df join collapse into one vectorized
+    transform (no separate df table, no broadcast of a corpus-scale
+    vocabulary); (2) re-bucket by doc hash for the per-doc top-3
+    (vectorized sort + groupby-head)."""
+    import re as _re
+
+    from .textops import TOKEN_RE
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata, no scan
+    nb = 64
+
+    tok_re = _re.compile(TOKEN_RE)
+
+    def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b.set_index("doc_id")["text"].str.lower() \
+                .str.findall(tok_re).explode().dropna()
+        tf = (toks.groupby([toks.index, toks]).size()
+                  .rename("tf").reset_index())
+        tf.columns = ["doc_id", "term", "tf"]
+        tf["tbucket"] = (pd.util.hash_array(
+            tf["term"].to_numpy(dtype=object)) % nb).astype("int32")
+        return tf
+
+    def df_join(g: pd.DataFrame) -> pd.DataFrame:
+        # this bucket holds ALL (doc, term, tf) rows for its terms:
+        # df per term = row count per term, joined back in place
+        g = g.copy()
+        g["df"] = g.groupby("term")["term"].transform("size") \
+                   .astype("int64")
+        g["dbucket"] = (g["doc_id"] % nb).astype("int32")
+        return g[["doc_id", "term", "tf", "df", "dbucket"]]
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        idf = np.floor(1e6 * np.log(float(n_docs)
+                                    / g["df"].to_numpy(dtype="float64")))
+        g = g.assign(score_u=(g["tf"].to_numpy(dtype="int64")
+                              * idf.astype("int64")))
+        g = (g.sort_values(["doc_id", "score_u", "term"],
+                           ascending=[True, False, True])
+              .groupby("doc_id", sort=False).head(3))
+        out = g[["doc_id", "term", "tf", "df", "score_u"]].copy()
+        out["tf"] = out["tf"].astype("int64")
+        out["rank"] = (out.groupby("doc_id", sort=False).cumcount()
+                       + 1).astype("int64")
+        return out
+
+    return (ds.map_batches(tf_rows, batch_format="pandas",
+                           batch_size=None)
+            .groupby("tbucket").map_groups(df_join, batch_format="pandas")
+            .groupby("dbucket").map_groups(top3, batch_format="pandas"))
+
+
+def doc_tfidf_top3_sql() -> str:
+    return """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS term
+            FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        nd AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   tf.tf * CAST(floor(1e6 * ln(CAST(n AS DOUBLE) / df.df))
+                                AS BIGINT) AS score_u,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * CAST(floor(1e6 *
+                           ln(CAST(n AS DOUBLE) / df.df)) AS BIGINT) DESC,
+                           tf.term) AS rank
+            FROM tf JOIN df USING (term), nd)
+        SELECT doc_id, term, tf, df, score_u, rank
+        FROM scored WHERE rank <= 3
+    """
+
+
 def doc_quality(sf_dir: str):
     from .textops import QualityScore
 
@@ -1669,6 +1760,7 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_vocab_topk": doc_vocab_topk,
     "doc_quality": doc_quality,
+    "doc_tfidf_top3": doc_tfidf_top3,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
@@ -1708,6 +1800,7 @@ ORACLES = {
     "doc_token_stats": doc_token_stats_sql(),
     "doc_vocab_topk": doc_vocab_topk_sql(),
     "doc_quality": doc_quality_sql(),
+    "doc_tfidf_top3": doc_tfidf_top3_sql(),
     "doc_exact_dedup": doc_exact_dedup_sql(),
     "doc_lang_id": doc_lang_id_sql(),
     "doc_fingerprint": doc_fingerprint_sql(),
