@@ -1661,6 +1661,39 @@ def embedding_knn_ivf(sf_dir: str):
     return knn_ivf(_read(sf_dir, "embeddings"), n_queries=10, k=10)
 
 
+def embedding_knn_graph(sf_dir: str):
+    """Exact cosine kNN graph (top-5 per vector) — see
+    similarity.knn_graph for the blockwise object-store plan."""
+    from .similarity import knn_graph
+
+    return knn_graph(_read(sf_dir, "embeddings"), k=5)
+
+
+def embedding_knn_graph_sql() -> str:
+    return """
+        WITH s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                          round(list_cosine_similarity(a.embedding,
+                                                       b.embedding), 6)
+                              AS sim
+                   FROM embeddings a CROSS JOIN embeddings b
+                   WHERE a.vec_id <> b.vec_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id)
+                         AS rank
+              FROM s)
+        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+    """
+
+
+def embedding_knn_graph_ivf(sf_dir: str):
+    """Approximate kNN graph, the corpus-scale shape (rows-only check;
+    recall vs the exact graph pinned in tests)."""
+    from .similarity import knn_graph_ivf
+
+    return knn_graph_ivf(_read(sf_dir, "embeddings"), k=5)
+
+
 def embedding_near_dup(sf_dir: str):
     from .dedup import embedding_near_dup as near
 
@@ -1775,6 +1808,8 @@ QUERIES = {
     "video_frame_sample": video_frame_sample,
     "embedding_knn": embedding_knn,
     "embedding_knn_ivf": embedding_knn_ivf,
+    "embedding_knn_graph": embedding_knn_graph,
+    "embedding_knn_graph_ivf": embedding_knn_graph_ivf,
     "embedding_near_dup": embedding_near_dup,
     "embedding_centroid_norms": embedding_centroid_norms,
 }
@@ -1810,5 +1845,6 @@ ORACLES = {
     "doc_simhash_pairs": doc_simhash_pairs_sql(),
     "embedding_near_dup": embedding_near_dup_sql(),
     "embedding_knn": embedding_knn_sql(),
+    "embedding_knn_graph": embedding_knn_graph_sql(),
     "embedding_centroid_norms": embedding_centroid_norms_sql(),
 }

@@ -279,3 +279,137 @@ def knn_ivf(emb_ds, n_queries: int = 10, k: int = 10,
                .map_groups(bucket_topk, batch_format="pyarrow"))
     return (partial.groupby("query_id")
             .map_groups(lambda g: _final_topk(g, k), batch_format="pandas"))
+
+
+# ------------------------------------------------------------ kNN graph
+def knn_graph(emb_ds, k: int = 5):
+    """EXACT cosine kNN graph: top-k neighbors for EVERY vector — the
+    SemDeDup / graph-clustering primitive.
+
+    Exact all-pairs is inherently O(n²) compute and O(n·d) state; the
+    Ray-idiomatic exact plan keeps both off the driver: the corpus is
+    materialized once INTO THE OBJECT STORE (block refs, zero-copy to
+    readers — never a driver matrix), and each batch task multiplies
+    its rows against corpus blocks one at a time, folding a running
+    top-k so task memory is batch_rows × (k × n_blocks) candidates,
+    not batch_rows × corpus. Feasible to ~10M vectors; past that use
+    knn_graph_ivf (same output shape, approximate)."""
+    import ray
+
+    mat = emb_ds.materialize()
+    block_refs = [r[0] if isinstance(r, tuple) else r
+                  for r in mat.to_arrow_refs()]
+
+    class _GraphTopK:
+        def __init__(self):
+            self._blocks = None  # [(ids, normalized matrix)] per block
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            if self._blocks is None:
+                self._blocks = []
+                for t in _ray.get(list(block_refs)):
+                    if t.num_rows == 0:
+                        continue
+                    bids = np.asarray(t["vec_id"].to_pylist())
+                    bm = _normalize(np.stack(
+                        t["embedding"].to_numpy(zero_copy_only=False))
+                        .astype(np.float64))
+                    self._blocks.append((bids, bm))
+            qids = np.asarray(batch["vec_id"].to_pylist())
+            qm = _normalize(np.stack(
+                batch["embedding"].to_numpy(zero_copy_only=False))
+                .astype(np.float64))
+            parts = [_topk_rows(qids, qm, bids, bm, k)
+                     for bids, bm in self._blocks]
+            return pa.concat_tables([p for p in parts if p.num_rows]
+                                    or [_empty_topk()])
+
+    partial = mat.map_batches(_GraphTopK(), batch_format="pyarrow",
+                              batch_size=1024)
+    return (partial.groupby("query_id")
+            .map_groups(lambda g: _final_topk(g, k),
+                        batch_format="pandas"))
+
+
+def knn_graph_ivf(emb_ds, k: int = 5, nprobe: int = 2,
+                  n_centroids: int | None = None,
+                  n_rows: int | None = None):
+    """Approximate kNN graph, the 10^9-vector shape: every vector is a
+    MEMBER of its nearest centroid bucket and a QUERY in its nprobe
+    nearest buckets; one bucket exchange co-locates each bucket's
+    members with the queries probing it (the exchange carries
+    (nprobe+1)× the vectors — bounded, corpus-independent per bucket
+    because centroids scale with rows); the per-bucket kernel is one
+    dense queries×members matmul; a final per-query merge reduces the
+    ≤ nprobe×k candidates. No corpus-sized state anywhere."""
+    import ray
+
+    if n_centroids is None:
+        if n_rows is None:
+            n_rows = emb_ds.count()
+        n_centroids = n_centroids_for(n_rows)
+    cent = train_centroids(emb_ds, n_centroids)
+    cent_ref = ray.put(cent)
+
+    class _Expand:
+        """Each vector → 1 member row (its top bucket) + nprobe query
+        rows (its probe buckets)."""
+
+        def __init__(self):
+            self._c = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            if self._c is None:
+                self._c = _ray.get(cent_ref)
+            m = _normalize(np.stack(
+                batch["embedding"].to_numpy(zero_copy_only=False))
+                .astype(np.float64))
+            order = np.argsort(-(m @ self._c.T), axis=1)
+            n = batch.num_rows
+            out = []
+            for role, cols in (("member", order[:, :1]),
+                               ("query", order[:, :nprobe])):
+                reps = cols.shape[1]
+                out.append(pa.table({
+                    "vec_id": pa.concat_arrays(
+                        [batch["vec_id"].combine_chunks()] * reps),
+                    "embedding": pa.concat_arrays(
+                        [batch["embedding"].combine_chunks()] * reps),
+                    "bucket": pa.array(cols.T.reshape(-1), pa.int32()),
+                    "role": pa.array([role] * (n * reps), pa.string())}))
+            return pa.concat_tables(out)
+
+    expanded = emb_ds.map_batches(_Expand(), batch_format="pyarrow",
+                                  batch_size=2048)
+
+    def bucket_graph(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mem = g.filter(pc.equal(g["role"], "member"))
+        qry = g.filter(pc.equal(g["role"], "query"))
+        if mem.num_rows == 0 or qry.num_rows == 0:
+            return _empty_topk()
+        mids = np.asarray(mem["vec_id"].to_pylist())
+        mm = _normalize(np.stack(
+            mem["embedding"].to_numpy(zero_copy_only=False))
+            .astype(np.float64))
+        qids = np.asarray(qry["vec_id"].to_pylist())
+        qm = _normalize(np.stack(
+            qry["embedding"].to_numpy(zero_copy_only=False))
+            .astype(np.float64))
+        return _topk_rows(qids, qm, mids, mm, k)
+
+    partial = (expanded.groupby("bucket")
+               .map_groups(bucket_graph, batch_format="pyarrow"))
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # a vector probing 2 buckets may see a member twice
+        g = g.drop_duplicates(["query_id", "neighbor_id"])
+        return _final_topk(g, k)
+
+    return (partial.groupby("query_id")
+            .map_groups(merge_topk, batch_format="pandas"))

@@ -509,3 +509,38 @@ def test_heavy_hitters_mg_truncation_exact(ray_session):
     got = dict(zip(out["user_id"], out["n"]))
     assert got == {int(k): int(v) for k, v in expect.items()}
     assert set(got) == {1, 2}
+
+
+def test_knn_graph_exact_and_ivf_recall(ray_session):
+    """knn_graph returns each vector's exact top-k (spot-checked
+    against a local all-pairs matmul); knn_graph_ivf covers EVERY
+    vector with >= 0.8 mean recall vs the exact graph and never emits
+    more than k neighbors per vector."""
+    from kafka_delta_rs_ray.ops.similarity import knn_graph, knn_graph_ivf
+
+    ds = _emb_ds(n=120)
+    exact = knn_graph(ds, k=5).to_pandas()
+    assert set(exact["query_id"]) == set(range(120))
+    assert exact.groupby("query_id").size().max() == 5
+
+    m = np.stack([np.asarray(r["embedding"]) for r in ds.take_all()]
+                 ).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    for q in (0, 57, 119):
+        sims = np.round(m @ m[q], 6)
+        order = sorted((int(i) for i in range(len(m)) if i != q),
+                       key=lambda i: (-sims[i], i))[:5]
+        got = exact[exact["query_id"] == q].sort_values("rank")[
+            "neighbor_id"].tolist()
+        assert got == order, q
+
+    approx = knn_graph_ivf(ds, k=5, n_centroids=8, nprobe=3).to_pandas()
+    assert set(approx["query_id"]) == set(range(120))
+    assert approx.groupby("query_id").size().max() <= 5
+    hits = tot = 0
+    for q in range(120):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.8, f"graph IVF recall {hits/tot:.2f}"
