@@ -736,6 +736,80 @@ def orders_price_band_join_sql() -> str:
     """
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str):
+    """Ordered-funnel completion (view → click → purchase): how many
+    users reached each step, where step k counts only events STRICTLY
+    after the user's step-(k-1) completion time (the greedy funnel
+    semantics of product analytics; sequential pattern matching that
+    plain grouped aggregation can't express).
+
+    ONE exchange: the three step types are filtered AT THE READ to
+    slim (user, type, ts) rows and bucketed by user, so each bucket
+    kernel holds all of its users' funnel events; the greedy per-step
+    resolution is three vectorized groupby-min + merge passes (no
+    per-user Python). Per-bucket step counts exchange as <= 3 rows per
+    bucket; a tiny sum finishes."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["event_type"],
+                              value_set=pa.array(list(_FUNNEL_STEPS))))
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_type": b["event_type"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "bucket": pc.cast(pc.bit_wise_and(b["user_id"], 63),
+                              pa.int32())})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        prev = None  # Series: user_id -> completion ts of prior step
+        counts = []
+        for step in _FUNNEL_STEPS:
+            e = g[g["event_type"] == step]
+            if prev is not None:
+                e = e.merge(prev.rename("prev_ts"), left_on="user_id",
+                            right_index=True)
+                e = e[e["ts_us"] > e["prev_ts"]]
+            cur = e.groupby("user_id")["ts_us"].min()
+            counts.append(len(cur))
+            prev = cur
+        return pd.DataFrame({"step": list(_FUNNEL_STEPS),
+                             "n": pd.array(counts, dtype="int64")})
+
+    parts = (ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+             .groupby("bucket").map_groups(kernel, batch_format="pandas"))
+    out = parts.groupby("step").sum("n")
+    return out.map_batches(
+        lambda b: pa.table({"step": b["step"],
+                            "n_users": pc.cast(b["sum(n)"], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+
+
+def events_funnel_sql() -> str:
+    return """
+        WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        t2 AS (SELECT e.user_id, min(e.ts) AS ts2
+               FROM events e JOIN t1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > t1.ts1
+               GROUP BY e.user_id),
+        t3 AS (SELECT e.user_id, min(e.ts) AS ts3
+               FROM events e JOIN t2 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+               GROUP BY e.user_id)
+        SELECT 'view' AS step, (SELECT count(*) FROM t1) AS n_users
+        UNION ALL
+        SELECT 'click', (SELECT count(*) FROM t2)
+        UNION ALL
+        SELECT 'purchase', (SELECT count(*) FROM t3)
+    """
+
+
 def events_value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
                            collect_threshold: int = 100_000):
     """EXACT discrete quantiles of a numeric column without a global
@@ -1789,6 +1863,7 @@ QUERIES = {
     "orders_price_band_join": orders_price_band_join,
     "events_distinct_users_hll": events_distinct_users_hll,
     "events_value_quantiles": events_value_quantiles,
+    "events_funnel": events_funnel,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_token_stats": doc_token_stats,
     "doc_vocab_topk": doc_vocab_topk,
@@ -1825,6 +1900,7 @@ ORACLES = {
     "events_heavy_hitters": events_heavy_hitters_sql(),
     "events_asof_join": events_asof_join_sql(),
     "events_value_quantiles": events_value_quantiles_sql(),
+    "events_funnel": events_funnel_sql(),
     "lineitem_pricing_summary": lineitem_pricing_summary_sql(),
     "top_customers": top_customers_sql(),
     "supplier_counts_by_region": supplier_counts_by_region_sql(),
