@@ -1735,6 +1735,22 @@ def embedding_knn_ivf(sf_dir: str):
     return knn_ivf(_read(sf_dir, "embeddings"), n_queries=10, k=10)
 
 
+def embedding_kmeans_sizes(sf_dir: str):
+    """Distributed Lloyd k-means (ops/clustering.py) cluster sizes —
+    deterministic per seed; rows-only driver check (iterative
+    algorithm, not SQL-expressible), exactness vs a local reference
+    pinned in tests/test_ops.py."""
+    from ray.data.aggregate import Count
+
+    from .clustering import kmeans
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, assign = kmeans(ds, n_centroids=8, iters=5)
+    return (ds.map_batches(assign, batch_format="pyarrow",
+                           batch_size=2048)
+            .groupby("cluster").aggregate(Count(alias_name="n")))
+
+
 def embedding_knn_graph(sf_dir: str):
     """Exact cosine kNN graph (top-5 per vector) — see
     similarity.knn_graph for the blockwise object-store plan."""
@@ -1884,6 +1900,7 @@ QUERIES = {
     "embedding_knn": embedding_knn,
     "embedding_knn_ivf": embedding_knn_ivf,
     "embedding_knn_graph": embedding_knn_graph,
+    "embedding_kmeans_sizes": embedding_kmeans_sizes,
     "embedding_knn_graph_ivf": embedding_knn_graph_ivf,
     "embedding_near_dup": embedding_near_dup,
     "embedding_centroid_norms": embedding_centroid_norms,

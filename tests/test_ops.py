@@ -544,3 +544,42 @@ def test_knn_graph_exact_and_ivf_recall(ray_session):
         hits += len(e & a)
         tot += len(e)
     assert hits / tot >= 0.8, f"graph IVF recall {hits/tot:.2f}"
+
+
+def test_distributed_kmeans_matches_local(ray_session):
+    """The distributed Lloyd loop (per-batch partial sums + C-row
+    reduce per iteration) computes the SAME centroids as a local numpy
+    k-means run from the same seeded init — distribution must not
+    change the math. Assignment is a streaming stage."""
+    from kafka_delta_rs_ray.ops.clustering import kmeans
+    from kafka_delta_rs_ray.ops.similarity import _normalize
+
+    ds = _emb_ds(n=160)
+    cent, assign = kmeans(ds, n_centroids=6, iters=8, tol=0.0)
+
+    # local reference with identical init
+    rows = ds.limit(max(8 * 6, 1024)).take_all()
+    m0 = _normalize(np.stack([np.asarray(r["embedding"]) for r in rows])
+                    .astype(np.float64))
+    rng = np.random.default_rng(7)
+    ref = m0[rng.choice(len(m0), size=6, replace=False)]
+    allrows = ds.take_all()
+    m = _normalize(np.stack([np.asarray(r["embedding"]) for r in allrows])
+                   .astype(np.float64))
+    for _ in range(8):
+        a = np.argmax(m @ ref.T, axis=1)
+        new = ref.copy()
+        for c in range(6):
+            if (a == c).any():
+                new[c] = m[a == c].mean(axis=0)
+        ref = _normalize(new)
+    assert np.allclose(cent, ref, atol=1e-9)
+
+    out = ds.map_batches(assign, batch_format="pyarrow",
+                         batch_size=64).to_pandas()
+    assert set(out["cluster"]) <= set(range(6))
+    assert len(out) == 160
+    # assignment agrees with the local argmax
+    local = np.argmax(m @ ref.T, axis=1)
+    got = out.sort_values("vec_id")["cluster"].to_numpy()
+    assert (got == local).all()
