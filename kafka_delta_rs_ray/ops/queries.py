@@ -896,6 +896,26 @@ def events_value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
                 # the target rank lies inside it by construction
                 s["done"] = rmin
                 continue
+            if np.nextafter(rmin, np.inf) >= rmax:
+                # exactly TWO adjacent doubles left — linspace edges
+                # can't separate them, so refinement would stall when
+                # both duplicate runs exceed collect_threshold. One
+                # dedicated counting pass (metadata-sized exchange)
+                # resolves the rank exactly: below counts < range lo,
+                # and no value lies in [lo, rmin), so below == count
+                # of values < rmin.
+                below0 = int(sub["below"].sum())
+
+                def count_eq(b: pa.Table, _v=rmin) -> pa.Table:
+                    v = b["value"].to_numpy(zero_copy_only=False)
+                    return pa.table({"c": pa.array([int((v == _v).sum())],
+                                                   pa.int64())})
+
+                n_rmin = int(ds.map_batches(
+                    count_eq, batch_format="pyarrow",
+                    batch_size=None).to_pandas()["c"].sum())
+                s["done"] = rmin if s["k"] - below0 <= n_rmin else rmax
+                continue
             total = np.sum(np.stack([np.asarray(c) for c in sub["counts"]]),
                            axis=0)
             # per-batch "below" counts ALL values < the current range
@@ -927,6 +947,12 @@ def events_value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
                     or [np.array([])]))
                 s["done"] = float(vals[s["k"] - s["below"] - 1])
 
+    not_done = [q for q in qs if state[q]["done"] is None]
+    if not_done:
+        raise RuntimeError(
+            f"quantile refinement did not converge for {not_done} — "
+            f"raise collect_threshold or the pass cap (never returns "
+            f"a silent null)")
     return pa.table({"q": pa.array(list(qs), pa.float64()),
                      "value": pa.array([state[q]["done"] for q in qs],
                                        pa.float64())})

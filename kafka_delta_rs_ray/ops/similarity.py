@@ -296,35 +296,43 @@ def knn_graph(emb_ds, k: int = 5):
     knn_graph_ivf (same output shape, approximate)."""
     import ray
 
-    mat = emb_ds.materialize()
+    # normalize ONCE into the object store so per-task work per corpus
+    # block is just the matmul, then stream blocks one ray.get at a
+    # time inside each task (peak task memory = its batch + ONE corpus
+    # block, never the whole corpus)
+    def prenorm(b: pa.Table) -> pa.Table:
+        m = _normalize(np.stack(
+            b["embedding"].to_numpy(zero_copy_only=False))
+            .astype(np.float64))
+        return pa.table({"vec_id": b["vec_id"],
+                         "embedding": pa.array([r.tolist() for r in m],
+                                               pa.list_(pa.float64()))})
+
+    mat = emb_ds.map_batches(prenorm, batch_format="pyarrow",
+                             batch_size=4096).materialize()
     block_refs = [r[0] if isinstance(r, tuple) else r
                   for r in mat.to_arrow_refs()]
 
     class _GraphTopK:
-        def __init__(self):
-            self._blocks = None  # [(ids, normalized matrix)] per block
-
         def __call__(self, batch: pa.Table) -> pa.Table:
             import ray as _ray
 
-            if self._blocks is None:
-                self._blocks = []
-                for t in _ray.get(list(block_refs)):
-                    if t.num_rows == 0:
-                        continue
-                    bids = np.asarray(t["vec_id"].to_pylist())
-                    bm = _normalize(np.stack(
-                        t["embedding"].to_numpy(zero_copy_only=False))
-                        .astype(np.float64))
-                    self._blocks.append((bids, bm))
             qids = np.asarray(batch["vec_id"].to_pylist())
-            qm = _normalize(np.stack(
-                batch["embedding"].to_numpy(zero_copy_only=False))
-                .astype(np.float64))
-            parts = [_topk_rows(qids, qm, bids, bm, k)
-                     for bids, bm in self._blocks]
-            return pa.concat_tables([p for p in parts if p.num_rows]
-                                    or [_empty_topk()])
+            qm = np.stack(batch["embedding"].to_numpy(
+                zero_copy_only=False)).astype(np.float64)
+            parts = []
+            for ref in block_refs:  # one block resident at a time
+                t = _ray.get(ref)
+                if t.num_rows == 0:
+                    continue
+                bids = np.asarray(t["vec_id"].to_pylist())
+                bm = np.stack(t["embedding"].to_numpy(
+                    zero_copy_only=False)).astype(np.float64)
+                p = _topk_rows(qids, qm, bids, bm, k)
+                if p.num_rows:
+                    parts.append(p)
+                del t, bm
+            return pa.concat_tables(parts or [_empty_topk()])
 
     partial = mat.map_batches(_GraphTopK(), batch_format="pyarrow",
                               batch_size=1024)

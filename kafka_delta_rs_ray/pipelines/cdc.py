@@ -113,8 +113,9 @@ def table_changes(table: Table, from_version: int,
                   to_version: int | None = None):
     """Rows inserted/deleted in (``from_version``, ``to_version``] as a
     lazy Dataset. Planning walks the manifest chain (metadata only);
-    one worker task per changed fragment reads the row data. Both
-    versions must still be retained (``expire`` prunes history)."""
+    one worker task per changed fragment reads the row data. EVERY
+    version in the span must still be retained (``expire`` prunes
+    history; tag the feed's base version to pin it)."""
     import ray.data as rd
 
     latest = table.read_manifest()
@@ -128,7 +129,14 @@ def table_changes(table: Table, from_version: int,
     target_schema = table.read_manifest(to_v).schema
     metas = []
     for v in range(from_v + 1, to_v + 1):
-        m = table.read_manifest(v)
+        try:
+            m = table.read_manifest(v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"v{v} inside the span ({from_v}, {to_v}] was expired "
+                f"— a change feed needs EVERY version in its span "
+                f"retained (tag the feed's base version, or expire "
+                f"with a larger keep_last)") from None
         if m.kind in _PHYSICAL_KINDS:
             continue
         if m.kind == "rollback":

@@ -364,6 +364,11 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
         props["cluster_curve"] = curve
         if key_cols is not None:
             props["cluster_key_cols"] = list(key_cols)
+        else:
+            # a default-keys re-cluster re-orders the data by the
+            # image-schema curve: a stale generic-keys claim from an
+            # earlier run must not survive into this manifest
+            props.pop("cluster_key_cols", None)
         if prune is None:
             frags = list(new_frags)
             # every fragment was rewritten at the current schema, so

@@ -72,6 +72,14 @@ def expire(table: Table, keep_last: int = 2,
                 os.unlink(full)
             removed_files.append(rel)
 
+    # re-read tags right before unlinking manifests: a tag created
+    # after the first read pins its version's manifest (its data files
+    # may already be swept in this pass if the tag landed mid-sweep —
+    # tag() re-verifies the manifest after publishing and withdraws
+    # itself when it lost; together the two checks close the race)
+    late_tagged = set(table.tags().values()) - tagged
+    expired_versions = [v for v in expired_versions
+                        if v not in late_tagged]
     for v in expired_versions:
         if not dry_run:
             os.unlink(table.manifest_path(v))

@@ -68,22 +68,31 @@ def run(cfg: MaintenanceConfig) -> dict:
                 "changes requires options.from_version and "
                 "options.output_path (options.to_version defaults to "
                 "latest)")
-        feed = table_changes(table, int(opts["from_version"]),
-                             opts.get("to_version"))
-        feed.write_parquet(opts["output_path"])
-        # row count from the written files' metadata — the feed
-        # itself streams exactly once
         import glob as _glob
+        import os as _os
 
         import pyarrow.parquet as _pq
 
+        # resolve the span BEFORE planning so the report and the feed
+        # agree even if another writer commits mid-job; a stale output
+        # dir would double-count rows AND feed consumers duplicates
+        to_v = (int(opts["to_version"]) if opts.get("to_version")
+                is not None else table.latest_version())
+        out_dir = opts["output_path"]
+        if _os.path.isdir(out_dir) and _os.listdir(out_dir):
+            raise ValueError(
+                f"changes: output_path {out_dir!r} is not empty — "
+                f"each feed run needs its own directory")
+        feed = table_changes(table, int(opts["from_version"]), to_v)
+        feed.write_parquet(out_dir)
+        # row count from the written files' metadata — the feed
+        # itself streams exactly once
         n = sum(_pq.read_metadata(p).num_rows for p in
-                _glob.glob(f"{opts['output_path']}/*.parquet"))
+                _glob.glob(f"{out_dir}/*.parquet"))
         return {"job": "changes", "rows": int(n),
                 "from_version": int(opts["from_version"]),
-                "to_version": int(opts.get("to_version")
-                                  or table.latest_version()),
-                "output_path": opts["output_path"]}
+                "to_version": to_v,
+                "output_path": out_dir}
     if cfg.job == "quarantine":
         from .stages.validate import quarantine_report
 

@@ -53,7 +53,12 @@ def _keyspec_dims(batch_cols, keyspec: dict, n: int) -> list:
     for c, lo, sc in zip(keyspec["cols"], keyspec["mins"],
                          keyspec["scales"]):
         v = batch_cols[c].astype(np.float64)
-        dims.append(np.clip((v - lo) * sc, 0, _DIM_MAX).astype(np.uint64))
+        # null key values arrive as NaN; NaN→uint64 is undefined
+        # behavior (platform-dependent garbage zcodes), so pin nulls
+        # to the domain's low edge — a DEFINED, deterministic
+        # placement (zcode is only a sort key; nulls cluster together)
+        scaled = np.nan_to_num((v - lo) * sc, nan=0.0)
+        dims.append(np.clip(scaled, 0, _DIM_MAX).astype(np.uint64))
     while len(dims) < 3:
         dims.append(np.zeros(n, dtype=np.uint64))
     return dims

@@ -152,10 +152,32 @@ class Table:
             raise StateError(f"cannot tag missing version {v}")
         os.makedirs(self._tags_dir(), exist_ok=True)
         path = os.path.join(self._tags_dir(), f"{name}.json")
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
-            f.write(_json.dumps({"name": name, "version": v,
-                                 "created_at": time.time()}))
+        # same temp-write + hard-link publish as the manifest CAS:
+        # readers never observe a partial file, and a crash mid-write
+        # leaves only an orphan temp, never a corrupt tag
+        fd, tmp = tempfile.mkstemp(dir=self._tags_dir(), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(_json.dumps({"name": name, "version": v,
+                                     "created_at": time.time()}))
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                raise FileExistsError(
+                    f"tag {name!r} already exists (tags are immutable "
+                    f"refs; delete_tag first)") from None
+        finally:
+            os.unlink(tmp)
+        # close the tag-vs-expire race: a concurrent expire may have
+        # read tags() before this tag existed and pruned v — verify
+        # the manifest is still there AFTER the tag is visible, and
+        # withdraw the tag if not (expire's pre-unlink re-read covers
+        # the mirror-image interleaving)
+        if not os.path.exists(self.manifest_path(v)):
+            os.unlink(path)
+            raise StateError(
+                f"version {v} was expired while tagging; re-run "
+                f"against a retained version")
         return v
 
     def tags(self) -> dict:

@@ -82,3 +82,34 @@ def test_quantiles_forced_multi_pass(ray_session):
            for k, v in con.execute(events_value_quantiles_sql()).fetchall()}
     got = events_value_quantiles(sf, collect_threshold=2)
     assert dict(zip(got["q"].to_pylist(), got["value"].to_pylist())) == ora
+
+
+def test_quantiles_adjacent_doubles_duplicate_runs(tmp_path, ray_session):
+    """Two adjacent float64 doubles, each duplicated far past the
+    collect threshold: refinement can't subdivide and must resolve
+    the rank with the exact counting pass instead of stalling to a
+    silent null."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_delta_rs_ray.ops.queries import (events_value_quantiles,
+                                                events_value_quantiles_sql)
+
+    a = 1.5
+    b = float(np.nextafter(a, np.inf))
+    vals = [a] * 300 + [b] * 300
+    pq.write_table(pa.table({"value": pa.array(vals, pa.float64())}),
+                   str(tmp_path / "events.parquet"))
+
+    got = events_value_quantiles(str(tmp_path), collect_threshold=2)
+    gd = dict(zip(got["q"].to_pylist(), got["value"].to_pylist()))
+    assert None not in gd.values()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    ora = {float(k): v
+           for k, v in con.execute(events_value_quantiles_sql()).fetchall()}
+    assert gd == ora
