@@ -50,6 +50,10 @@ class MaintenanceConfig:
     max_buffer_rows: int = 10_000
     max_wait_secs: float = 360.0
     max_buffer_bytes: int = 256 << 20
+    # the reference's pluggable input-format seam (MessageFormat enum,
+    # src/config/mod.rs:43-50): parquet micro-batches or JSON-lines
+    # parsed schema-first (grpc = the reference's declared-only stub)
+    message_format: str = "parquet"
     monitoring: dict = field(default_factory=dict)
     options: dict = field(default_factory=dict)
 
@@ -98,6 +102,10 @@ class MaintenanceConfig:
                 raise ConfigError("max_wait_secs must be > 0")
             if self.max_buffer_bytes < 1:
                 raise ConfigError("max_buffer_bytes must be >= 1")
+            if self.message_format not in ("parquet", "json"):
+                raise ConfigError(
+                    f"unknown message_format {self.message_format!r}; "
+                    f"one of ('parquet', 'json')")
         if self.job == "delete" and not self.predicate:
             raise ConfigError("delete requires predicate ({col: [lo, hi]})")
         if self.job == "rollback" and self.restore_version is None:

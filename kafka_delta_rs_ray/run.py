@@ -145,14 +145,45 @@ def run(cfg: MaintenanceConfig) -> dict:
         files = sorted(_glob.glob(cfg.changeset_path))
         if not files:
             raise ValueError(
-                f"stream: no parquet files match {cfg.changeset_path!r}")
+                f"stream: no files match {cfg.changeset_path!r}")
+        parse_errors = 0
+
+        def _micro_batches():
+            nonlocal parse_errors
+            if cfg.message_format == "parquet":
+                for p in files:
+                    yield _pq.read_table(p)
+                return
+            # JSON-lines feed: schema-projected parse per file; parse
+            # failures dead-letter to quarantine/ (the reference's
+            # P1 parse → P4 dead-letter routing) and never poison the
+            # merge
+            import os as _os
+            import uuid as _uuid
+
+            from .sources.readers import parse_json_lines
+
+            for p in files:
+                with open(p, "rb") as f:
+                    rows, errs = parse_json_lines(f.read())
+                if errs.num_rows:
+                    parse_errors += errs.num_rows
+                    q = errs.append_column(
+                        "source_file", [[p] * errs.num_rows])
+                    _pq.write_table(q, _os.path.join(
+                        table.root, "quarantine",
+                        f"q-{cfg.run_id or 'stream'}-parse-"
+                        f"{_uuid.uuid4().hex[:12]}.parquet"))
+                yield rows
+
         stats = stream_ingest(
-            table, (_pq.read_table(p) for p in files), app_id=cfg.app_id,
+            table, _micro_batches(), app_id=cfg.app_id,
             max_buffer_rows=cfg.max_buffer_rows,
             max_wait_secs=cfg.max_wait_secs,
             max_buffer_bytes=cfg.max_buffer_bytes, run_id=cfg.run_id,
             merge_kwargs={"target_fragment_rows": cfg.target_fragment_rows})
         return {"job": "stream", "files": len(files),
+                "parse_errors": parse_errors,
                 **{k: (len(v) if isinstance(v, list) else v)
                    for k, v in stats.items()}}
     elif cfg.job == "merge":

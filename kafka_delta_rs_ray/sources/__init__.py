@@ -1,1 +1,2 @@
-from .readers import read_changeset, read_snapshot
+from .readers import (parse_json_lines, read_changeset,
+                      read_snapshot)

@@ -55,3 +55,104 @@ def read_changeset(paths, schema: pa.Schema = CHANGESET_SCHEMA):
     ds = rd.read_parquet(paths)
     return ds.map_batches(lambda b: _project_to_schema(b, schema),
                           batch_format="pyarrow")
+
+
+def _json_field_value(v, f: pa.Field):
+    """One schema-driven typed conversion (reference P2,
+    src/utils/mod.rs:45-118): Null passthrough, numerics, bool, utf8,
+    binary from base64, Date32 from '%Y-%m-%d', Timestamp(us) from
+    ISO-8601. Two reference bugs deliberately NOT replicated (SURVEY
+    §7.4): Date32 values here round-trip (the reference's builder
+    factory panics on date schemas), and timestamps convert to micros
+    exactly ONCE (the reference divides by 1000 a second time at
+    append, landing millis-worth-of-micros)."""
+    import base64
+    import datetime as _dt
+
+    if v is None:
+        return None
+    t = f.type
+    if pa.types.is_integer(t):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise ValueError(f"{f.name}: expected integer, got {type(v).__name__}")
+        return int(v)
+    if pa.types.is_floating(t):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise ValueError(f"{f.name}: expected number, got {type(v).__name__}")
+        return float(v)
+    if pa.types.is_boolean(t):
+        if not isinstance(v, bool):
+            raise ValueError(f"{f.name}: expected bool, got {type(v).__name__}")
+        return v
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        if not isinstance(v, str):
+            raise ValueError(f"{f.name}: expected string, got {type(v).__name__}")
+        return v
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        if not isinstance(v, str):
+            raise ValueError(f"{f.name}: expected base64 string, got {type(v).__name__}")
+        try:
+            return base64.b64decode(v, validate=True)
+        except Exception as e:
+            raise ValueError(f"{f.name}: bad base64: {e}") from None
+    if pa.types.is_date32(t):
+        return _dt.date.fromisoformat(v)
+    if pa.types.is_timestamp(t):
+        # ISO-8601 → epoch micros, converted exactly once
+        dt = _dt.datetime.fromisoformat(v)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_dt.timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+    if pa.types.is_list(t):
+        if not isinstance(v, list):
+            raise ValueError(f"{f.name}: expected list, got {type(v).__name__}")
+        elem = pa.field(f.name, t.value_type)
+        return [_json_field_value(x, elem) for x in v]
+    raise ValueError(f"{f.name}: unsupported JSON target type {t}")
+
+
+def parse_json_lines(raw: bytes | str, schema: pa.Schema = CHANGESET_SCHEMA):
+    """Schema-projected JSON-lines micro-batch parse — the reference's
+    per-message parse path (P1, src/utils/mod.rs:122-153) as a batch
+    function: the SCHEMA drives extraction (missing field → dead-letter
+    row, exactly like the reference's MissingField error), fields
+    absent from the schema are silently dropped (projection), an empty
+    object ``{}`` is silently skipped (P5 empty-payload drop), and an
+    unparseable line dead-letters with the parse error.
+
+    Returns ``(rows, errors)``: ``rows`` is a table in ``schema``;
+    ``errors`` has (line, raw, error) for the dead-letter path."""
+    import json as _json
+
+    text = raw.decode("utf-8", errors="replace") if isinstance(raw, bytes) \
+        else raw
+    cols = {f.name: [] for f in schema}
+    err_rows = {"line": [], "raw": [], "error": []}
+    for ln, line in enumerate(text.splitlines(), start=1):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            obj = _json.loads(line)
+            if not isinstance(obj, dict):
+                raise ValueError(f"expected object, got {type(obj).__name__}")
+            if not obj:
+                continue  # empty payload drop (P5)
+            vals = {}
+            for f in schema:
+                if f.name not in obj:
+                    raise ValueError(f"missing field {f.name!r}")
+                vals[f.name] = _json_field_value(obj[f.name], f)
+        except (ValueError, _json.JSONDecodeError) as e:
+            err_rows["line"].append(ln)
+            err_rows["raw"].append(line[:4096])
+            err_rows["error"].append(str(e))
+            continue
+        for f in schema:
+            cols[f.name].append(vals[f.name])
+    rows = pa.table({f.name: pa.array(cols[f.name], f.type)
+                     for f in schema}, schema=schema)
+    errors = pa.table({"line": pa.array(err_rows["line"], pa.int64()),
+                       "raw": pa.array(err_rows["raw"], pa.string()),
+                       "error": pa.array(err_rows["error"], pa.string())})
+    return rows, errors

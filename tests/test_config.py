@@ -169,3 +169,73 @@ def test_changes_job_cli_end_to_end(tmp_path, ray_session):
     assert set(written["_change_type"].to_pylist()) <= {"insert", "delete"}
     assert set(written.column_names) >= {"image_id", "_change_type",
                                          "_commit_version"}
+
+
+def test_stream_job_json_feed(tmp_path, ray_session):
+    """message_format: json — the reference's primary input format
+    through the consumer loop: JSON-lines micro-batches parse
+    schema-first, good rows merge, corrupt lines dead-letter to
+    quarantine with their reasons, and the stream replays as a no-op."""
+    import base64
+    import json
+
+    import yaml
+
+    from kafka_delta_rs_ray.codecs import encode
+    from kafka_delta_rs_ray.config import MaintenanceConfig
+    from kafka_delta_rs_ray.errors import ConfigError
+    from kafka_delta_rs_ray.pipelines.ingest import append
+    from kafka_delta_rs_ray.pipelines.synth import image_dataset, make_row
+    from kafka_delta_rs_ray.run import run
+    from kafka_delta_rs_ray.stages.validate import quarantine_report
+    from kafka_delta_rs_ray.tablefmt import IMAGE_SCHEMA, Table
+
+    t = Table.create(str(tmp_path / "t"), IMAGE_SCHEMA)
+    append(t, image_dataset(10, batch_size=10), target_fragment_rows=10)
+
+    feed = tmp_path / "jfeed"
+    feed.mkdir()
+    for i in range(2):
+        lines = []
+        for j in range(3):
+            r = make_row(1000 + i * 10 + j, 42)
+            buf = encode(r["img"], "rawz")
+            lines.append(json.dumps({
+                "image_id": f"js-{i}-{j}",
+                "bytes": base64.b64encode(buf).decode(),
+                "w": r["w"], "h": r["h"], "fmt": "rawz",
+                "caption": f"json row {i}/{j}",
+                "phash": 12345 + j, "partition_id": 0,
+                "seq": i * 10 + j, "op": "upsert"}))
+        if i == 1:
+            lines.append("corrupt {json")              # dead-letter
+            lines.append("{}")                          # silent drop
+        (feed / f"mb-{i:04d}.jsonl").write_text("\n".join(lines))
+
+    cfgp = tmp_path / "jstream.yaml"
+    cfgp.write_text(yaml.safe_dump({
+        "table_root": t.root, "job": "stream", "app_id": "jcli",
+        "changeset_path": f"{feed}/*.jsonl", "message_format": "json",
+        "max_buffer_rows": 4, "run_id": "jsr1"}))
+    out = run(MaintenanceConfig.load(str(cfgp)))
+    assert out["files"] == 2 and out["rows_in"] == 6
+    assert out["parse_errors"] == 1
+    ids = set(t.snapshot().to_arrow()["image_id"].to_pylist())
+    assert all(f"js-{i}-{j}" in ids for i in range(2) for j in range(3))
+    rep = quarantine_report(t.root, run_id="jsr1")
+    assert rep["rows"] == 1 and any("json" in e.lower() or "Expecting" in e
+                                    for e in rep["errors"])
+
+    # whole-stream replay: watermarks absorb every row
+    v = t.snapshot().manifest.version
+    out2 = run(MaintenanceConfig.load(str(cfgp)))
+    assert out2["committed_versions"] == 0
+    assert t.snapshot().manifest.version == v
+
+    # bad format rejected at config load
+    bad = tmp_path / "badfmt.yaml"
+    bad.write_text(yaml.safe_dump({
+        "table_root": t.root, "job": "stream", "changeset_path": "x",
+        "message_format": "avro"}))
+    with pytest.raises(ConfigError, match="message_format"):
+        MaintenanceConfig.load(str(bad))

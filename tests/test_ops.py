@@ -583,3 +583,53 @@ def test_distributed_kmeans_matches_local(ray_session):
     local = np.argmax(m @ ref.T, axis=1)
     got = out.sort_values("vec_id")["cluster"].to_numpy()
     assert (got == local).all()
+
+
+def test_parse_json_lines_schema_first():
+    """Reference P1/P2 parity: schema drives extraction (missing field
+    dead-letters), extras project away, {} silently drops, bad JSON /
+    bad base64 dead-letter with the reason — and the two reference
+    bugs are NOT replicated: timestamps convert to micros exactly once
+    and date32 round-trips."""
+    import base64
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from kafka_delta_rs_ray.sources.readers import parse_json_lines
+
+    schema = pa.schema([("image_id", pa.string()),
+                        ("bytes", pa.large_binary()),
+                        ("seq", pa.int64())])
+    payload = base64.b64encode(b"\x01\x02").decode()
+    lines = "\n".join([
+        f'{{"image_id": "a", "bytes": "{payload}", "seq": 1, "extra": 9}}',
+        "{}",
+        '{"image_id": "b", "seq": 2}',                      # missing bytes
+        "not json at all",
+        f'{{"image_id": "c", "bytes": "@@@", "seq": 3}}',   # bad base64
+        f'{{"image_id": "d", "bytes": "{payload}", "seq": "x"}}',  # bad type
+    ])
+    rows, errs = parse_json_lines(lines, schema)
+    assert rows.num_rows == 1
+    assert rows["image_id"][0].as_py() == "a"
+    assert rows["bytes"][0].as_py() == b"\x01\x02"
+    assert "extra" not in rows.column_names                  # projection
+    assert errs.num_rows == 4
+    msgs = errs["error"].to_pylist()
+    assert any("missing field 'bytes'" in m for m in msgs)
+    assert any("base64" in m for m in msgs)
+    assert any("expected integer" in m for m in msgs)
+
+    # timestamp converts to micros ONCE (reference divides twice:
+    # src/utils/mod.rs:58-63 + 246-255); date32 round-trips (the
+    # reference's builder factory panics on date schemas)
+    ts_schema = pa.schema([("ts", pa.timestamp("us")),
+                           ("d", pa.date32())])
+    r2, e2 = parse_json_lines(
+        '{"ts": "2026-01-02T03:04:05.000006+00:00", "d": "2026-01-02"}',
+        ts_schema)
+    assert e2.num_rows == 0
+    expect = dt.datetime(2026, 1, 2, 3, 4, 5, 6, tzinfo=dt.timezone.utc)
+    assert r2["ts"][0].as_py().replace(tzinfo=dt.timezone.utc) == expect
+    assert r2["d"][0].as_py() == dt.date(2026, 1, 2)
