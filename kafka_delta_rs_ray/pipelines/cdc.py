@@ -180,3 +180,58 @@ def table_changes(table: Table, from_version: int,
     return (meta_ds.repartition(len(metas))
             .map_batches(_ChangeReader(table.root, target_schema),
                          batch_format="pyarrow", batch_size=1))
+
+
+# ------------------------------------------------------- consumer cursors
+# The reference's committed-offset checkpoint (src/kafka/mod.rs:187-231)
+# on the CONSUMER side: a named cursor records the last table version a
+# downstream consumer fully processed, so re-runs resume from the delta
+# and a crash before ack() replays at-least-once (consumers are
+# idempotent by keying on image_id + _commit_version).
+
+def _cursor_path(table: Table, consumer_id: str) -> str:
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", consumer_id):
+        raise ValueError(f"bad consumer_id {consumer_id!r}")
+    return os.path.join(table.root, "_runs", "cursors",
+                        f"{consumer_id}.json")
+
+
+def cursor(table: Table, consumer_id: str) -> int:
+    """Last acked version for this consumer; 0 (table creation) if
+    never acked."""
+    import json
+
+    p = _cursor_path(table, consumer_id)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(json.load(f)["version"])
+
+
+def changes_since(table: Table, consumer_id: str):
+    """The unconsumed change feed: ``(feed, to_version)`` covering
+    (last-acked, latest]. Process the feed, then ``ack(table,
+    consumer_id, to_version)`` — the ack AFTER processing is the
+    consumer-side write-then-commit ordering; a crash in between
+    replays the span (at-least-once, idempotent by construction)."""
+    to_v = table.latest_version()
+    return table_changes(table, cursor(table, consumer_id), to_v), to_v
+
+
+def ack(table: Table, consumer_id: str, version: int) -> None:
+    """Advance the cursor to ``version``. Monotonic: acking at or
+    below the current cursor is a no-op (replay-safe); publication is
+    an atomic replace so readers never see a partial cursor."""
+    import json
+    import tempfile
+
+    p = _cursor_path(table, consumer_id)
+    if int(version) <= cursor(table, consumer_id):
+        return
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(p), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"consumer_id": consumer_id, "version": int(version)}, f)
+    os.replace(tmp, p)

@@ -848,3 +848,37 @@ def test_tags_pin_versions_through_expire(table):
     assert v0 in rep2["expired_versions"]  # released
     with pytest.raises(Exception, match="no such tag"):
         table.snapshot(tag="baseline")
+
+
+def test_cdc_consumer_cursors(table):
+    """changes_since/ack: a consumer sees each commit's changes
+    exactly once across process restarts when it acks after
+    processing; a crash before ack replays the span (at-least-once);
+    acks are monotonic."""
+    from kafka_delta_rs_ray.pipelines.cdc import ack, changes_since, cursor
+
+    assert cursor(table, "idx") == 0
+    feed, v1 = changes_since(table, "idx")
+    n1 = feed.count()
+    assert n1 == N  # the initial append
+    ack(table, "idx", v1)
+    assert cursor(table, "idx") == v1
+
+    # nothing new → empty feed
+    feed2, v2 = changes_since(table, "idx")
+    assert v2 == v1 and feed2.count() == 0
+
+    merge(table, changeset_dataset(N, 25, seed=91).materialize(),
+          app_id="cur")
+    feed3, v3 = changes_since(table, "idx")
+    assert v3 == v1 + 1
+    rows = pa.Table.from_pylist(feed3.take_all())
+    assert set(rows["_commit_version"].to_pylist()) == {v3}
+
+    # crash-before-ack: the same span replays
+    feed3b, v3b = changes_since(table, "idx")
+    assert v3b == v3 and feed3b.count() == rows.num_rows
+
+    ack(table, "idx", v3)
+    ack(table, "idx", v1)  # stale ack is a no-op
+    assert cursor(table, "idx") == v3
