@@ -736,6 +736,71 @@ def orders_price_band_join_sql() -> str:
     """
 
 
+def events_retention(sf_dir: str):
+    """Cohort retention: users grouped by first-activity week, counted
+    in each later week they were active — the engagement matrix every
+    product/training-data freshness dashboard needs.
+
+    Weeks are integer epoch-week indexes (Monday-start:
+    (epoch_days - 4) // 7) computed identically in both engines, so
+    the comparison is calendar-free and exact. ONE user-bucketed
+    exchange of slim (user, week) rows; the per-bucket kernel derives
+    each user's cohort (min week) and their distinct active weeks
+    vectorized, emitting (cohort_week, week_n) partial counts; a tiny
+    groupby-sum finishes. Nothing user-cardinality-sized leaves the
+    bucket."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        days = pc.divide(pc.cast(b["ts"], pa.int64()),
+                         86_400_000_000)  # trunc toward zero: ts >= 0
+        wk = pc.cast(pc.floor(pc.divide(
+            pc.cast(pc.subtract(days, 4), pa.float64()), 7.0)), pa.int64())
+        return pa.table({
+            "user_id": b["user_id"], "wk": wk,
+            "bucket": pc.cast(pc.bit_wise_and(b["user_id"], 63),
+                              pa.int32())})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["user_id", "wk"]].drop_duplicates()
+        cohort = g.groupby("user_id")["wk"].transform("min")
+        out = pd.DataFrame({"cohort_week": cohort.astype("int64"),
+                            "week_n": (g["wk"] - cohort).astype("int64")})
+        vc = (out.groupby(["cohort_week", "week_n"]).size()
+                 .rename("n").reset_index())
+        vc["n"] = vc["n"].astype("int64")
+        return vc
+
+    parts = (ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+             .groupby("bucket").map_groups(kernel, batch_format="pandas"))
+    out = parts.groupby(["cohort_week", "week_n"]).aggregate(
+        Sum("n", alias_name="n_users"))
+    return out.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("n_users"),
+                               "n_users", pc.cast(b["n_users"],
+                                                  pa.int64())),
+        batch_format="pyarrow", batch_size=None)
+
+
+def events_retention_sql() -> str:
+    return """
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor((epoch(ts) / 86400 - 4) / 7.0) AS BIGINT)
+                       AS wk
+            FROM events),
+        first AS (SELECT user_id, min(wk) AS cohort_week
+                  FROM act GROUP BY user_id)
+        SELECT f.cohort_week, a.wk - f.cohort_week AS week_n,
+               count(*) AS n_users
+        FROM act a JOIN first f USING (user_id)
+        GROUP BY f.cohort_week, week_n
+    """
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -1906,6 +1971,7 @@ QUERIES = {
     "events_distinct_users_hll": events_distinct_users_hll,
     "events_value_quantiles": events_value_quantiles,
     "events_funnel": events_funnel,
+    "events_retention": events_retention,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_token_stats": doc_token_stats,
     "doc_vocab_topk": doc_vocab_topk,
@@ -1944,6 +2010,7 @@ ORACLES = {
     "events_asof_join": events_asof_join_sql(),
     "events_value_quantiles": events_value_quantiles_sql(),
     "events_funnel": events_funnel_sql(),
+    "events_retention": events_retention_sql(),
     "lineitem_pricing_summary": lineitem_pricing_summary_sql(),
     "top_customers": top_customers_sql(),
     "supplier_counts_by_region": supplier_counts_by_region_sql(),
