@@ -84,24 +84,26 @@ def _empty_topk() -> pa.Table:
 
 def _topk_rows(qids: np.ndarray, qm: np.ndarray, ids: np.ndarray,
                m: np.ndarray, k: int) -> pa.Table:
-    """Dense (queries × rows) cosine top-k kernel shared by the brute
-    and IVF paths: one matmul, per-query partial sort, self-match
-    excluded."""
+    """Dense (queries × rows) cosine top-k kernel shared by the brute,
+    IVF, and graph paths — fully vectorized: one matmul, self-matches
+    masked to -inf in bulk, argpartition + per-row sort over the k
+    survivors (no per-query Python loop: the graph build calls this
+    once per (batch × corpus block), so loop overhead multiplied)."""
     sims = qm @ m.T  # (n_queries, rows)
-    out = {"query_id": [], "neighbor_id": [], "sim": []}
-    for qi in range(len(qids)):
-        s = sims[qi]
-        mask = ids != qids[qi]  # exclude self-match
-        cand = np.nonzero(mask)[0]
-        if len(cand) == 0:
-            continue
-        top = cand[np.argsort(-s[cand], kind="stable")[:k]]
-        out["query_id"].extend([int(qids[qi])] * len(top))
-        out["neighbor_id"].extend(int(ids[t]) for t in top)
-        out["sim"].extend(round(float(s[t]), 6) for t in top)
-    return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
-                     "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
-                     "sim": pa.array(out["sim"], pa.float64())})
+    sims[qids[:, None] == ids[None, :]] = -np.inf  # self-match mask
+    kk = min(k, sims.shape[1])
+    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    psims = np.take_along_axis(sims, part, axis=1)
+    order = np.argsort(-psims, axis=1, kind="stable")
+    top = np.take_along_axis(part, order, axis=1)       # (q, kk) col idx
+    tsims = np.take_along_axis(psims, order, axis=1)
+    valid = np.isfinite(tsims)                           # drop masked
+    qrep = np.repeat(qids.astype(np.int64), kk).reshape(-1)[valid.ravel()]
+    nbr = ids[top].astype(np.int64).ravel()[valid.ravel()]
+    sv = np.round(tsims.ravel()[valid.ravel()], 6)
+    return pa.table({"query_id": pa.array(qrep, pa.int64()),
+                     "neighbor_id": pa.array(nbr, pa.int64()),
+                     "sim": pa.array(sv, pa.float64())})
 
 
 class _BatchTopK:
