@@ -801,6 +801,24 @@ def events_retention_sql() -> str:
     """
 
 
+def events_value_median_by_type(sf_dir: str):
+    """Exact per-group median (percentile_disc 0.5 per event_type) —
+    grouped order statistics without any sort: the per-group
+    generalization of the histogram-refinement selection
+    (ops/quantiles.py)."""
+    from .quantiles import grouped_quantile_disc
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantile_disc(ds, "event_type", "value", 0.5)
+
+
+def events_value_median_by_type_sql() -> str:
+    return """
+        SELECT event_type, quantile_disc(value, 0.5) AS value
+        FROM events GROUP BY event_type
+    """
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -1970,6 +1988,7 @@ QUERIES = {
     "orders_price_band_join": orders_price_band_join,
     "events_distinct_users_hll": events_distinct_users_hll,
     "events_value_quantiles": events_value_quantiles,
+    "events_value_median_by_type": events_value_median_by_type,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "doc_stratified_sample": doc_stratified_sample,
@@ -2009,6 +2028,7 @@ ORACLES = {
     "events_heavy_hitters": events_heavy_hitters_sql(),
     "events_asof_join": events_asof_join_sql(),
     "events_value_quantiles": events_value_quantiles_sql(),
+    "events_value_median_by_type": events_value_median_by_type_sql(),
     "events_funnel": events_funnel_sql(),
     "events_retention": events_retention_sql(),
     "lineitem_pricing_summary": lineitem_pricing_summary_sql(),

@@ -113,3 +113,24 @@ def test_quantiles_adjacent_doubles_duplicate_runs(tmp_path, ray_session):
     ora = {float(k): v
            for k, v in con.execute(events_value_quantiles_sql()).fetchall()}
     assert gd == ora
+
+
+def test_grouped_quantile_forced_multi_pass(ray_session):
+    """Grouped refinement stays exact when forced through multiple
+    passes per group (collect_threshold=2)."""
+    import duckdb
+
+    from kafka_delta_rs_ray.ops.quantiles import grouped_quantile_disc
+    from kafka_delta_rs_ray.ops.queries import (
+        _read, events_value_median_by_type_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    ora = dict(con.execute(events_value_median_by_type_sql()).fetchall())
+    t = grouped_quantile_disc(_read(sf, "events", ["event_type", "value"]),
+                              "event_type", "value", 0.5,
+                              collect_threshold=2)
+    assert dict(zip(t["event_type"].to_pylist(),
+                    t["value"].to_pylist())) == ora
