@@ -896,149 +896,17 @@ def events_funnel_sql() -> str:
 def events_value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
                            collect_threshold: int = 100_000):
     """EXACT discrete quantiles of a numeric column without a global
-    sort: iterative histogram-refinement selection.
+    sort — delegates to the unified (group x q) histogram-refinement
+    engine (ops/quantiles.py) with no grouping: ~4096x range shrink
+    per streaming pass, exchange = n_blocks x 4096 counts, exact
+    terminations for single-value and adjacent-double ranges. A
+    global ds.sort would shuffle every row for a 3-number answer;
+    this never moves data at all."""
+    from .quantiles import quantiles_disc
 
-    Rank semantics = percentile_disc: the smallest value whose
-    cumulative count >= ceil(q*n). Each pass histograms the active
-    [lo, hi) range per quantile into 4096 buckets (per-batch
-    vectorized searchsorted; the exchange is n_blocks x 4096 counts —
-    metadata-sized), narrowing the candidate range ~4096x per pass, so
-    10^12 rows need ~3 passes before the final range holds <
-    ``collect_threshold`` values and one bounded distributed filter
-    finishes the job. A global ds.sort would shuffle every row for a
-    3-number answer; this never moves data at all."""
-    B = 4096
     ds = _read(sf_dir, "events", ["value"])
-
-    def mm(b: pa.Table) -> pa.Table:
-        v = b["value"].to_numpy(zero_copy_only=False)
-        v = v[~np.isnan(v)]
-        return pa.table({"n": pa.array([len(v)], pa.int64()),
-                         "lo": [float(v.min()) if len(v) else np.inf],
-                         "hi": [float(v.max()) if len(v) else -np.inf]})
-
-    parts = ds.map_batches(mm, batch_format="pyarrow",
-                           batch_size=None).to_pandas()
-    n = int(parts["n"].sum())
-    glo, ghi = float(parts["lo"].min()), float(parts["hi"].max())
-
-    # state per quantile: (target rank 1..n, range lo/hi, count < lo)
-    import math
-
-    state = {q: {"k": max(1, int(math.ceil(q * n))), "lo": glo,
-                 "hi": ghi, "below": 0, "done": None} for q in qs}
-
-    for _ in range(8):
-        active = {q: s for q, s in state.items() if s["done"] is None}
-        if not active:
-            break
-        for q, s in list(active.items()):
-            if s["lo"] == s["hi"]:
-                s["done"] = s["lo"]
-                del active[q]
-        if not active:
-            break
-        edge_map = {q: np.linspace(s["lo"], s["hi"], B + 1)
-                    for q, s in active.items()}
-        qlist = sorted(active)
-
-        def hist(b: pa.Table, _edges=edge_map, _qs=qlist) -> pa.Table:
-            v = b["value"].to_numpy(zero_copy_only=False)
-            v = v[~np.isnan(v)]
-            rows = {"q": pa.array(_qs, pa.float64())}
-            counts, belows, rmins, rmaxs = [], [], [], []
-            for q in _qs:
-                e = _edges[q]
-                inr = v[(v >= e[0]) & (v <= e[-1])]
-                # bucket i = [e[i], e[i+1]); last bucket closed
-                idx = np.minimum(np.searchsorted(e, inr, side="right") - 1,
-                                 B - 1)
-                counts.append(np.bincount(idx, minlength=B)
-                              .astype(np.int64))
-                belows.append(int((v < e[0]).sum()))
-                # duplicate-heavy termination: if every in-range value
-                # is one distinct double, refinement can't shrink the
-                # bucket below it — min==max detects that for free
-                rmins.append(float(inr.min()) if len(inr) else np.inf)
-                rmaxs.append(float(inr.max()) if len(inr) else -np.inf)
-            rows["counts"] = pa.array([c.tolist() for c in counts],
-                                      pa.list_(pa.int64()))
-            rows["below"] = pa.array(belows, pa.int64())
-            rows["rmin"] = pa.array(rmins, pa.float64())
-            rows["rmax"] = pa.array(rmaxs, pa.float64())
-            return pa.table(rows)
-
-        hp = ds.map_batches(hist, batch_format="pyarrow",
-                            batch_size=None).to_pandas()
-        for q in qlist:
-            s = active[q]
-            sub = hp[hp["q"] == q]
-            rmin, rmax = float(sub["rmin"].min()), float(sub["rmax"].max())
-            if rmin == rmax:
-                # the whole surviving range is ONE distinct value and
-                # the target rank lies inside it by construction
-                s["done"] = rmin
-                continue
-            if np.nextafter(rmin, np.inf) >= rmax:
-                # exactly TWO adjacent doubles left — linspace edges
-                # can't separate them, so refinement would stall when
-                # both duplicate runs exceed collect_threshold. One
-                # dedicated counting pass (metadata-sized exchange)
-                # resolves the rank exactly: below counts < range lo,
-                # and no value lies in [lo, rmin), so below == count
-                # of values < rmin.
-                below0 = int(sub["below"].sum())
-
-                def count_eq(b: pa.Table, _v=rmin) -> pa.Table:
-                    v = b["value"].to_numpy(zero_copy_only=False)
-                    return pa.table({"c": pa.array([int((v == _v).sum())],
-                                                   pa.int64())})
-
-                n_rmin = int(ds.map_batches(
-                    count_eq, batch_format="pyarrow",
-                    batch_size=None).to_pandas()["c"].sum())
-                s["done"] = rmin if s["k"] - below0 <= n_rmin else rmax
-                continue
-            total = np.sum(np.stack([np.asarray(c) for c in sub["counts"]]),
-                           axis=0)
-            # per-batch "below" counts ALL values < the current range
-            # start, so it replaces (not adds to) the previous below
-            below = int(sub["below"].sum())
-            cum = below + np.cumsum(total)
-            # first bucket where cumulative count reaches the rank
-            i = int(np.searchsorted(cum, s["k"]))
-            e = edge_map[q]
-            s["below"] = below + int(total[:i].sum())
-            s["lo"], s["hi"] = float(e[i]), float(e[i + 1])
-            if total[i] <= collect_threshold:
-                # final bounded collect: the surviving range holds
-                # few values — filter distributedly, finish locally
-                rng = (s["lo"], s["hi"], i == B - 1)
-
-                def in_range(b: pa.Table, _r=rng) -> pa.Table:
-                    v = b["value"].to_numpy(zero_copy_only=False)
-                    m = (v >= _r[0]) & ((v <= _r[1]) if _r[2]
-                                        else (v < _r[1]))
-                    return pa.table({"value": v[m & ~np.isnan(v)]})
-
-                vals = np.sort(np.concatenate(
-                    [b["value"].to_numpy(zero_copy_only=False)
-                     for b in ds.map_batches(
-                         in_range, batch_format="pyarrow",
-                         batch_size=None).iter_batches(
-                             batch_format="pyarrow", batch_size=None)]
-                    or [np.array([])]))
-                s["done"] = float(vals[s["k"] - s["below"] - 1])
-
-    not_done = [q for q in qs if state[q]["done"] is None]
-    if not_done:
-        raise RuntimeError(
-            f"quantile refinement did not converge for {not_done} — "
-            f"raise collect_threshold or the pass cap (never returns "
-            f"a silent null)")
-    return pa.table({"q": pa.array(list(qs), pa.float64()),
-                     "value": pa.array([state[q]["done"] for q in qs],
-                                       pa.float64())})
+    return quantiles_disc(ds, "value", list(qs),
+                          collect_threshold=collect_threshold)
 
 
 def events_value_quantiles_sql() -> str:

@@ -91,15 +91,35 @@ def _topk_rows(qids: np.ndarray, qm: np.ndarray, ids: np.ndarray,
     once per (batch × corpus block), so loop overhead multiplied)."""
     sims = qm @ m.T  # (n_queries, rows)
     sims[qids[:, None] == ids[None, :]] = -np.inf  # self-match mask
-    kk = min(k, sims.shape[1])
+    n = sims.shape[1]
+    kk = min(k, n)
     part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
     psims = np.take_along_axis(sims, part, axis=1)
     order = np.argsort(-psims, axis=1, kind="stable")
     top = np.take_along_axis(part, order, axis=1)       # (q, kk) col idx
     tsims = np.take_along_axis(psims, order, axis=1)
+    # deterministic tie-break (matches the oracle's neighbor_id ASC):
+    # rows where the selection BOUNDARY is a raw sim tie get an exact
+    # per-row re-selection by (-sim, id) — rare, so the fast path stays
+    # vectorized; within-row ordering is fixed for everyone below
+    if kk < n:
+        kth = tsims[:, -1]
+        rest_max = np.take_along_axis(
+            sims, np.argpartition(-sims, kk, axis=1)[:, kk:kk + 1],
+            axis=1)[:, 0]
+        for qi in np.nonzero(rest_max == kth)[0]:
+            byid = np.lexsort((ids, -sims[qi]))[:kk]
+            top[qi] = byid
+            tsims[qi] = sims[qi][byid]
+    # in-row ties order by neighbor id ascending
+    nbr_all = ids[top].astype(np.int64)
+    row_order = np.lexsort((nbr_all, -tsims))  # per-row (sim desc, id asc)
+    top = np.take_along_axis(top, row_order, axis=1)
+    tsims = np.take_along_axis(tsims, row_order, axis=1)
+    nbr_all = ids[top].astype(np.int64)
     valid = np.isfinite(tsims)                           # drop masked
     qrep = np.repeat(qids.astype(np.int64), kk).reshape(-1)[valid.ravel()]
-    nbr = ids[top].astype(np.int64).ravel()[valid.ravel()]
+    nbr = nbr_all.ravel()[valid.ravel()]
     sv = np.round(tsims.ravel()[valid.ravel()], 6)
     return pa.table({"query_id": pa.array(qrep, pa.int64()),
                      "neighbor_id": pa.array(nbr, pa.int64()),

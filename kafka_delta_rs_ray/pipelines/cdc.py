@@ -210,28 +210,53 @@ def cursor(table: Table, consumer_id: str) -> int:
         return int(json.load(f)["version"])
 
 
-def changes_since(table: Table, consumer_id: str):
+def changes_since(table: Table, consumer_id: str,
+                  bootstrap_version: int | None = None):
     """The unconsumed change feed: ``(feed, to_version)`` covering
     (last-acked, latest]. Process the feed, then ``ack(table,
     consumer_id, to_version)`` — the ack AFTER processing is the
     consumer-side write-then-commit ordering; a crash in between
-    replays the span (at-least-once, idempotent by construction)."""
+    replays the span (at-least-once, idempotent by construction).
+
+    ``bootstrap_version``: where a BRAND-NEW consumer starts (used
+    only when no cursor exists). On a table whose early history was
+    expired, a new consumer can't feed from v0 — seed it from a
+    retained version (typically after syncing a snapshot)."""
     to_v = table.latest_version()
-    return table_changes(table, cursor(table, consumer_id), to_v), to_v
+    cur = cursor(table, consumer_id)
+    if cur == 0 and bootstrap_version is not None:
+        cur = int(bootstrap_version)
+    return table_changes(table, cur, to_v), to_v
 
 
 def ack(table: Table, consumer_id: str, version: int) -> None:
-    """Advance the cursor to ``version``. Monotonic: acking at or
-    below the current cursor is a no-op (replay-safe); publication is
-    an atomic replace so readers never see a partial cursor."""
+    """Advance the cursor to ``version``. Monotonic under concurrency
+    (the read-check-write runs under an flock, so two processes acking
+    the same consumer can't regress the cursor); acking at or below
+    the current cursor is a no-op (replay-safe); acking past the
+    table's latest version is rejected (it would brick the consumer's
+    next changes_since). Publication is an atomic replace."""
+    import fcntl
     import json
     import tempfile
 
+    version = int(version)
+    latest = table.latest_version()
+    if version > latest:
+        raise ValueError(
+            f"ack version {version} is past the table's latest "
+            f"({latest})")
     p = _cursor_path(table, consumer_id)
-    if int(version) <= cursor(table, consumer_id):
-        return
     os.makedirs(os.path.dirname(p), exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(p), suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump({"consumer_id": consumer_id, "version": int(version)}, f)
-    os.replace(tmp, p)
+    lock = open(p + ".lock", "w")
+    try:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if version <= cursor(table, consumer_id):
+            return
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(p), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"consumer_id": consumer_id, "version": version}, f)
+        os.replace(tmp, p)
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()

@@ -158,10 +158,8 @@ def run(cfg: MaintenanceConfig) -> dict:
             # failures dead-letter to quarantine/ (the reference's
             # P1 parse → P4 dead-letter routing) and never poison the
             # merge
-            import os as _os
-            import uuid as _uuid
-
             from .sources.readers import parse_json_lines
+            from .stages.validate import write_quarantine_table
 
             for p in files:
                 with open(p, "rb") as f:
@@ -170,10 +168,10 @@ def run(cfg: MaintenanceConfig) -> dict:
                     parse_errors += errs.num_rows
                     q = errs.append_column(
                         "source_file", [[p] * errs.num_rows])
-                    _pq.write_table(q, _os.path.join(
-                        table.root, "quarantine",
-                        f"q-{cfg.run_id or 'stream'}-parse-"
-                        f"{_uuid.uuid4().hex[:12]}.parquet"))
+                    # hardened dead-letter writer: retry w/ backoff,
+                    # log-and-continue on final failure
+                    write_quarantine_table(
+                        table.root, cfg.run_id or "stream-parse", q)
                 yield rows
 
         stats = stream_ingest(

@@ -75,6 +75,9 @@ def _json_field_value(v, f: pa.Field):
     if pa.types.is_integer(t):
         if isinstance(v, bool) or not isinstance(v, (int, float)):
             raise ValueError(f"{f.name}: expected integer, got {type(v).__name__}")
+        if isinstance(v, float) and not v.is_integer():
+            raise ValueError(f"{f.name}: non-integral {v} for an "
+                             f"integer field")
         return int(v)
     if pa.types.is_floating(t):
         if isinstance(v, bool) or not isinstance(v, (int, float)):
@@ -96,13 +99,22 @@ def _json_field_value(v, f: pa.Field):
         except Exception as e:
             raise ValueError(f"{f.name}: bad base64: {e}") from None
     if pa.types.is_date32(t):
+        if not isinstance(v, str):
+            raise ValueError(f"{f.name}: expected ISO date string, "
+                             f"got {type(v).__name__}")
         return _dt.date.fromisoformat(v)
     if pa.types.is_timestamp(t):
-        # ISO-8601 → epoch micros, converted exactly once
+        if not isinstance(v, str):
+            raise ValueError(f"{f.name}: expected ISO-8601 string, "
+                             f"got {type(v).__name__}")
+        # ISO-8601 → epoch micros via integer timedelta arithmetic:
+        # dt.timestamp()*1e6 routes through float seconds and truncates
+        # ~1% of microsecond values one low
         dt = _dt.datetime.fromisoformat(v)
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=_dt.timezone.utc)
-        return int(dt.timestamp() * 1_000_000)
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        return (dt - epoch) // _dt.timedelta(microseconds=1)
     if pa.types.is_list(t):
         if not isinstance(v, list):
             raise ValueError(f"{f.name}: expected list, got {type(v).__name__}")
@@ -128,7 +140,9 @@ def parse_json_lines(raw: bytes | str, schema: pa.Schema = CHANGESET_SCHEMA):
         else raw
     cols = {f.name: [] for f in schema}
     err_rows = {"line": [], "raw": [], "error": []}
-    for ln, line in enumerate(text.splitlines(), start=1):
+    # JSON-lines is \n-delimited; splitlines() would also tear on
+    # U+2028/U+0085 INSIDE string values, losing valid rows
+    for ln, line in enumerate(text.split("\n"), start=1):
         line = line.strip()
         if not line:
             continue
@@ -143,7 +157,7 @@ def parse_json_lines(raw: bytes | str, schema: pa.Schema = CHANGESET_SCHEMA):
                 if f.name not in obj:
                     raise ValueError(f"missing field {f.name!r}")
                 vals[f.name] = _json_field_value(obj[f.name], f)
-        except (ValueError, _json.JSONDecodeError) as e:
+        except (ValueError, TypeError, _json.JSONDecodeError) as e:
             err_rows["line"].append(ln)
             err_rows["raw"].append(line[:4096])
             err_rows["error"].append(str(e))

@@ -25,6 +25,10 @@ from ..errors import FormatError
 from ..functions.binview import binary_views
 
 
+RETRY_ATTEMPTS = 3       # reference dead-letter retry policy
+RETRY_BACKOFF_SECS = 5.0  # (3 attempts / 5 s sleep, src/kafka/mod.rs:52-80)
+
+
 class ValidateImages:
     """Stateful stage (actor pool): decode-validate each row's bytes.
 
@@ -33,8 +37,8 @@ class ValidateImages:
     writes are batched per input batch.
     """
 
-    RETRY_ATTEMPTS = 3       # reference dead-letter retry policy
-    RETRY_BACKOFF_SECS = 5.0  # (3 attempts / 5 s sleep, src/kafka/mod.rs:52-80)
+    RETRY_ATTEMPTS = RETRY_ATTEMPTS       # back-compat class aliases
+    RETRY_BACKOFF_SECS = RETRY_BACKOFF_SECS
 
     def __init__(self, table_root: str | None = None, run_id: str = "adhoc",
                  check_pixels: bool = False,
@@ -56,35 +60,12 @@ class ValidateImages:
         bad = bad.append_column(
             "error", pa.array([e for e, m in zip(errors, mask) if m],
                               pa.string()))
-        dest = os.path.join(self.root, "quarantine",
-                            f"q-{self.run_id}-{uuid.uuid4().hex[:12]}.parquet")
-        # retry with backoff (reference dead-letter parity: 3 attempts,
-        # 5 s sleep, src/kafka/mod.rs:52-80). A final failure loses
-        # only the audit record — the rows are still withheld from the
-        # table — so we log and continue, like the reference.
-        import logging
-        import time
-
-        from ..tablefmt.fragments import (fragment_compression,
-                                          fragment_compression_level)
-
-        for attempt in range(1, self.retry_attempts + 1):
-            try:
-                pq.write_table(
-                    bad, dest,
-                    compression=fragment_compression(bad.schema),
-                    compression_level=fragment_compression_level(bad.schema))
-                break
-            except OSError as e:
-                if attempt == self.retry_attempts:
-                    self.quarantine_write_failures += int(mask.sum())
-                    logging.getLogger(__name__).warning(
-                        "quarantine write failed after %d attempts: %s "
-                        "(%d rows withheld from table but not recorded)",
-                        self.retry_attempts, e, int(mask.sum()))
-                    return
-                time.sleep(self.retry_backoff_secs)
-        self.quarantined += int(mask.sum())
+        if write_quarantine_table(self.root, self.run_id, bad,
+                                  retry_attempts=self.retry_attempts,
+                                  retry_backoff_secs=self.retry_backoff_secs):
+            self.quarantined += int(mask.sum())
+        else:
+            self.quarantine_write_failures += int(mask.sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -118,6 +99,43 @@ class ValidateImages:
                 errors[i] = str(e)
         self._quarantine(batch, bad, errors)
         return batch.filter(pa.array(~bad))
+
+
+def write_quarantine_table(table_root: str, run_id: str, rows: pa.Table,
+                           retry_attempts: int = RETRY_ATTEMPTS,
+                           retry_backoff_secs: float = RETRY_BACKOFF_SECS,
+                           ) -> bool:
+    """Write one dead-letter parquet (rows must carry an ``error``
+    column) with the reference's retry policy (3 attempts, backoff,
+    src/kafka/mod.rs:52-80). A final failure logs and returns False —
+    the rows are still withheld from the table, only the audit record
+    is lost, so callers continue (the reference does the same). Every
+    dead-letter producer (decode validation, JSON parse errors) goes
+    through here so the policy can't drift."""
+    import logging
+    import time
+
+    from ..tablefmt.fragments import (fragment_compression,
+                                      fragment_compression_level)
+
+    dest = os.path.join(table_root, "quarantine",
+                        f"q-{run_id}-{uuid.uuid4().hex[:12]}.parquet")
+    for attempt in range(1, retry_attempts + 1):
+        try:
+            pq.write_table(
+                rows, dest,
+                compression=fragment_compression(rows.schema),
+                compression_level=fragment_compression_level(rows.schema))
+            return True
+        except OSError as e:
+            if attempt == retry_attempts:
+                logging.getLogger(__name__).warning(
+                    "quarantine write failed after %d attempts: %s "
+                    "(%d rows withheld from table but not recorded)",
+                    retry_attempts, e, rows.num_rows)
+                return False
+            time.sleep(retry_backoff_secs)
+    return False
 
 
 def quarantine_report(table_root: str, run_id: str | None = None) -> dict:

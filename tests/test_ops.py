@@ -633,3 +633,19 @@ def test_parse_json_lines_schema_first():
     expect = dt.datetime(2026, 1, 2, 3, 4, 5, 6, tzinfo=dt.timezone.utc)
     assert r2["ts"][0].as_py().replace(tzinfo=dt.timezone.utc) == expect
     assert r2["d"][0].as_py() == dt.date(2026, 1, 2)
+
+
+def test_topk_kernel_deterministic_tie_break():
+    """Exact sim ties at the selection boundary resolve by lowest
+    neighbor_id (the oracle's ORDER BY sim DESC, neighbor_id ASC) —
+    the vectorized kernel's rare slow path."""
+    from kafka_delta_rs_ray.ops.similarity import _normalize, _topk_rows
+
+    rng = np.random.default_rng(0)
+    base = _normalize(rng.normal(size=(4, 8)))
+    m = np.repeat(base, 6, axis=0)  # 24 vectors, heavy exact ties
+    ids = np.arange(24)
+    t = _topk_rows(np.array([100]), base[0:1], ids, m, 5)
+    assert t["neighbor_id"].to_pylist() == [0, 1, 2, 3, 4]
+    t2 = _topk_rows(np.array([2]), m[2:3], ids, m, 5)  # self excluded
+    assert t2["neighbor_id"].to_pylist() == [0, 1, 3, 4, 5]
