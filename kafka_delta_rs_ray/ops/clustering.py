@@ -115,3 +115,46 @@ def kmeans(emb_ds, n_centroids: int, iters: int = 10, tol: float = 1e-4,
             return batch.append_column("cluster", pa.array(a, pa.int64()))
 
     return final, _Assign(ray.put(final))
+
+
+def semdedup(emb_ds, threshold: float = 0.95, n_centroids: int | None = None,
+             iters: int = 5):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine
+    pruning — the corpus-pruning composition LLM data pipelines run
+    before training.
+
+    Rule (deterministic): within a cluster, a vector is DROPPED when
+    some lower-vec_id member has cosine similarity > threshold to it
+    ("dominated by an earlier row" — one matmul + a triangular mask
+    per cluster, no sequential greedy chain). Cluster sizes are
+    bounded because centroids scale with the corpus (ops/similarity
+    sizing), so the per-cluster O(b²) stays in one worker's range.
+
+    Returns a Dataset of (vec_id, cluster, kept)."""
+    import ray
+
+    from .similarity import _normalize, n_centroids_for
+
+    if n_centroids is None:
+        n_centroids = n_centroids_for(emb_ds.count())
+    _, assign = kmeans(emb_ds, n_centroids=n_centroids, iters=iters)
+
+    def prune(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["vec_id"].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _normalize(np.stack(
+            g["embedding"].to_numpy(zero_copy_only=False))
+            .astype(np.float64)[order])
+        sims = m @ m.T
+        dom = np.tril(sims > threshold, k=-1).any(axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array([int(g["cluster"][0].as_py())] * len(ids),
+                                pa.int64()),
+            "kept": pa.array(~dom, pa.bool_())})
+
+    return (emb_ds.map_batches(assign, batch_format="pyarrow",
+                               batch_size=4096)
+            .groupby("cluster").map_groups(prune, batch_format="pyarrow"))

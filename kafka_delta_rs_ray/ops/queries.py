@@ -1712,6 +1712,17 @@ def embedding_knn_ivf(sf_dir: str):
     return knn_ivf(_read(sf_dir, "embeddings"), n_queries=10, k=10)
 
 
+def embedding_semdedup(sf_dir: str):
+    """SemDeDup corpus pruning (kmeans clusters + within-cluster
+    cosine dominance, ops/clustering.py::semdedup) — rows-only driver
+    check (clustering-dependent, not SQL-expressible); planted-dup
+    pruning pinned in tests/test_ops.py."""
+    from .clustering import semdedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(ds, threshold=0.95, n_centroids=8)
+
+
 def embedding_kmeans_sizes(sf_dir: str):
     """Distributed Lloyd k-means (ops/clustering.py) cluster sizes —
     deterministic per seed; rows-only driver check (iterative
@@ -1880,6 +1891,7 @@ QUERIES = {
     "embedding_knn_ivf": embedding_knn_ivf,
     "embedding_knn_graph": embedding_knn_graph,
     "embedding_kmeans_sizes": embedding_kmeans_sizes,
+    "embedding_semdedup": embedding_semdedup,
     "embedding_knn_graph_ivf": embedding_knn_graph_ivf,
     "embedding_near_dup": embedding_near_dup,
     "embedding_centroid_norms": embedding_centroid_norms,

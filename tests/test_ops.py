@@ -649,3 +649,36 @@ def test_topk_kernel_deterministic_tie_break():
     assert t["neighbor_id"].to_pylist() == [0, 1, 2, 3, 4]
     t2 = _topk_rows(np.array([2]), m[2:3], ids, m, 5)  # self excluded
     assert t2["neighbor_id"].to_pylist() == [0, 1, 3, 4, 5]
+
+
+def test_semdedup_prunes_planted_duplicates(ray_session):
+    """SemDeDup drops planted near-duplicates (keeping the lowest
+    vec_id of each near-set) and keeps everything at threshold > 1;
+    output is deterministic and covers every vector exactly once."""
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.ops.clustering import semdedup
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+    # plant near-dups of vectors 0..9 at ids 100..109 (tiny noise)
+    for i in range(10):
+        rows.append({"vec_id": 100 + i,
+                     "embedding": (base[i]
+                                   + rng.normal(scale=1e-4, size=16))
+                     .tolist()})
+    ds = rd.from_items(rows)
+
+    out = semdedup(ds, threshold=0.95, n_centroids=4).to_pandas()
+    assert len(out) == 50
+    assert out["vec_id"].is_unique
+    dup_rows = out[out["vec_id"] >= 100]
+    assert not dup_rows["kept"].any()       # every planted dup dropped
+    orig = out[out["vec_id"] < 100]
+    assert orig["kept"].sum() >= 35         # originals mostly kept
+
+    out2 = semdedup(ds, threshold=1.01, n_centroids=4).to_pandas()
+    assert out2["kept"].all()               # nothing exceeds sim > 1
