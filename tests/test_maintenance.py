@@ -882,3 +882,38 @@ def test_cdc_consumer_cursors(table):
     ack(table, "idx", v3)
     ack(table, "idx", v1)  # stale ack is a no-op
     assert cursor(table, "idx") == v3
+
+
+def test_table_changes_across_schema_evolution(table):
+    """A change feed spanning a merge_schema append conforms EVERY
+    change row to the to_version schema: pre-evolution inserts
+    null-fill the new column, post-evolution inserts carry it."""
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.pipelines.cdc import table_changes
+
+    v0 = table.latest_version()
+
+    def with_license(b, prefix):
+        return (b.set_column(
+            0, "image_id",
+            pa.array([f"{prefix}-{i}" for i in range(b.num_rows)]))
+            .append_column("license",
+                           pa.array(["cc0"] * b.num_rows, pa.string())))
+
+    merge(table, changeset_dataset(N, 10, seed=61).materialize(),
+          app_id="sev")                         # pre-evolution changes
+    extra = image_dataset(8, seed=9, batch_size=8).map_batches(
+        lambda b: with_license(b, "ev"), batch_format="pyarrow")
+    append(table, extra, target_fragment_rows=8, mode="merge_schema")
+
+    feed = pa.Table.from_pylist(
+        table_changes(table, v0).take_all())
+    assert "license" in feed.column_names
+    ev = feed.filter(pc.match_substring(feed["image_id"], "ev-"))
+    assert ev.num_rows == 8
+    assert all(v == "cc0" for v in ev["license"].to_pylist())
+    pre = feed.filter(pc.invert(pc.match_substring(feed["image_id"],
+                                                   "ev-")))
+    assert pre.num_rows > 0
+    assert all(v is None for v in pre["license"].to_pylist())
