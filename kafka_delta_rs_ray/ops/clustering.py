@@ -126,18 +126,21 @@ def semdedup(emb_ds, threshold: float = 0.95, n_centroids: int | None = None,
 
     Rule (deterministic): within a cluster, a vector is DROPPED when
     some lower-vec_id member has cosine similarity > threshold to it
-    ("dominated by an earlier row" — one matmul + a triangular mask
-    per cluster, no sequential greedy chain). Cluster sizes are
-    bounded because centroids scale with the corpus (ops/similarity
-    sizing), so the per-cluster O(b²) stays in one worker's range.
+    ("dominated by an earlier row" — matmul + triangular mask, no
+    sequential greedy chain). Cluster sizing is SEMDEDUP's OWN, not
+    the IVF default: dominance is O(b²) in SIMS-MATRIX MEMORY, so
+    buckets target ~4k rows (a 4k² chunk ≈ 128 MB transient; the IVF
+    50k target would need 20 GB per cluster), and the kernel computes
+    dominance in row chunks so peak memory is chunk × bucket, never
+    bucket².
 
     Returns a Dataset of (vec_id, cluster, kept)."""
     import ray
 
-    from .similarity import _normalize, n_centroids_for
+    from .similarity import _normalize
 
     if n_centroids is None:
-        n_centroids = n_centroids_for(emb_ds.count())
+        n_centroids = int(max(16, -(-emb_ds.count() // 4096)))
     _, assign = kmeans(emb_ds, n_centroids=n_centroids, iters=iters)
 
     def prune(g: pa.Table) -> pa.Table:
@@ -147,8 +150,17 @@ def semdedup(emb_ds, threshold: float = 0.95, n_centroids: int | None = None,
         m = _normalize(np.stack(
             g["embedding"].to_numpy(zero_copy_only=False))
             .astype(np.float64)[order])
-        sims = m @ m.T
-        dom = np.tril(sims > threshold, k=-1).any(axis=1)
+        b = len(ids)
+        dom = np.zeros(b, dtype=bool)
+        chunk = 2048
+        for i0 in range(0, b, chunk):  # rows vs all EARLIER rows only
+            i1 = min(i0 + chunk, b)
+            if i1 == 1:
+                continue
+            sims = m[i0:i1] @ m[:i1].T          # (chunk, i1)
+            local = np.arange(i0, i1)            # global row index
+            mask = np.arange(i1)[None, :] < local[:, None]
+            dom[i0:i1] = ((sims > threshold) & mask).any(axis=1)
         return pa.table({
             "vec_id": pa.array(ids, pa.int64()),
             "cluster": pa.array([int(g["cluster"][0].as_py())] * len(ids),
