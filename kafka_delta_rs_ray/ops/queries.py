@@ -736,6 +736,50 @@ def orders_price_band_join_sql() -> str:
     """
 
 
+def events_value_lag_delta(sf_dir: str):
+    """LAG window primitive: each event's value minus the same user's
+    previous value in (ts, event_id) order — pure pairwise arithmetic,
+    so the comparison is float-EXACT (no accumulation-order noise).
+    First-event rows (no predecessor) are dropped, matching the SQL's
+    IS NOT NULL filter.
+
+    One user-bucketed exchange of slim rows; the per-bucket kernel is
+    one vectorized sort + groupby shift. The exchange carries each
+    event exactly once."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()), "value": b["value"],
+            "bucket": pc.cast(pc.bit_wise_and(b["user_id"], 63),
+                              pa.int32())})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        prev = g.groupby("user_id", sort=False)["value"].shift(1)
+        out = g.loc[prev.notna(),
+                    ["event_id", "user_id"]].reset_index(drop=True)
+        out["delta"] = (g["value"] - prev)[prev.notna()].to_numpy()
+        return out
+
+    return (ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+            .groupby("bucket").map_groups(kernel, batch_format="pandas"))
+
+
+def events_value_lag_delta_sql() -> str:
+    return """
+        SELECT event_id, user_id, delta FROM (
+            SELECT event_id, user_id,
+                   value - lag(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS delta
+            FROM events)
+        WHERE delta IS NOT NULL
+    """
+
+
 def events_retention(sf_dir: str):
     """Cohort retention: users grouped by first-activity week, counted
     in each later week they were active — the engagement matrix every
@@ -1870,6 +1914,7 @@ QUERIES = {
     "events_value_median_by_type": events_value_median_by_type,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
+    "events_value_lag_delta": events_value_lag_delta,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_token_stats": doc_token_stats,
     "doc_vocab_topk": doc_vocab_topk,
@@ -1911,6 +1956,7 @@ ORACLES = {
     "events_value_median_by_type": events_value_median_by_type_sql(),
     "events_funnel": events_funnel_sql(),
     "events_retention": events_retention_sql(),
+    "events_value_lag_delta": events_value_lag_delta_sql(),
     "lineitem_pricing_summary": lineitem_pricing_summary_sql(),
     "top_customers": top_customers_sql(),
     "supplier_counts_by_region": supplier_counts_by_region_sql(),
