@@ -937,6 +937,54 @@ def events_funnel_sql() -> str:
     """
 
 
+def parts_above_brand_median(sf_dir: str):
+    """Per-brand counts of parts priced strictly above their brand's
+    EXACT median — grouped order statistics composed with a broadcast
+    filter. The median is a discrete data value (grouped
+    histogram-refinement engine, no sort), so the > comparison is
+    float-exact across engines — the sane way to express
+    'above-average within group' without accumulation-order noise.
+
+    Medians broadcast (25 brands — KB-sized); the count pass is one
+    projected scan with per-batch partials + a tiny groupby."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .quantiles import grouped_quantile_disc
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+    med = grouped_quantile_disc(ds, "p_brand", "p_retailprice", 0.5)
+    med_map = dict(zip(med["p_brand"].to_pylist(),
+                       med["value"].to_pylist()))
+
+    def above(b: pd.DataFrame) -> pd.DataFrame:
+        thr = b["p_brand"].map(med_map)
+        hit = b[b["p_retailprice"] > thr]
+        vc = hit.groupby("p_brand").size().rename("n").reset_index()
+        vc["n"] = vc["n"].astype("int64")
+        return vc
+
+    out = (ds.map_batches(above, batch_format="pandas", batch_size=None)
+           .groupby("p_brand").aggregate(Sum("n", alias_name="n_above")))
+    return out.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("n_above"),
+                               "n_above", pc.cast(b["n_above"],
+                                                  pa.int64())),
+        batch_format="pyarrow", batch_size=None)
+
+
+def parts_above_brand_median_sql() -> str:
+    return """
+        WITH med AS (SELECT p_brand,
+                            quantile_disc(p_retailprice, 0.5) AS m
+                     FROM part GROUP BY p_brand)
+        SELECT p.p_brand, count(*) AS n_above
+        FROM part p JOIN med USING (p_brand)
+        WHERE p.p_retailprice > med.m
+        GROUP BY p.p_brand
+    """
+
+
 def events_value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
                            collect_threshold: int = 100_000):
     """EXACT discrete quantiles of a numeric column without a global
@@ -1911,6 +1959,7 @@ QUERIES = {
     "orders_price_band_join": orders_price_band_join,
     "events_distinct_users_hll": events_distinct_users_hll,
     "events_value_quantiles": events_value_quantiles,
+    "parts_above_brand_median": parts_above_brand_median,
     "events_value_median_by_type": events_value_median_by_type,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
@@ -1953,6 +2002,7 @@ ORACLES = {
     "events_heavy_hitters": events_heavy_hitters_sql(),
     "events_asof_join": events_asof_join_sql(),
     "events_value_quantiles": events_value_quantiles_sql(),
+    "parts_above_brand_median": parts_above_brand_median_sql(),
     "events_value_median_by_type": events_value_median_by_type_sql(),
     "events_funnel": events_funnel_sql(),
     "events_retention": events_retention_sql(),
