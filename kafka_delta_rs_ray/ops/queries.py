@@ -957,7 +957,12 @@ def parts_above_brand_median(sf_dir: str):
     med_map = dict(zip(med["p_brand"].to_pylist(),
                        med["value"].to_pylist()))
 
+    _empty_above = pd.DataFrame({"p_brand": pd.Series([], dtype="str"),
+                                 "n": pd.Series([], dtype="int64")})
+
     def above(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return _empty_above
         thr = b["p_brand"].map(med_map)
         hit = b[b["p_retailprice"] > thr]
         vc = hit.groupby("p_brand").size().rename("n").reset_index()
