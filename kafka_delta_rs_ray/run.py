@@ -56,6 +56,12 @@ def run(cfg: MaintenanceConfig) -> dict:
                     last_n_runs=mon.get("last_n_runs"),
                     service_name=mon.get("service_name",
                                          "kafka-delta-rs-ray"))}
+    if cfg.job == "stats":
+        from .state.tablestats import table_stats
+
+        return {"job": "stats",
+                **table_stats(table,
+                              columns=cfg.options.get("stats_columns"))}
     if cfg.job == "changes":
         # CDC consumer surface: the (from, to] change feed written as
         # partitioned parquet for downstream re-consumers (the table-

@@ -917,3 +917,35 @@ def test_table_changes_across_schema_evolution(table):
                                                    "ev-")))
     assert pre.num_rows > 0
     assert all(v is None for v in pre["license"].to_pylist())
+
+
+def test_table_stats_reports_clustering_quality(table, tmp_path):
+    """ANALYZE-lite: zone-map layout stats are metadata-only and move
+    the right way — clustering collapses avg_rel_width/overlap on the
+    sort column and the CLI job returns the same report."""
+    import yaml
+
+    from kafka_delta_rs_ray.config import MaintenanceConfig
+    from kafka_delta_rs_ray.run import run
+    from kafka_delta_rs_ray.state.tablestats import table_stats
+
+    pre = table_stats(table)
+    assert pre["fragments"] > 1 and pre["rows"] == N
+    assert "phash" in pre["columns"]
+    pre_sel = pre["columns"]["phash"]["est_point_selectivity"]
+
+    cluster(table, target_fragment_rows=20)
+    post = table_stats(table)
+    assert post["cluster_curve"] == "morton"
+    zc = post["columns"]["zcode"]
+    assert zc["coverage"] == 1.0
+    # clustered layout: zcode ranges are narrow and mostly disjoint
+    assert zc["avg_rel_width"] < 0.5
+    assert zc["est_point_selectivity"] < pre_sel or pre_sel == 1.0
+
+    cfgp = tmp_path / "stats.yaml"
+    cfgp.write_text(yaml.safe_dump({"table_root": table.root,
+                                    "job": "stats"}))
+    out = run(MaintenanceConfig.load(str(cfgp)))
+    assert out["job"] == "stats" and out["fragments"] == post["fragments"]
+    assert out["columns"]["zcode"] == zc
