@@ -780,6 +780,49 @@ def events_value_lag_delta_sql() -> str:
     """
 
 
+def events_moving_avg(sf_dir: str):
+    """Frame-window primitive: 3-row trailing mean of value per user
+    in (ts, event_id) order (ROWS 2 PRECEDING) — the smoothing shape
+    of rate/latency dashboards. Rounded to 6dp on both sides (a
+    ≤3-term mean of |value|<1e4 doubles is stable far past 6dp, so
+    rounding only normalizes engine accumulation order).
+
+    Same single-exchange shape as the LAG operator: user-bucketed slim
+    rows, one vectorized sort + groupby-rolling per bucket."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()), "value": b["value"],
+            "bucket": pc.cast(pc.bit_wise_and(b["user_id"], 63),
+                              pa.int32())})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        ma = (g.groupby("user_id", sort=False)["value"]
+               .rolling(3, min_periods=1).mean()
+               .reset_index(level=0, drop=True))
+        out = g[["event_id", "user_id"]].copy()
+        out["avg3"] = ma.round(6)
+        return out
+
+    return (ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+            .groupby("bucket").map_groups(kernel, batch_format="pandas"))
+
+
+def events_moving_avg_sql() -> str:
+    return """
+        SELECT event_id, user_id,
+               round(avg(value) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+        FROM events
+    """
+
+
 def events_retention(sf_dir: str):
     """Cohort retention: users grouped by first-activity week, counted
     in each later week they were active — the engagement matrix every
@@ -1969,6 +2012,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "events_value_lag_delta": events_value_lag_delta,
+    "events_moving_avg": events_moving_avg,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_token_stats": doc_token_stats,
     "doc_vocab_topk": doc_vocab_topk,
@@ -2012,6 +2056,7 @@ ORACLES = {
     "events_funnel": events_funnel_sql(),
     "events_retention": events_retention_sql(),
     "events_value_lag_delta": events_value_lag_delta_sql(),
+    "events_moving_avg": events_moving_avg_sql(),
     "lineitem_pricing_summary": lineitem_pricing_summary_sql(),
     "top_customers": top_customers_sql(),
     "supplier_counts_by_region": supplier_counts_by_region_sql(),
