@@ -25,8 +25,6 @@ raises.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -76,7 +74,17 @@ def quantiles_disc(ds, value_col: str, qs, group_col: str | None = None,
             f"{len(agg)} groups exceeds max_groups={max_groups}; "
             f"grouped exact quantiles need bounded group cardinality")
 
-    state = {(g, q): {"k": max(1, int(math.ceil(q * r["n"]))),
+    def _rank(q: float, n: int) -> int:
+        # percentile_disc rank = ceil(q*n) computed EXACTLY: float
+        # ceil overshoots when q*n lands just above an integer in
+        # binary (0.07*100 == 7.000000000000001 → ceil 8). Fraction
+        # over the decimal literal keeps e.g. q=0.07, n=100 at rank 7.
+        from fractions import Fraction
+
+        f = Fraction(str(q)) * n
+        return max(1, -(-f.numerator // f.denominator))
+
+    state = {(g, q): {"k": _rank(q, int(r["n"])),
                       "lo": float(r["lo"]), "hi": float(r["hi"]),
                       "done": None}
              for g, r in agg.iterrows() for q in qs}

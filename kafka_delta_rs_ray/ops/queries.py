@@ -91,7 +91,8 @@ def events_ordered_head_sql() -> str:
             "ORDER BY event_id LIMIT 100")
 
 
-def heavy_hitters(ds, phi: float, key: str = "user_id"):
+def heavy_hitters(ds, phi: float, key: str = "user_id",
+                  n_total: int | None = None):
     """Keys generating > phi of all rows, with EXACT counts — the
     frequent-items primitive (abusive-client detection, hot-key
     discovery for salting) via sketch-then-verify:
@@ -107,10 +108,19 @@ def heavy_hitters(ds, phi: float, key: str = "user_id"):
 
     Pass 2: broadcast the candidate list, exact-count ONLY candidates
     (is_in filter + per-batch partial counts + tiny groupby), keep
-    count > phi*n. Exact output, no key-cardinality shuffle ever."""
+    count > phi*n. Exact output, no key-cardinality shuffle ever.
+
+    ``n_total``: pass the row count when ``ds`` is a TRANSFORMED
+    dataset — ``ds.count()`` is parquet-metadata-cheap only on an
+    untransformed read; on anything else it silently executes the
+    whole upstream pipeline an extra time. The key column keeps its
+    native dtype (int, string, ...)."""
     import pyarrow.compute as pc
 
-    n_total = ds.count()  # parquet metadata, no scan
+    if n_total is None:
+        n_total = ds.count()  # metadata-only for a plain parquet read
+    sch = ds.schema()
+    key_type = dict(zip(sch.names, sch.types))[key]
     k = max(16, int(np.ceil(2.0 / phi)))
 
     def mg_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -119,7 +129,7 @@ def heavy_hitters(ds, phi: float, key: str = "user_id"):
             t = vc.iloc[k]  # (k+1)-th largest
             vc = (vc - t).iloc[:k]
             vc = vc[vc > 0]
-        return pd.DataFrame({key: vc.index.astype("int64"),
+        return pd.DataFrame({key: vc.index.to_numpy(),
                              "lb": vc.to_numpy(dtype="int64")})
 
     lbs = (ds.map_batches(mg_partial, batch_format="pandas")
@@ -128,15 +138,15 @@ def heavy_hitters(ds, phi: float, key: str = "user_id"):
         lambda b: b.filter(pa.compute.greater(
             b["sum(lb)"], phi * n_total / 2.0)).select([key]),
         batch_format="pyarrow", batch_size=None).take_all()
-    cand_ids = pa.array(sorted({r[key] for r in cand}), pa.int64())
+    cand_ids = pa.array(sorted({r[key] for r in cand}), key_type)
 
     def exact_partial(b: pa.Table) -> pa.Table:
         hit = b.filter(pc.is_in(b[key], value_set=cand_ids))
         if hit.num_rows == 0:
-            return pa.table({key: pa.array([], pa.int64()),
+            return pa.table({key: pa.array([], key_type),
                              "n": pa.array([], pa.int64())})
         vc = hit.to_pandas()[key].value_counts()
-        return pa.table({key: pa.array(vc.index, pa.int64()),
+        return pa.table({key: pa.array(vc.index, key_type),
                          "n": pa.array(vc.to_numpy(), pa.int64())})
 
     exact = (ds.map_batches(exact_partial, batch_format="pyarrow")

@@ -99,16 +99,18 @@ def _topk_rows(qids: np.ndarray, qm: np.ndarray, ids: np.ndarray,
     top = np.take_along_axis(part, order, axis=1)       # (q, kk) col idx
     tsims = np.take_along_axis(psims, order, axis=1)
     # deterministic tie-break (matches the oracle's neighbor_id ASC):
-    # rows where the selection BOUNDARY is a raw sim tie get an exact
-    # per-row re-selection by (-sim, id) — rare, so the fast path stays
-    # vectorized; within-row ordering is fixed for everyone below
+    # output sims are rounded to 6dp and the oracle orders by ROUNDED
+    # sim desc then id asc, so the boundary re-selection must trigger
+    # whenever the excluded max is within rounding distance of the kth
+    # kept sim (raw sims differing <1e-6 can round equal), and select
+    # on rounded sims — rare, so the fast path stays vectorized
     if kk < n:
         kth = tsims[:, -1]
         rest_max = np.take_along_axis(
             sims, np.argpartition(-sims, kk, axis=1)[:, kk:kk + 1],
             axis=1)[:, 0]
-        for qi in np.nonzero(rest_max == kth)[0]:
-            byid = np.lexsort((ids, -sims[qi]))[:kk]
+        for qi in np.nonzero(rest_max >= kth - 5e-7)[0]:
+            byid = np.lexsort((ids, -np.round(sims[qi], 6)))[:kk]
             top[qi] = byid
             tsims[qi] = sims[qi][byid]
     # in-row ties order by neighbor id ascending

@@ -33,56 +33,58 @@ def expire(table: Table, keep_last: int = 2,
     single-process lifecycle scripts)."""
     ctx = RunContext(table.root, run_id, job="expire")
     t0 = time.time()
-    versions = table.versions()
-    keep_last = max(1, keep_last)
-    # tagged versions are pinned: their full closure survives any
-    # keep_last (the named-ref contract; delete_tag releases them)
-    tagged = set(table.tags().values()) & set(versions)
-    retained = sorted(set(versions[-keep_last:]) | tagged)
-    expired_versions = [v for v in versions if v not in set(retained)]
-
-    reachable: set[str] = set()
-    for v in retained:
-        m = table.read_manifest(v)
-        for f in m.fragments:
-            reachable.add(f.path)
-            reachable.update(f.delete_paths)
-        # sharded manifests (format v2): the retained version's
-        # fragment-list shard files are part of its closure
-        reachable.update(m.shard_paths())
-
     from ..tablefmt.manifest import SHARD_PREFIX
 
-    removed_files: list[str] = []
-    kept_young = 0
-    now = time.time()
-    for sub in ("data", "deletes", "manifest"):
-        d = os.path.join(table.root, sub)
-        for name in sorted(os.listdir(d)):
-            if sub == "manifest" and not name.startswith(SHARD_PREFIX):
-                continue  # version docs handled below, temps skipped
-            rel = os.path.join(sub, name)
-            if rel in reachable:
-                continue
-            full = os.path.join(d, name)
-            if now - os.path.getmtime(full) < min_age_seconds:
-                kept_young += 1
-                continue  # possibly an in-flight run's pre-commit file
-            if not dry_run:
-                os.unlink(full)
-            removed_files.append(rel)
+    # The whole [read tags → compute reachable → sweep files → unlink
+    # manifests] section runs under the shared gc lock, serializing
+    # against tag() publication: a tag either lands before our tags()
+    # read (its closure is retained in full) or after our sweep (tag()
+    # verifies the full closure post-publish and withdraws itself).
+    # Without the lock there is an unfixable TOCTOU window where a tag
+    # published mid-sweep passes its check and then loses its data
+    # files. Lock hold time = one driver-side metadata walk.
+    with table.gc_lock():
+        versions = table.versions()
+        keep_last = max(1, keep_last)
+        # tagged versions are pinned: their full closure survives any
+        # keep_last (the named-ref contract; delete_tag releases them)
+        tagged = set(table.tags().values()) & set(versions)
+        retained = sorted(set(versions[-keep_last:]) | tagged)
+        expired_versions = [v for v in versions
+                            if v not in set(retained)]
 
-    # re-read tags right before unlinking manifests: a tag created
-    # after the first read pins its version's manifest (its data files
-    # may already be swept in this pass if the tag landed mid-sweep —
-    # tag() re-verifies the manifest after publishing and withdraws
-    # itself when it lost; together the two checks close the race)
-    late_tagged = set(table.tags().values()) - tagged
-    expired_versions = [v for v in expired_versions
-                        if v not in late_tagged]
-    for v in expired_versions:
-        if not dry_run:
-            os.unlink(table.manifest_path(v))
+        reachable: set[str] = set()
+        for v in retained:
+            m = table.read_manifest(v)
+            for f in m.fragments:
+                reachable.add(f.path)
+                reachable.update(f.delete_paths)
+            # sharded manifests (format v2): the retained version's
+            # fragment-list shard files are part of its closure
+            reachable.update(m.shard_paths())
+
+        removed_files: list[str] = []
+        kept_young = 0
+        now = time.time()
+        for sub in ("data", "deletes", "manifest"):
+            d = os.path.join(table.root, sub)
+            for name in sorted(os.listdir(d)):
+                if sub == "manifest" and not name.startswith(SHARD_PREFIX):
+                    continue  # version docs handled below, temps skipped
+                rel = os.path.join(sub, name)
+                if rel in reachable:
+                    continue
+                full = os.path.join(d, name)
+                if now - os.path.getmtime(full) < min_age_seconds:
+                    kept_young += 1
+                    continue  # maybe an in-flight run's pre-commit file
+                if not dry_run:
+                    os.unlink(full)
+                removed_files.append(rel)
+
+        for v in expired_versions:
+            if not dry_run:
+                os.unlink(table.manifest_path(v))
 
     report = {
         "retained_versions": retained,

@@ -134,6 +134,42 @@ class Table:
     def _tags_dir(self) -> str:
         return os.path.join(self._manifest_dir(), "tags")
 
+    def gc_lock(self):
+        """Advisory exclusive lock serializing ``tag()`` publication
+        against ``expire()``'s sweep. Without it the two sides race:
+        a tag published after expire read tags() but before its file
+        sweep finishes can pin a version whose data files were already
+        unlinked (a silently broken pinned snapshot). flock gives true
+        mutual exclusion on a shared filesystem; on an object store
+        the catalog's conditional-put would play this role. Held for
+        the duration of expire (driver-side metadata walk — cheap) and
+        of a tag publish+verify."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def _lock():
+            path = os.path.join(self._manifest_dir(), ".gc.lock")
+            with open(path, "w") as f:
+                fcntl.flock(f, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(f, fcntl.LOCK_UN)
+
+        return _lock()
+
+    def _closure_paths(self, version: int) -> list[str]:
+        """Every file (relative path) a version's snapshot needs:
+        fragments, delete files, and fragment-list shards."""
+        m = self.read_manifest(version)
+        out: list[str] = []
+        for f in m.fragments:
+            out.append(f.path)
+            out.extend(f.delete_paths)
+        out.extend(m.shard_paths())
+        return out
+
     def tag(self, name: str, version: int | None = None) -> int:
         """Pin ``name`` to a version (default latest). Creation is an
         atomic O_EXCL write — tags are immutable refs; re-pointing a
@@ -152,32 +188,48 @@ class Table:
             raise StateError(f"cannot tag missing version {v}")
         os.makedirs(self._tags_dir(), exist_ok=True)
         path = os.path.join(self._tags_dir(), f"{name}.json")
-        # same temp-write + hard-link publish as the manifest CAS:
-        # readers never observe a partial file, and a crash mid-write
-        # leaves only an orphan temp, never a corrupt tag
-        fd, tmp = tempfile.mkstemp(dir=self._tags_dir(), suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                f.write(_json.dumps({"name": name, "version": v,
-                                     "created_at": time.time()}))
+        # tag-vs-expire race: publish + closure verification run under
+        # the shared gc lock, so they serialize against expire's
+        # [tags read → sweep] section. Either this tag lands before
+        # expire reads tags (the whole closure is retained) or after
+        # expire's sweep (the closure check below sees the damage and
+        # the tag withdraws itself) — never half-pinned.
+        with self.gc_lock():
+            # same temp-write + hard-link publish as the manifest CAS:
+            # readers never observe a partial file, and a crash
+            # mid-write leaves only an orphan temp, never a corrupt tag
+            fd, tmp = tempfile.mkstemp(dir=self._tags_dir(),
+                                       suffix=".tmp")
             try:
-                os.link(tmp, path)
-            except FileExistsError:
-                raise FileExistsError(
-                    f"tag {name!r} already exists (tags are immutable "
-                    f"refs; delete_tag first)") from None
-        finally:
-            os.unlink(tmp)
-        # close the tag-vs-expire race: a concurrent expire may have
-        # read tags() before this tag existed and pruned v — verify
-        # the manifest is still there AFTER the tag is visible, and
-        # withdraw the tag if not (expire's pre-unlink re-read covers
-        # the mirror-image interleaving)
-        if not os.path.exists(self.manifest_path(v)):
-            os.unlink(path)
-            raise StateError(
-                f"version {v} was expired while tagging; re-run "
-                f"against a retained version")
+                with os.fdopen(fd, "w") as f:
+                    f.write(_json.dumps({"name": name, "version": v,
+                                         "created_at": time.time()}))
+                try:
+                    os.link(tmp, path)
+                except FileExistsError:
+                    raise FileExistsError(
+                        f"tag {name!r} already exists (tags are "
+                        f"immutable refs; delete_tag first)") from None
+            finally:
+                os.unlink(tmp)
+            # verify the version's FULL file closure (manifest +
+            # fragments + delete files + shards) after publishing: a
+            # concurrent expire that already swept any of it loses the
+            # tag, never leaving a pinned-but-broken snapshot
+            missing = None
+            if not os.path.exists(self.manifest_path(v)):
+                missing = f"manifest v{v}"
+            else:
+                for rel in self._closure_paths(v):
+                    if not os.path.exists(self.abspath(rel)):
+                        missing = rel
+                        break
+            if missing is not None:
+                os.unlink(path)
+                raise StateError(
+                    f"version {v} was expired while tagging "
+                    f"(missing {missing}); re-run against a retained "
+                    f"version")
         return v
 
     def tags(self) -> dict:

@@ -850,6 +850,27 @@ def test_tags_pin_versions_through_expire(table):
         table.snapshot(tag="baseline")
 
 
+def test_tag_withdraws_when_closure_broken(table):
+    """tag() verifies the version's FULL file closure (fragments +
+    delete files + shards) after publishing, not just the manifest: a
+    version whose data files were already swept by a concurrent expire
+    can never end up pinned-but-broken — the tag withdraws itself with
+    an error."""
+    from kafka_delta_rs_ray.errors import StateError
+
+    v0 = table.latest_version()
+    compact(table)  # v0's fragments now reachable only via v0
+    # simulate expire's sweep having removed one of v0's data files
+    victim = table.read_manifest(v0).fragments[0].path
+    os.unlink(table.abspath(victim))
+    with pytest.raises(StateError, match="missing"):
+        table.tag("broken", v0)
+    assert table.tags() == {}  # withdrawn, not half-pinned
+    # tagging the intact latest version still works
+    table.tag("ok")
+    assert table.tags() == {"ok": table.latest_version()}
+
+
 def test_cdc_consumer_cursors(table):
     """changes_since/ack: a consumer sees each commit's changes
     exactly once across process restarts when it acks after

@@ -651,6 +651,47 @@ def test_topk_kernel_deterministic_tie_break():
     assert t2["neighbor_id"].to_pylist() == [0, 1, 3, 4, 5]
 
 
+def test_topk_boundary_tie_within_rounding():
+    """Raw sims that differ by <1e-6 but round equal at the selection
+    boundary must resolve like the oracle (rounded sim DESC, id ASC):
+    the re-selection triggers on rounding distance, not exact raw
+    equality, and selects on rounded sims."""
+    from kafka_delta_rs_ray.ops.similarity import _topk_rows
+
+    def vec(s):
+        return [s, float(np.sqrt(1.0 - s * s))]
+
+    # ids 7 and 2 both round to sim 0.8; raw id-7 sim is 4e-7 higher.
+    # Oracle top-2 for the unit-x query: id 1 (0.9), then id 2 (0.8,
+    # lower id among the round-equal pair).
+    m = np.array([vec(0.9), vec(0.8 + 4e-7), vec(0.8)])
+    ids = np.array([1, 7, 2])
+    t = _topk_rows(np.array([100]), np.array([[1.0, 0.0]]), ids, m, 2)
+    assert t["neighbor_id"].to_pylist() == [1, 2]
+    assert t["sim"].to_pylist() == [0.9, 0.8]
+
+
+def test_heavy_hitters_string_key_and_n_total_hint(ray_session):
+    """Non-integer keys keep their native dtype end-to-end, and a
+    transformed input with an n_total hint doesn't re-execute the
+    upstream pipeline for the count."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.ops.queries import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    keys = (["hot-a"] * 400 + ["hot-b"] * 300
+            + [f"cold-{i}" for i in rng.integers(0, 500, size=300)])
+    rng.shuffle(keys)
+    base = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(8)
+    # a transformed dataset: count() here would re-run the map
+    ds = base.map_batches(lambda b: b, batch_format="pyarrow")
+    out = heavy_hitters(ds, phi=0.2, key="k", n_total=len(keys)).to_pandas()
+    got = dict(zip(out["k"], out["n"]))
+    assert got == {"hot-a": 400, "hot-b": 300}
+
+
 def test_semdedup_prunes_planted_duplicates(ray_session):
     """SemDeDup drops planted near-duplicates (keeping the lowest
     vec_id of each near-set) and keeps everything at threshold > 1;

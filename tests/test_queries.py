@@ -115,6 +115,28 @@ def test_quantiles_adjacent_doubles_duplicate_runs(tmp_path, ray_session):
     assert gd == ora
 
 
+def test_quantile_rank_exact_arithmetic(ray_session):
+    """Rank ceil(q*n) must use exact arithmetic: 0.07*100 is
+    7.000000000000001 in binary, so a float ceil returns the 8th
+    smallest instead of the 7th (the documented percentile_disc
+    contract and the DuckDB oracle both say 7)."""
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.ops.quantiles import quantiles_disc
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"value": np.arange(1.0, 101.0)})).repartition(4)
+    t = quantiles_disc(ds, "value", [0.07, 0.29, 0.5])
+    got = dict(zip(t["q"].to_pylist(), t["value"].to_pylist()))
+    con = duckdb.connect()
+    ora = {q: con.execute(
+        f"SELECT percentile_disc({q}) WITHIN GROUP (ORDER BY v) "
+        f"FROM unnest(generate_series(1, 100)) AS t(v)").fetchone()[0]
+        for q in (0.07, 0.29, 0.5)}
+    assert got == {q: float(v) for q, v in ora.items()}
+    assert got[0.07] == 7.0  # the float-ceil bug returned 8.0
+
+
 def test_grouped_quantile_forced_multi_pass(ray_session):
     """Grouped refinement stays exact when forced through multiple
     passes per group (collect_threshold=2)."""
