@@ -33,12 +33,43 @@ def _read(sf_dir: str, name: str, columns=None, split: int | None = None):
     return ds.repartition(split) if split else ds
 
 
+def n_key_groups(n_rows: int) -> int:
+    """Shuffle-group count for the key-co-located exchanges of the
+    window/join analytics family, scaled to the input like the dedup
+    family's LSH groups (ops/dedup.py TARGET_GROUP_ROWS): the bucket
+    key only needs to CO-LOCATE equal keys — kernels sub-group
+    internally — so group count is a pure granularity knob. A fixed
+    count (the old ``% 64``) puts corpus/64 rows in ONE map_groups
+    task at 10^12 rows and caps parallelism at 64 regardless of
+    cluster size; ~TARGET_GROUP_ROWS rows per group bounds worker
+    memory at any scale while the floor keeps small inputs parallel.
+    ``n_rows`` is parquet-metadata-cheap on the pruned ``_read``."""
+    from .dedup import MAX_GROUPS, TARGET_GROUP_ROWS
+
+    return int(max(64, min(MAX_GROUPS,
+                           -(-int(n_rows) // TARGET_GROUP_ROWS))))
+
+
+_MIX64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hash_bucket(ids: np.ndarray, n_groups: int) -> np.ndarray:
+    """Deterministic multiply-xorshift hash of integer keys into
+    [0, n_groups): equal keys land in the same group for ANY modulus
+    (the only invariant the kernels need), while sequential or strided
+    ids spread evenly instead of aliasing the modulus."""
+    h = ids.astype(np.uint64, copy=False) * _MIX64
+    h ^= h >> np.uint64(32)
+    return (h % np.uint64(n_groups)).astype(np.int32)
+
+
 # ------------------------------------------------------ events (D1/D2/P1/D4)
 def events_first_wins(sf_dir: str):
     """First event per user_id by event_id order — the reference's
     offset-ordered, first-wins dedup. Bucketed groupby; per-bucket
     work is one vectorized pandas dedup, not per-key Python."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    nb = n_key_groups(ds.count())
 
     def local_first(b: pd.DataFrame) -> pd.DataFrame:
         # pre-aggregate BEFORE the shuffle: each batch keeps its own
@@ -46,7 +77,7 @@ def events_first_wins(sf_dir: str):
         # batch) instead of every event
         b = (b.sort_values(["user_id", "event_id"])
               .drop_duplicates("user_id", keep="first"))
-        b["bucket"] = (b["user_id"] % 64).astype("int32")
+        b["bucket"] = hash_bucket(b["user_id"].to_numpy(), nb)
         return b
 
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
@@ -233,12 +264,11 @@ def events_sessionize(sf_dir: str):
     co-locates each user's events, which is the partitioning
     assumption sessionization requires."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    nb = n_key_groups(ds.count())
 
     def bucketize(b: pa.Table) -> pa.Table:
-        import numpy as np
-
         uid = b["user_id"].to_numpy(zero_copy_only=False)
-        return b.append_column("bucket", pa.array((uid % 64).astype("int32")))
+        return b.append_column("bucket", pa.array(hash_bucket(uid, nb)))
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -312,8 +342,8 @@ def events_asof_join(sf_dir: str):
     north-star training-pipeline operator).
 
     Distributed plan: one projected read, filtered to the two sides
-    per batch; ONE exchange on user_id % 64 co-locates each user's
-    clicks and views in bounded (~rows/64) buckets; the per-bucket
+    per batch; ONE exchange on hash(user_id) into n_key_groups-scaled
+    buckets co-locates each user's clicks and views; the per-bucket
     kernel is a single vectorized pandas merge_asof (compiled
     timsort+galloping, never per-row Python). Timestamps move as
     int64 epoch-micros so the gap arithmetic is exact."""
@@ -321,17 +351,18 @@ def events_asof_join(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
                                   "ts"])
+    nb = n_key_groups(ds.count())
 
     def prep(b: pa.Table) -> pa.Table:
         b = b.filter(pc.is_in(b["event_type"],
                               value_set=pa.array(["click", "view"])))
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "event_id": b["event_id"],
             "user_id": b["user_id"],
             "is_click": pc.equal(b["event_type"], "click"),
             "ts_us": pc.cast(b["ts"], pa.int64()),
-            "bucket": pc.cast(pc.bit_wise_and(b["user_id"], 63),
-                              pa.int32())})
+            "bucket": pa.array(hash_bucket(uid, nb))})
 
     _empty = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                            "user_id": pd.Series([], dtype="int64"),
@@ -370,7 +401,7 @@ def events_distinct_users(sf_dir: str):
     """COUNT DISTINCT per group, pre-deduplicated and sub-bucketed:
     each batch first drops its own (event_type, user_id) duplicates,
     so the shuffle moves one row per distinct pair per batch rather
-    than every event. The exchange key is (event_type, user_id % K),
+    than every event. The exchange key is (event_type, hash(user_id) % K),
     NOT event_type alone — with a handful of event types, a terminal
     per-type group would land ALL distinct users of one type in one
     task (~n_users rows, a hot-key group at corpus scale). Each
@@ -378,11 +409,15 @@ def events_distinct_users(sf_dir: str):
     construction: a user is in exactly one bucket of its type) and a
     metadata-sized Sum reduces the K partial counts per type."""
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    K = 64  # sub-buckets per event type; ~n_users/K rows per group
+    # sub-buckets per event type, scaled to the input (~n_users/K
+    # distinct rows per group regardless of corpus size)
+    K = n_key_groups(ds.count())
 
     def local_dedup(b: pd.DataFrame) -> pd.DataFrame:
         b = b.drop_duplicates(["event_type", "user_id"])
-        return b.assign(ubucket=(b["user_id"] % K).astype("int64"))
+        return b.assign(
+            ubucket=hash_bucket(b["user_id"].to_numpy(), K)
+            .astype("int64"))
 
     def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -580,9 +615,10 @@ def orders_lineitem_revenue(sf_dir: str):
     carries (orderkey, rev) and (orderkey, priority) only."""
     from ray.data.aggregate import Sum
 
-    N_BUCKETS = 64
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
+    # bucket count scales with the BIG side of the join
+    N_BUCKETS = n_key_groups(li.count())
 
     def li_partial(b: pd.DataFrame) -> pd.DataFrame:
         # pre-aggregate BEFORE the shuffle: one row per orderkey per
@@ -590,7 +626,7 @@ def orders_lineitem_revenue(sf_dir: str):
         b = b.assign(rev=b["l_extendedprice"] * (1 - b["l_discount"]))
         g = (b.groupby("l_orderkey", as_index=False)
              .agg(rev=("rev", "sum")))
-        g["bucket"] = (g["l_orderkey"] % N_BUCKETS).astype("int32")
+        g["bucket"] = hash_bucket(g["l_orderkey"].to_numpy(), N_BUCKETS)
         g["o_orderpriority"] = None
         return g.rename(columns={"l_orderkey": "orderkey"})
 
@@ -600,7 +636,7 @@ def orders_lineitem_revenue(sf_dir: str):
         return pd.DataFrame({
             "orderkey": b["o_orderkey"],
             "rev": np.nan,
-            "bucket": (b["o_orderkey"] % N_BUCKETS).astype("int32"),
+            "bucket": hash_bucket(b["o_orderkey"].to_numpy(), N_BUCKETS),
             "o_orderpriority": b["o_orderpriority"],
         })
 
@@ -658,12 +694,13 @@ def orders_top3_per_customer(sf_dir: str):
     No full-table sort, no per-customer group materialization."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
                                   "o_totalprice"])
+    nb = n_key_groups(ds.count())
 
     def local_top3(b: pd.DataFrame) -> pd.DataFrame:
         b = (b.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
                            ascending=[True, False, True])
               .groupby("o_custkey", sort=False).head(3))
-        b["bucket"] = (b["o_custkey"] % 64).astype("int32")
+        b["bucket"] = hash_bucket(b["o_custkey"].to_numpy(), nb)
         return b
 
     def final_top3(g: pd.DataFrame) -> pd.DataFrame:
@@ -759,13 +796,14 @@ def events_value_lag_delta(sf_dir: str):
     import pyarrow.compute as pc
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    nb = n_key_groups(ds.count())
 
     def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "event_id": b["event_id"], "user_id": b["user_id"],
             "ts_us": pc.cast(b["ts"], pa.int64()), "value": b["value"],
-            "bucket": pc.cast(pc.bit_wise_and(b["user_id"], 63),
-                              pa.int32())})
+            "bucket": pa.array(hash_bucket(uid, nb))})
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts_us", "event_id"])
@@ -802,13 +840,14 @@ def events_moving_avg(sf_dir: str):
     import pyarrow.compute as pc
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    nb = n_key_groups(ds.count())
 
     def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "event_id": b["event_id"], "user_id": b["user_id"],
             "ts_us": pc.cast(b["ts"], pa.int64()), "value": b["value"],
-            "bucket": pc.cast(pc.bit_wise_and(b["user_id"], 63),
-                              pa.int32())})
+            "bucket": pa.array(hash_bucket(uid, nb))})
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts_us", "event_id"])
@@ -850,16 +889,17 @@ def events_retention(sf_dir: str):
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = n_key_groups(ds.count())
 
     def prep(b: pa.Table) -> pa.Table:
         days = pc.divide(pc.cast(b["ts"], pa.int64()),
                          86_400_000_000)  # trunc toward zero: ts >= 0
         wk = pc.cast(pc.floor(pc.divide(
             pc.cast(pc.subtract(days, 4), pa.float64()), 7.0)), pa.int64())
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "user_id": b["user_id"], "wk": wk,
-            "bucket": pc.cast(pc.bit_wise_and(b["user_id"], 63),
-                              pa.int32())})
+            "bucket": pa.array(hash_bucket(uid, nb))})
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g[["user_id", "wk"]].drop_duplicates()
@@ -935,16 +975,17 @@ def events_funnel(sf_dir: str):
     import pyarrow.compute as pc
 
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    nb = n_key_groups(ds.count())
 
     def prep(b: pa.Table) -> pa.Table:
         b = b.filter(pc.is_in(b["event_type"],
                               value_set=pa.array(list(_FUNNEL_STEPS))))
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "user_id": b["user_id"],
             "event_type": b["event_type"],
             "ts_us": pc.cast(b["ts"], pa.int64()),
-            "bucket": pc.cast(pc.bit_wise_and(b["user_id"], 63),
-                              pa.int32())})
+            "bucket": pa.array(hash_bucket(uid, nb))})
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         prev = None  # Series: user_id -> completion ts of prior step
@@ -1207,7 +1248,10 @@ def doc_tfidf_top3(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()  # parquet metadata, no scan
-    nb = 64
+    # the exchanges carry (doc, term, tf) rows — roughly two orders of
+    # magnitude more rows than documents — so the group count scales
+    # on that planning estimate, not on n_docs itself
+    nb = n_key_groups(n_docs * 128)
 
     tok_re = _re.compile(TOKEN_RE)
 
@@ -1227,7 +1271,7 @@ def doc_tfidf_top3(sf_dir: str):
         g = g.copy()
         g["df"] = g.groupby("term")["term"].transform("size") \
                    .astype("int64")
-        g["dbucket"] = (g["doc_id"] % nb).astype("int32")
+        g["dbucket"] = hash_bucket(g["doc_id"].to_numpy(), nb)
         return g[["doc_id", "term", "tf", "df", "dbucket"]]
 
     def top3(g: pd.DataFrame) -> pd.DataFrame:

@@ -115,6 +115,29 @@ def test_quantiles_adjacent_doubles_duplicate_runs(tmp_path, ray_session):
     assert gd == ora
 
 
+def test_analytics_shuffle_groups_scale_with_input():
+    """The window/join analytics family's exchange-group count grows
+    with input rows (no more fixed 64-way bucket putting corpus/64
+    rows in one task at scale) and hash_bucket co-locates equal keys
+    for any modulus."""
+    from kafka_delta_rs_ray.ops.dedup import TARGET_GROUP_ROWS
+    from kafka_delta_rs_ray.ops.queries import hash_bucket, n_key_groups
+
+    assert n_key_groups(1_000) == 64                      # floor
+    assert n_key_groups(10**7) == 10**7 // TARGET_GROUP_ROWS
+    assert n_key_groups(10**9) > n_key_groups(10**7) > 64  # grows
+    assert n_key_groups(10**12) <= 1 << 20                # cap
+
+    ids = np.array([5, -3, 5, 7, 2**40 + 5, -3], dtype=np.int64)
+    for n in (64, 1000, 4096):
+        b = hash_bucket(ids, n)
+        assert b[0] == b[2] and b[1] == b[5]               # co-location
+        assert ((b >= 0) & (b < n)).all()
+    # sequential ids spread across groups rather than aliasing
+    seq = hash_bucket(np.arange(0, 64_000, 64, dtype=np.int64), 64)
+    assert len(np.unique(seq)) > 32
+
+
 def test_quantile_rank_exact_arithmetic(ray_session):
     """Rank ceil(q*n) must use exact arithmetic: 0.07*100 is
     7.000000000000001 in binary, so a float ceil returns the 8th
