@@ -891,3 +891,131 @@ def phash_near_dup_pairs(image_ds, max_dist: int = 3,
                             {"img_a": pd.Series([], dtype="object"),
                              "img_b": pd.Series([], dtype="object"),
                              "hamming": pd.Series([], dtype="int64")}))
+
+
+# ---------------------------------------------------- connected components
+def _node_bucket(ids: np.ndarray, n_groups: int) -> np.ndarray:
+    """Hash node ids into shuffle buckets (equal ids co-locate for any
+    modulus; avalanche decorrelates sequential ids)."""
+    with np.errstate(over="ignore"):
+        mix = _avalanche64(ids.astype(np.uint64)
+                           * np.uint64(0x9E3779B97F4A7C15))
+    return (mix % np.uint64(n_groups)).astype(np.int32)
+
+
+def cc_min_labels(pairs_ds, n_pairs: int | None = None,
+                  keys: tuple[str, str] = ("doc_a", "doc_b"),
+                  max_rounds: int = 64):
+    """Connected components of an undirected pair Dataset by iterative
+    min-label propagation — the OUTPUT-bounded fallback for the
+    composed dedup pipeline when a duplicate-heavy crawl makes the
+    pair set itself corpus-scale: every exchange is pair-set-sized,
+    worker groups are ~TARGET_GROUP_ROWS, and the DRIVER holds O(1)
+    state (the per-round changed count), never the pair list.
+
+    Per round, two bucketed exchanges: (1) each node's label flows to
+    its neighbors along edges co-located by hash(node); (2) each node
+    takes the min over received candidates. Rounds needed = component
+    diameter — near-dup components are clique-ish (every member
+    collides with the seed in some band), so 2-4 rounds in practice;
+    past ``max_rounds`` this RAISES rather than returning silently
+    wrong labels.
+
+    Returns a Dataset of (node, label) with label = component min;
+    every node that appears in a pair has exactly one row.
+    """
+    ka, kb = keys
+    if n_pairs is None:
+        n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "label": pa.array([], pa.int64())}))
+    ng = int(min(MAX_GROUPS, max(16, -(-2 * n_pairs // TARGET_GROUP_ROWS))))
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        a = b[ka].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b[kb].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, c])
+        peer = np.concatenate([c, a])
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "peer": pa.array(peer, pa.int64()),
+                         "bucket": pa.array(_node_bucket(node, ng))})
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+
+    # round 1 folds the init in: label(node) = min(node, min(peers))
+    def init_label(g: pd.DataFrame) -> pd.DataFrame:
+        mn = g.groupby("node")["peer"].min()
+        lab = np.minimum(mn.index.to_numpy(), mn.to_numpy())
+        return pd.DataFrame({
+            "node": mn.index.to_numpy().astype("int64"),
+            "label": lab.astype("int64"),
+            "changed": (lab < mn.index.to_numpy()).astype("int64")})
+
+    lab = (edges.groupby("bucket")
+           .map_groups(init_label, batch_format="pandas").materialize())
+
+    for _ in range(max_rounds):
+        if lab.sum("changed") == 0:
+            return lab.select_columns(["node", "label"])
+
+        def tag_lab(b: pa.Table) -> pa.Table:
+            node = b["node"].to_numpy(zero_copy_only=False)
+            return pa.table({"node": b["node"],
+                             "peer": pa.array(np.full(len(b), -1), pa.int64()),
+                             "label": b["label"],
+                             "bucket": pa.array(_node_bucket(node, ng))})
+
+        def tag_edge(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b["node"], "peer": b["peer"],
+                             "label": pa.array(np.full(len(b), -1), pa.int64()),
+                             "bucket": b["bucket"]})
+
+        tagged = (lab.map_batches(tag_lab, batch_format="pyarrow",
+                                  batch_size=None)
+                  .union(edges.map_batches(tag_edge, batch_format="pyarrow",
+                                           batch_size=None)))
+
+        def send(g: pd.DataFrame) -> pd.DataFrame:
+            # lab rows (peer == -1) carry this bucket's node labels;
+            # edge rows forward label[node] to peer. Self-candidates
+            # keep is_self=1 so the reduce can detect change.
+            lrows = g[g["peer"] == -1]
+            erows = g[g["peer"] != -1]
+            lmap = pd.Series(lrows["label"].to_numpy(),
+                             index=lrows["node"].to_numpy())
+            fwd = lmap.reindex(erows["node"].to_numpy()).to_numpy()
+            tgt = np.concatenate([erows["peer"].to_numpy(),
+                                  lrows["node"].to_numpy()])
+            cand = np.concatenate([fwd, lrows["label"].to_numpy()])
+            is_self = np.concatenate([np.zeros(len(erows), np.int8),
+                                      np.ones(len(lrows), np.int8)])
+            return pd.DataFrame({
+                "node": tgt.astype("int64"),
+                "cand": cand.astype("int64"),
+                "is_self": is_self,
+                "bucket": _node_bucket(tgt, ng)})
+
+        def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+            new = g.groupby("node")["cand"].min()
+            # every node has exactly one self candidate (its lab row)
+            old = (g[g["is_self"] == 1].groupby("node")["cand"].min()
+                   .reindex(new.index))
+            return pd.DataFrame({
+                "node": new.index.to_numpy().astype("int64"),
+                "label": new.to_numpy().astype("int64"),
+                "changed": (new.to_numpy()
+                            < old.to_numpy()).astype("int64")})
+
+        lab = (tagged.groupby("bucket").map_groups(send,
+                                                   batch_format="pandas")
+               .groupby("bucket").map_groups(reduce_min,
+                                             batch_format="pandas")
+               .materialize())
+
+    raise RuntimeError(
+        f"cc_min_labels did not converge in {max_rounds} rounds "
+        f"(component diameter exceeds the bound)")

@@ -1644,6 +1644,42 @@ def doc_simhash_pairs_sql() -> str:
     """
 
 
+_IMAGE_META_N = 2000
+
+
+def _image_meta_parquet() -> str:
+    """Dump the deterministic synthetic image METADATA table
+    (image_id, phash — no bytes) to a parquet file DuckDB can read, so
+    the image-dedup queries get real value oracles instead of
+    rows-only checks. Pure (seed, rid) derivation — identical to what
+    SynthImages emits — written once per machine (atomic rename);
+    called from the *_sql() builders, which run at registry-build
+    time, so the file exists before any oracle executes."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..functions.phash import phash64
+    from ..pipelines.synth import image_id_for, make_row
+
+    path = f"/tmp/kdr_image_meta_{_IMAGE_META_N}_s42.parquet"
+    if os.path.exists(path):
+        return path
+    ids, hashes = [], []
+    for rid in range(_IMAGE_META_N):
+        r = make_row(rid, 42)
+        ids.append(image_id_for(rid))
+        hashes.append(phash64(r["img"]))
+    t = pa.table({"image_id": pa.array(ids, pa.string()),
+                  "phash": pa.array(hashes, pa.int64())})
+    fd, tmp = tempfile.mkstemp(dir="/tmp", suffix=".parquet")
+    os.close(fd)
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def image_phash_near_dup(sf_dir: str):
     """Near-duplicate images by perceptual-hash Hamming LSH over the
     deterministic synthetic image table (the image-payload member of
@@ -1694,6 +1730,37 @@ def image_exact_dedup(sf_dir: str):
     return ds.groupby("phash").map_groups(keep_first, batch_format="pandas")
 
 
+def image_exact_dedup_sql() -> str:
+    """Real DuckDB value oracle for the image exact-dedup query: the
+    deterministic synthetic metadata table is dumped to parquet once
+    (_image_meta_parquet) and first-wins-per-phash is min(image_id) —
+    image ids are fixed-width, so lexicographic min == numeric min."""
+    return f"""
+        SELECT min(image_id) AS image_id, phash
+        FROM read_parquet('{_image_meta_parquet()}')
+        GROUP BY phash
+    """
+
+
+def image_phash_near_dup_sql() -> str:
+    """EXACT Hamming oracle for the phash near-dup pipeline: survivors
+    = first-wins per phash, then all survivor pairs within distance 3
+    via bit_count(xor). Stricter than the pipeline (16-bit-block LSH →
+    verify): a green match also certifies the pigeonhole recall claim
+    (4 blocks > max_dist 3 ⇒ every true pair shares a block)."""
+    return f"""
+        WITH surv AS (
+          SELECT min(image_id) AS image_id, phash
+          FROM read_parquet('{_image_meta_parquet()}')
+          GROUP BY phash
+        )
+        SELECT a.image_id AS img_a, b.image_id AS img_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM surv a JOIN surv b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """
+
+
 def doc_ngram_jaccard_pairs(sf_dir: str):
     from .dedup import ngram_jaccard_pairs
 
@@ -1740,61 +1807,107 @@ def doc_ngram_jaccard_pairs_sql() -> str:
     """
 
 
+# Past this pair count the driver union-find (and the loser-set
+# broadcast) stops being "output-bounded": a 30-50%-duplicate crawl
+# corpus makes the pair set itself corpus-scale. Above it the pipeline
+# switches to distributed min-label components + a bucketed anti-join,
+# keeping the driver at O(1) state.
+CC_PAIRS_DRIVER_MAX = 2_000_000
+
+
 def doc_dedup_pipeline(sf_dir: str):
     """End-to-end corpus dedup — what a training-data pipeline actually
     runs: MinHash-LSH near-dup pairs (exact duplicates always collide
-    in every band, so they are subsumed) → union-find over the
-    OUTPUT-sized pair set (driver-side; pairs ≪ corpus) → keep the
-    min doc_id of each duplicate cluster → distributed filter drops
-    the losers. Returns surviving doc_ids. Rows-only check (LSH is not
-    SQL-expressible)."""
+    in every band, so they are subsumed) → connected components → keep
+    the min doc_id of each duplicate cluster → drop the losers.
+    Returns surviving doc_ids. Rows-only check (LSH is not
+    SQL-expressible).
+
+    Two component/drop regimes on the pair count: below
+    CC_PAIRS_DRIVER_MAX, a driver union-find + broadcast loser filter
+    (pairs ≪ corpus, the common case); above it, distributed min-label
+    propagation over the pair Dataset (dedup.cc_min_labels) and a
+    hash-bucketed anti-join, so a pathologically duplicate-heavy
+    corpus never lands the pair list or the loser set on the driver."""
     import ray
 
-    from .dedup import minhash_lsh_pairs
+    from .dedup import cc_min_labels, minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = []
-    # batch iteration, not take_all — pandas-block row conversion
-    # costs ~1 ms/row and the pair set can reach millions at scale
-    for b in minhash_lsh_pairs(ds).iter_batches(batch_format="pandas",
-                                                batch_size=None):
-        pairs.extend({"doc_a": a, "doc_b": c} for a, c in
-                     zip(b["doc_a"].tolist(), b["doc_b"].tolist()))
+    # materialized: it is the working set of whichever component pass
+    # runs next, and counting it must not re-run the LSH
+    pairs_ds = minhash_lsh_pairs(ds).materialize()
+    n_pairs = pairs_ds.count()
 
-    parent: dict = {}
+    if n_pairs <= CC_PAIRS_DRIVER_MAX:
+        parent: dict = {}
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
 
-    for r in pairs:
-        ra, rb = find(r["doc_a"]), find(r["doc_b"])
-        if ra != rb:  # keep the smaller id as the cluster root
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    losers = {x for x in parent if find(x) != x}
-    losers_ref = ray.put(losers)
+        # batch iteration, not take_all — pandas-block row conversion
+        # costs ~1 ms/row
+        for b in pairs_ds.iter_batches(batch_format="pandas",
+                                       batch_size=None):
+            for a, c in zip(b["doc_a"].tolist(), b["doc_b"].tolist()):
+                ra, rb = find(a), find(c)
+                if ra != rb:  # keep the smaller id as the cluster root
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        losers = {x for x in parent if find(x) != x}
+        losers_ref = ray.put(losers)
 
-    class _DropLosers:
-        def __init__(self):
-            self._l = None
+        class _DropLosers:
+            def __init__(self):
+                self._l = None
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+            def __call__(self, b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
 
-            if self._l is None:
-                got = ray.get(losers_ref)
-                self._l = pa.array(sorted(got), pa.int64())
-            if len(self._l) == 0:
-                return b.select(["doc_id"])
-            return (b.select(["doc_id"])
-                    .filter(pc.invert(pc.is_in(b["doc_id"],
-                                               value_set=self._l))))
+                if self._l is None:
+                    got = ray.get(losers_ref)
+                    self._l = pa.array(sorted(got), pa.int64())
+                if len(self._l) == 0:
+                    return b.select(["doc_id"])
+                return (b.select(["doc_id"])
+                        .filter(pc.invert(pc.is_in(b["doc_id"],
+                                                   value_set=self._l))))
 
-    return ds.map_batches(_DropLosers(), batch_format="pyarrow",
-                          batch_size=None)
+        return ds.map_batches(_DropLosers(), batch_format="pyarrow",
+                              batch_size=None)
+
+    # distributed path: component labels, then anti-join by doc bucket
+    labels = cc_min_labels(pairs_ds, n_pairs=n_pairs)
+    nb = n_key_groups(ds.count())
+
+    def tag_losers(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lose = b.filter(pc.less(b["label"], b["node"]))
+        ids = lose["node"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": lose["node"],
+                         "is_loser": pa.array(np.ones(len(lose), np.int8)),
+                         "bucket": pa.array(hash_bucket(ids, nb))})
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b["doc_id"],
+                         "is_loser": pa.array(np.zeros(len(b), np.int8)),
+                         "bucket": pa.array(hash_bucket(ids, nb))})
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        drop = g.loc[g["is_loser"] == 1, "doc_id"]
+        keep = g[(g["is_loser"] == 0) & ~g["doc_id"].isin(drop)]
+        return keep[["doc_id"]]
+
+    tagged = (ds.map_batches(tag_docs, batch_format="pyarrow",
+                             batch_size=None)
+              .union(labels.map_batches(tag_losers, batch_format="pyarrow",
+                                        batch_size=None)))
+    return tagged.groupby("bucket").map_groups(anti, batch_format="pandas")
 
 
 def image_embed_knn(sf_dir: str):
@@ -1900,10 +2013,44 @@ def embedding_knn_sql() -> str:
     """
 
 
-def embedding_knn_ivf(sf_dir: str):
-    from .similarity import knn_ivf
+def _knn_recall(exact_tbl, approx_tbl) -> float:
+    """Fraction of exact neighbors the approximate result recovered,
+    over the query ids present in ``exact_tbl`` (both args pyarrow)."""
+    e = exact_tbl.to_pandas()
+    a = approx_tbl.to_pandas()
+    hits = tot = 0
+    for qid, grp in e.groupby("query_id"):
+        want = set(grp["neighbor_id"])
+        got = set(a.loc[a["query_id"] == qid, "neighbor_id"])
+        hits += len(want & got)
+        tot += len(want)
+    return hits / tot if tot else 1.0
 
-    return knn_ivf(_read(sf_dir, "embeddings"), n_queries=10, k=10)
+
+def embedding_knn_ivf(sf_dir: str):
+    """IVF ANN top-10 (rows-only driver check — probing is not
+    SQL-expressible), with the recall bound ASSERTED IN THE CALLABLE:
+    the same 10 queries run brute-force (exact) and the IVF result
+    must recover ≥ 0.8 of the true neighbors, so a silent probe
+    regression fails the driver run instead of passing rows-only.
+
+    nprobe=10 against the 16-centroid small-corpus floor looks like a
+    high probe fraction, but that is a 500-row testdata artifact: the
+    embeddings are near-uniform random (hard for IVF by construction)
+    and n_centroids scales with rows while nprobe stays fixed, so the
+    probed fraction SHRINKS with corpus size."""
+    from .similarity import knn_bruteforce, knn_ivf
+
+    ds = _read(sf_dir, "embeddings")
+    approx = pa.concat_tables(
+        knn_ivf(ds, n_queries=10, k=10, nprobe=10)
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    exact = pa.concat_tables(
+        knn_bruteforce(ds, n_queries=10, k=10)
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    r = _knn_recall(exact, approx)
+    assert r >= 0.8, f"knn_ivf recall {r:.3f} < 0.8 vs brute force"
+    return approx
 
 
 def embedding_semdedup(sf_dir: str):
@@ -1959,11 +2106,36 @@ def embedding_knn_graph_sql() -> str:
 
 
 def embedding_knn_graph_ivf(sf_dir: str):
-    """Approximate kNN graph, the corpus-scale shape (rows-only check;
-    recall vs the exact graph pinned in tests)."""
-    from .similarity import knn_graph_ivf
+    """Approximate kNN graph, the corpus-scale shape (rows-only
+    check), with the recall bound ASSERTED IN THE CALLABLE on a
+    64-query sample: exact top-5 for the 64 lowest vec_ids (one
+    bounded brute-force pass, O(sample × corpus)) must be ≥ 0.8
+    recovered by the IVF graph — the full-graph recall is pinned in
+    tests; this keeps a probe regression from passing rows-only while
+    staying sample-bounded at corpus scale.
 
-    return knn_graph_ivf(_read(sf_dir, "embeddings"), k=5)
+    nprobe=9 vs the 16-centroid small-corpus floor: see
+    embedding_knn_ivf — the probed fraction shrinks with corpus size
+    because the centroid count scales and nprobe doesn't."""
+    import pyarrow.compute as pc
+
+    from .similarity import knn_bruteforce, knn_graph_ivf
+
+    ds = _read(sf_dir, "embeddings")
+    graph = knn_graph_ivf(ds, k=5, nprobe=9).materialize()
+    exact = pa.concat_tables(
+        knn_bruteforce(ds, n_queries=64, k=5)
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    qids = pa.array(sorted(set(exact["query_id"].to_pylist())), pa.int64())
+    sample = pa.concat_tables(
+        graph.map_batches(
+            lambda b, v=qids: b.filter(pc.is_in(b["query_id"],
+                                                value_set=v)),
+            batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    r = _knn_recall(exact, sample)
+    assert r >= 0.8, f"knn_graph_ivf sample recall {r:.3f} < 0.8"
+    return graph
 
 
 def embedding_near_dup(sf_dir: str):
@@ -2129,6 +2301,8 @@ ORACLES = {
     "doc_minhash_pairs": doc_minhash_pairs_sql(),
     "doc_dedup_pipeline": doc_dedup_pipeline_sql(),
     "doc_simhash_pairs": doc_simhash_pairs_sql(),
+    "image_exact_dedup": image_exact_dedup_sql(),
+    "image_phash_near_dup": image_phash_near_dup_sql(),
     "embedding_near_dup": embedding_near_dup_sql(),
     "embedding_knn": embedding_knn_sql(),
     "embedding_knn_graph": embedding_knn_graph_sql(),

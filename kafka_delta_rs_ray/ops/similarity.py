@@ -182,14 +182,30 @@ def n_centroids_for(n_rows: int, target_bucket: int = TARGET_BUCKET_ROWS) -> int
     return int(max(16, -(-n_rows // target_bucket)))
 
 
+# Past this centroid count the driver sample (≥8 points/centroid)
+# would bust its 262k-row cap and centroid quality collapses — switch
+# to the full-data distributed Lloyd loop instead. At a 10^10-vector
+# corpus, n_centroids_for yields ~200k centroids: that path is the
+# distributed one.
+DISTRIBUTED_TRAIN_C = 32_768
+
+
 def train_centroids(emb_ds, n_centroids: int = 16, iters: int = 5,
                     sample: int = 4096, seed: int = 7) -> np.ndarray:
     """Deterministic mini k-means on a driver-side sample (training is
     O(sample × C) — never touches the full table). The sample grows
     with the centroid count (≥8 points per centroid, capped at 256k
-    rows ≈ tens of MB); past ~32k centroids swap this for a
-    distributed k-means (assign via map_batches, mean via groupby) —
-    the assignment/probe machinery is centroid-count-agnostic."""
+    rows ≈ tens of MB); past DISTRIBUTED_TRAIN_C centroids the sample
+    can't feed the centroids and training AUTOMATICALLY delegates to
+    the distributed k-means (ops/clustering.kmeans: map_batches
+    partial sums + C-row reduce per Lloyd pass) — the assignment /
+    probe machinery downstream is centroid-count-agnostic."""
+    if n_centroids > DISTRIBUTED_TRAIN_C:
+        from .clustering import kmeans
+
+        cent, _ = kmeans(emb_ds, n_centroids=n_centroids, iters=iters,
+                         seed=seed)
+        return cent
     sample = min(max(sample, 8 * n_centroids), 262_144)
     ids, m = _collect_matrix(emb_ds.limit(sample))
     m = _normalize(m)

@@ -45,11 +45,24 @@ def run(cfg: MaintenanceConfig) -> dict:
     if cfg.job == "history":
         return {"job": "history", "history": table.history()}
     if cfg.job == "metrics":
-        from .state.monitoring import aggregate_metrics
+        from .state.monitoring import aggregate_metrics, follow_events
 
         mon = cfg.monitoring
         if mon.get("enabled") is False:  # reference no-op handle
             return {"job": "metrics", "enabled": False}
+        if cfg.options.get("follow"):
+            # live collector mode: tail <table>/_events.jsonl and print
+            # each event as it lands (the in-run push surface; ends
+            # after options.idle_timeout seconds of quiet, default 30)
+            n = 0
+            for ev in follow_events(
+                    table.root,
+                    idle_timeout=float(cfg.options.get("idle_timeout",
+                                                       30.0))):
+                print(json.dumps(ev), flush=True)
+                n += 1
+            return {"job": "metrics", "enabled": True, "followed": True,
+                    "events": n}
         return {"job": "metrics", "enabled": True,
                 **aggregate_metrics(
                     table.root,

@@ -33,9 +33,11 @@ def new_run_id() -> str:
 
 class RunContext:
     def __init__(self, table_root: str, run_id: str | None = None,
-                 job: str = "job"):
+                 job: str = "job", on_metric=None):
         self.run_id = run_id or new_run_id()
         self.job = job
+        self.table_root = table_root
+        self.on_metric = on_metric
         self.dir = os.path.join(table_root, "_runs", self.run_id)
         os.makedirs(os.path.join(self.dir, "markers"), exist_ok=True)
 
@@ -71,10 +73,29 @@ class RunContext:
 
     # -- metrics -----------------------------------------------------------
     def log_metric(self, name: str, **fields) -> None:
-        line = json.dumps({"ts": time.time(), "run_id": self.run_id,
-                           "job": self.job, "metric": name, **fields})
+        """Record one metric event in THREE places: the per-run
+        ``metrics.jsonl`` (what ``aggregate_metrics`` folds), the
+        table-level live stream ``<table>/_events.jsonl`` (what an
+        external collector tails WHILE jobs run — the in-run analog of
+        the reference's push-to-OTLP-endpoint exporter,
+        src/monitoring/mod.rs:31-129), and the optional ``on_metric``
+        in-process callback. The live append is one O_APPEND write of a
+        single small line — atomic across concurrent writer processes —
+        and grows O(commits), never O(rows); expire's GC may truncate
+        it like any other run artifact."""
+        event = {"ts": time.time(), "run_id": self.run_id,
+                 "job": self.job, "metric": name, **fields}
+        line = json.dumps(event)
         with open(os.path.join(self.dir, "metrics.jsonl"), "a") as f:
             f.write(line + "\n")
+        try:
+            with open(os.path.join(self.table_root, "_events.jsonl"),
+                      "a") as f:
+                f.write(line + "\n")
+        except OSError:  # live stream is best-effort; the run record is
+            pass         # the durable source of truth
+        if self.on_metric is not None:
+            self.on_metric(event)
 
     def log_dataset_stats(self, name: str, ds) -> None:
         """Capture Ray Data's per-operator execution stats for an

@@ -70,6 +70,59 @@ def _histogram(values: list) -> dict:
     }
 
 
+def follow_events(table_root: str, poll_interval: float = 0.1,
+                  stop=None, from_start: bool = True,
+                  idle_timeout: float | None = None):
+    """Tail the table's live metric stream (``<table>/_events.jsonl``)
+    as a generator of parsed events — the "watch it run" half of the
+    monitoring story: a second process (collector, dashboard, the
+    ``metrics --follow`` CLI) consumes flush/commit events WHILE
+    maintenance jobs emit them, without touching the per-run files.
+
+    ``stop``: optional zero-arg callable checked between polls (return
+    True to end). ``from_start=False`` skips history and yields only
+    events appended after the call. ``idle_timeout``: end after this
+    many seconds without a new event (None = follow forever). Partial
+    trailing lines (a writer mid-append) are left in the buffer until
+    their newline arrives — a reader never sees half an event.
+
+    The starting position is captured EAGERLY (at call time, not at
+    the first next()), so "follower created before the job started"
+    means exactly that even though generators are lazy."""
+    path = os.path.join(table_root, "_events.jsonl")
+    pos = 0
+    if not from_start and os.path.exists(path):
+        pos = os.path.getsize(path)
+    return _follow_from(path, pos, poll_interval, stop, idle_timeout)
+
+
+def _follow_from(path: str, pos: int, poll_interval: float, stop,
+                 idle_timeout: float | None):
+    import time as _time
+
+    buf = ""
+    last_event = _time.monotonic()
+    while True:
+        if os.path.exists(path):
+            size = os.path.getsize(path)
+            if size > pos:
+                with open(path) as f:
+                    f.seek(pos)
+                    buf += f.read()
+                    pos = f.tell()
+                while "\n" in buf:
+                    ln, buf = buf.split("\n", 1)
+                    if ln.strip():
+                        last_event = _time.monotonic()
+                        yield json.loads(ln)
+        if stop is not None and stop():
+            return
+        if (idle_timeout is not None
+                and _time.monotonic() - last_event > idle_timeout):
+            return
+        _time.sleep(poll_interval)
+
+
 def aggregate_metrics(table_root: str, last_n_runs: int | None = None,
                       service_name: str = "kafka-delta-rs-ray") -> dict:
     """Fold ``_runs/*/metrics.jsonl`` into the reference's

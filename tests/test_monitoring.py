@@ -117,6 +117,52 @@ def test_monitoring_config_validation(tmp_path):
         MaintenanceConfig.load(str(p))
 
 
+def test_live_events_tail_mid_run(table, tmp_path):
+    """In-run metrics emission (reference exporter parity,
+    src/monitoring/mod.rs:31-129): every log_metric ALSO lands in the
+    table-level <table>/_events.jsonl, and follow_events delivers each
+    event BEFORE the next flush exists — a second process can watch
+    merge lag live instead of folding run files after the fact. Also
+    pins the optional in-process on_metric callback and the CLI
+    --follow collector mode."""
+    from kafka_delta_rs_ray.state.monitoring import follow_events
+
+    # follower starts BEFORE the flushes; from_start=False skips the
+    # fixture-append history, so the first yield must come from flush 1
+    gen = follow_events(table.root, from_start=False, poll_interval=0.0,
+                        idle_timeout=0.5)
+    merge(table, rd.from_arrow(pa.Table.from_pylist(
+        [_chrow("lv1", 1, "a")])), app_id="live")
+    first = next(gen)  # delivered while flush 2 hasn't happened yet
+    assert first["metric"] == "merge_done" and first["job"] == "merge"
+    merge(table, rd.from_arrow(pa.Table.from_pylist(
+        [_chrow("lv2", 2, "b")])), app_id="live")
+    rest = list(gen)   # drains flush 2 then ends on idle_timeout
+    assert any(e["metric"] == "merge_done" for e in rest)
+
+    # the live stream and the per-run fold see the same events
+    agg = aggregate_metrics(table.root)
+    assert agg["instruments"]["messages_written"] == 42  # 40 append + 2
+
+    # in-process callback hook fires per event, in order
+    from kafka_delta_rs_ray.state.lineage import RunContext
+
+    got = []
+    ctx = RunContext(table.root, job="cb", on_metric=got.append)
+    ctx.log_metric("probe", rows=7)
+    assert got and got[0]["metric"] == "probe" and got[0]["rows"] == 7
+
+    # CLI collector mode: replays history then ends after quiet period
+    from kafka_delta_rs_ray.config import MaintenanceConfig
+    from kafka_delta_rs_ray.run import run
+
+    cfgp = tmp_path / "follow.yaml"
+    cfgp.write_text(f"table_root: {table.root}\njob: metrics\n"
+                    "options:\n  follow: true\n  idle_timeout: 0.3\n")
+    out = run(MaintenanceConfig.load(str(cfgp)))
+    assert out["followed"] and out["events"] >= 3  # append + 2 merges + probe
+
+
 def test_stream_bytes_cap_and_backlog_gauge(table):
     """The bytes cap is real backpressure: micro-batches under the row
     bound still flush when buffered BYTES cross the cap, and each flush

@@ -511,6 +511,82 @@ def test_heavy_hitters_mg_truncation_exact(ray_session):
     assert set(got) == {1, 2}
 
 
+def test_cc_min_labels_components(ray_session):
+    """Distributed min-label connected components: a 6-node chain
+    (needs multiple propagation rounds), a clique, and an isolated
+    pair all resolve to their component minimum; driver state is O(1)
+    by construction (only the changed count crosses back)."""
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.ops.dedup import cc_min_labels
+
+    chain = [(i, i + 1) for i in range(10, 15)]           # 10..15
+    clique = [(a, b) for a in (2, 5, 7) for b in (2, 5, 7) if a < b]
+    iso = [(100, 90)]
+    pairs = rd.from_items([{"doc_a": a, "doc_b": b}
+                           for a, b in chain + clique + iso])
+    lab = {r["node"]: r["label"]
+           for r in cc_min_labels(pairs).take_all()}
+    assert {n: lab[n] for n in range(10, 16)} == {n: 10
+                                                  for n in range(10, 16)}
+    assert lab[2] == lab[5] == lab[7] == 2
+    assert lab[90] == lab[100] == 90
+
+    # empty pair set → empty labels, no hang
+    empty = rd.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
+                                    "doc_b": pa.array([], pa.int64())}))
+    assert cc_min_labels(empty).count() == 0
+
+
+def test_doc_dedup_pipeline_distributed_cc_matches_driver(
+        ray_session, monkeypatch):
+    """Forcing the pair-count threshold to 0 routes doc_dedup_pipeline
+    through distributed components + bucketed anti-join; survivors are
+    identical to the driver union-find path."""
+    import kafka_delta_rs_ray.ops.queries as q
+
+    sf = "/root/testdata/sf0.001"
+    driver = sorted(r["doc_id"]
+                    for r in q.doc_dedup_pipeline(sf).take_all())
+    monkeypatch.setattr(q, "CC_PAIRS_DRIVER_MAX", -1)
+    dist = sorted(r["doc_id"]
+                  for r in q.doc_dedup_pipeline(sf).take_all())
+    assert dist == driver and len(driver) > 0
+
+
+def test_train_centroids_delegates_to_distributed_kmeans(
+        ray_session, monkeypatch):
+    """Past DISTRIBUTED_TRAIN_C centroids, train_centroids must swap to
+    the full-data distributed k-means automatically (the docstring's
+    promise is now code) — and knn_ivf through that path keeps its
+    recall bound vs brute force."""
+    import kafka_delta_rs_ray.ops.clustering as cl
+    import kafka_delta_rs_ray.ops.similarity as sim
+
+    monkeypatch.setattr(sim, "DISTRIBUTED_TRAIN_C", 8)
+    calls = {"n": 0}
+    real = cl.kmeans
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cl, "kmeans", spy)
+
+    ds = _emb_ds(n=120)
+    exact = sim.knn_bruteforce(ds, n_queries=5, k=5).to_pandas()
+    approx = sim.knn_ivf(ds, n_queries=5, k=5, n_centroids=12,
+                         nprobe=6).to_pandas()
+    assert calls["n"] == 1  # large-C path actually taken
+    hits = tot = 0
+    for q in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.8, f"distributed-train IVF recall {hits/tot:.2f}"
+
+
 def test_knn_graph_exact_and_ivf_recall(ray_session):
     """knn_graph returns each vector's exact top-k (spot-checked
     against a local all-pairs matmul); knn_graph_ivf covers EVERY
