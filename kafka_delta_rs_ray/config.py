@@ -102,10 +102,10 @@ class MaintenanceConfig:
                 raise ConfigError("max_wait_secs must be > 0")
             if self.max_buffer_bytes < 1:
                 raise ConfigError("max_buffer_bytes must be >= 1")
-            if self.message_format not in ("parquet", "json"):
+            if self.message_format not in ("parquet", "json", "arrow-ipc"):
                 raise ConfigError(
                     f"unknown message_format {self.message_format!r}; "
-                    f"one of ('parquet', 'json')")
+                    f"one of ('parquet', 'json', 'arrow-ipc')")
         if self.job == "delete" and not self.predicate:
             raise ConfigError("delete requires predicate ({col: [lo, hi]})")
         if self.job == "rollback" and self.restore_version is None:

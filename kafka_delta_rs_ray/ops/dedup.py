@@ -50,10 +50,21 @@ def _first_wins_per_hash(g: pd.DataFrame) -> pd.DataFrame:
              .drop_duplicates("content_hash", keep="first"))
 
 
-def exact_dedup(docs_ds, n_buckets: int = 64):
+def exact_dedup(docs_ds, n_buckets: int | None = None,
+                n_docs: int | None = None):
     """Exact dedup, first-wins by doc_id (the reference's offset-dedup
     D1 semantics, src/pipeline/mod.rs:58-80, content hash playing the
-    key role). Returns surviving (doc_id, content_hash)."""
+    key role). Returns surviving (doc_id, content_hash).
+
+    ``n_buckets`` defaults to input-scaled (~TARGET_GROUP_ROWS rows per
+    shuffle group — a fixed count would put corpus/64 rows in one task
+    at scale); ``n_docs`` is the sizing hint for transformed inputs
+    where count() would re-execute."""
+    if n_buckets is None:
+        if n_docs is None:
+            n_docs = docs_ds.count()
+        n_buckets = int(min(MAX_GROUPS,
+                            max(64, n_docs // TARGET_GROUP_ROWS)))
     def bucketize(b: pa.Table) -> pa.Table:
         b = add_content_hash(b)
         if b.num_rows == 0:

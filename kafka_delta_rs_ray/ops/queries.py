@@ -1910,18 +1910,315 @@ def doc_dedup_pipeline(sf_dir: str):
     return tagged.groupby("bucket").map_groups(anti, batch_format="pandas")
 
 
+_IMAGE_EMBED_N = 1000
+
+
+def _image_embed_parquet() -> str:
+    """Dump the DERIVED (vec_id, embedding) table for the image-embed
+    kNN oracle: same deterministic synth → encode → decode → grid
+    block-mean embed the distributed pipeline runs, evaluated once
+    driver-side and cached per machine (atomic rename). The expensive
+    embedding derivation is thereby NOT what the oracle re-checks —
+    DuckDB independently recomputes the kNN over the dumped vectors,
+    which is the operator under test."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..pipelines.synth import SynthImages
+    from ..stages.codec_stage import ImageEmbed
+
+    path = f"/tmp/kdr_image_embed_{_IMAGE_EMBED_N}_s42_g4.parquet"
+    if os.path.exists(path):
+        return path
+    ids = pa.table({"id": pa.array(range(_IMAGE_EMBED_N), pa.int64())})
+    batch = SynthImages(seed=42)(ids)
+    emb = ImageEmbed(grid=4)(batch)
+    t = pa.table({"vec_id": pa.array(
+        [int(s[4:]) for s in emb["image_id"].to_pylist()], pa.int64()),
+        "embedding": emb["embedding"]})
+    fd, tmp = tempfile.mkstemp(dir="/tmp", suffix=".parquet")
+    os.close(fd)
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+BIG_ORDER_PRICE = 400_000.0
+
+
+def customers_without_orders(sf_dir: str):
+    """Distributed ANTI-join (NOT EXISTS) — the missing join shape
+    next to the hash join (orders_lineitem_revenue), broadcast join
+    (top_customers) and band join: customers with NO big-ticket order
+    (totalprice > BIG_ORDER_PRICE). Each orders batch pre-shrinks to
+    its distinct qualifying custkeys (predicate + unique = the
+    map-side combiner), both sides exchange slim rows into
+    input-scaled buckets, and the per-bucket kernel is one vectorized
+    isin — at 100 TB the wire carries customer keys +
+    distinct-per-batch order keys, never either table's width."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    nb = n_key_groups(orders.count())
+
+    def od_keys(b: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(b.loc[b["o_totalprice"] > BIG_ORDER_PRICE,
+                            "o_custkey"].to_numpy())
+        return pd.DataFrame({"custkey": k,
+                             "c_name": pd.Series([None] * len(k),
+                                                 dtype="object"),
+                             "c_acctbal": np.nan,
+                             "bucket": hash_bucket(k, nb)})
+
+    def cu_slim(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "custkey": b["c_custkey"], "c_name": b["c_name"],
+            "c_acctbal": b["c_acctbal"],
+            "bucket": hash_bucket(b["c_custkey"].to_numpy(), nb)})
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["c_name"].isna(), "custkey"].to_numpy()
+        keep = g[g["c_name"].notna() & ~g["custkey"].isin(have)]
+        return pd.DataFrame({"c_custkey": keep["custkey"].astype("int64"),
+                             "c_name": keep["c_name"],
+                             "c_acctbal": keep["c_acctbal"]})
+
+    tagged = (cust.map_batches(cu_slim, batch_format="pandas",
+                               batch_size=None)
+              .union(orders.map_batches(od_keys, batch_format="pandas",
+                                        batch_size=None)))
+    out = tagged.groupby("bucket").map_groups(anti, batch_format="pandas")
+    # schema-stable materialization: an all-empty Dataset drops its
+    # column schema through to_pandas, defeating the driver compare
+    batches = [b for b in out.iter_batches(batch_format="pyarrow",
+                                           batch_size=4096) if b.num_rows]
+    if batches:
+        return pa.concat_tables(
+            [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+             else b for b in batches])
+    return pa.table({"c_custkey": pa.array([], pa.int64()),
+                     "c_name": pa.array([], pa.string()),
+                     "c_acctbal": pa.array([], pa.float64())})
+
+
+def customers_without_orders_sql() -> str:
+    return f"""
+        SELECT c_custkey, c_name, c_acctbal FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > {BIG_ORDER_PRICE})
+    """
+
+
+def orders_rollup(sf_dir: str):
+    """Hierarchical aggregate (GROUP BY ROLLUP (status, priority)) —
+    the OLAP subtotal shape: order counts and revenue at the
+    (status, priority), (status), and grand-total levels, the 'ALL'
+    sentinel marking rolled-out dimensions (an explicit marker instead
+    of SQL NULL so the driver's value-hash compare is
+    NULL-representation-agnostic). Scale shape: per-batch partial
+    aggregation bounds the exchange to n_blocks × |status × priority|
+    rows; one tiny composite-key groupby is the only shuffle; the
+    subtotal levels re-fold the FINEST level (≤ |status|×|priority|
+    rows — driver-bounded by the dimensions' cardinality, never the
+    fact table)."""
+    od = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["o_orderstatus", "o_orderpriority"],
+                       as_index=False)
+             .agg(n_orders=("o_totalprice", "size"),
+                  sum_price=("o_totalprice", "sum")))
+        g["key"] = g["o_orderstatus"] + "|" + g["o_orderpriority"]
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderstatus": [g["o_orderstatus"].iloc[0]],
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "n_orders": [int(g["n_orders"].sum())],
+            "sum_price": [g["sum_price"].sum()]})
+
+    finest = (od.map_batches(partial, batch_format="pandas",
+                             batch_size=None)
+              .groupby("key").map_groups(fold, batch_format="pandas"))
+    f = finest.to_pandas()  # ≤ |status|×|priority| rows by construction
+    by_status = (f.groupby("o_orderstatus", as_index=False)
+                 .agg(n_orders=("n_orders", "sum"),
+                      sum_price=("sum_price", "sum")))
+    by_status["o_orderpriority"] = "ALL"
+    total = pd.DataFrame({"o_orderstatus": ["ALL"],
+                          "o_orderpriority": ["ALL"],
+                          "n_orders": [int(f["n_orders"].sum())],
+                          "sum_price": [f["sum_price"].sum()]})
+    out = pd.concat([f[["o_orderstatus", "o_orderpriority", "n_orders",
+                        "sum_price"]], by_status[["o_orderstatus",
+                                                  "o_orderpriority",
+                                                  "n_orders", "sum_price"]],
+                     total], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_price"] = out["sum_price"].round(2)
+    return out
+
+
+def orders_rollup_sql() -> str:
+    return """
+        SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str):
+    """PIVOT: weekly event counts as one wide row per epoch-week, one
+    column per event type — the long→wide reshape every reporting
+    layer wants. Scale shape: each batch pivots ITSELF to the wide
+    partial (week × 5 count columns — the map-side combiner), so the
+    exchange carries n_blocks × weeks wide rows, never events; the
+    only shuffle is a groupby-sum on the week key."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    week_us = 604800 * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        wk = b["ts"].cast(pa.int64()).to_numpy() // week_us
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"week": wk, "et": et})
+        g = df.groupby(["week", "et"]).size().unstack(fill_value=0)
+        g = g.reindex(columns=list(_EVENT_TYPES), fill_value=0)
+        out = {"week": pa.array(g.index.to_numpy(), pa.int64())}
+        for t in _EVENT_TYPES:
+            out[f"n_{t}"] = pa.array(g[t].to_numpy(), pa.int64())
+        return pa.table(out)
+
+    wide = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("week").sum([f"n_{t}" for t in _EVENT_TYPES]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        cols = {"week": b["week"]}
+        for t in _EVENT_TYPES:
+            cols[f"n_{t}"] = b[f"sum(n_{t})"].combine_chunks() \
+                if f"sum(n_{t})" in b.column_names else b[f"n_{t}"]
+        return pa.table(cols)
+
+    return wide.map_batches(finish, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def events_pivot_sql() -> str:
+    conds = ",\n               ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+        for t in _EVENT_TYPES)
+    return f"""
+        SELECT epoch_us(ts) // 604800000000 AS week,
+               {conds}
+        FROM events GROUP BY 1
+    """
+
+
+def doc_corpus_curation(sf_dir: str):
+    """The composed training-data curation pipeline a corpus team
+    actually ships — quality gate (Gopher/C4-style length + stopword
+    rules) → language gate (marker-heuristic en) → exact dedup
+    first-wins by content → deterministic 1-in-2 downsample — run as
+    ONE streaming pipeline with a single slim exchange and an exact
+    end-to-end DuckDB oracle (every stage is SQL-expressible, so the
+    driver certifies the whole composition, not just the pieces).
+
+    Scale shape: the gates are vectorized per-batch filters (no
+    shuffle, text never leaves the map stage after hashing); the only
+    exchange carries (doc_id, source, n_tokens, 16-byte content_hash)
+    for gate SURVIVORS into input-scaled buckets; the sample is a pure
+    modulus on the dedup winner."""
+    from .dedup import add_content_hash
+    from .textops import LangId, QualityScore, TokenCount
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    nb = n_key_groups(ds.count())
+    qs, li, tc = QualityScore(), LangId(), TokenCount()
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (qs(b)["keep"].to_numpy()
+                & (li(b)["lang_pred"].to_numpy() == "en"))
+        out = b.assign(n_tokens=tc(b)["n_tokens"].to_numpy())[keep]
+        return out[["doc_id", "text", "source", "n_tokens"]]
+
+    def slim_hash(b: pa.Table) -> pa.Table:
+        b = add_content_hash(b)
+        if b.num_rows == 0:
+            return (b.drop_columns(["text"])
+                    .append_column("bucket", pa.array([], pa.int32())))
+        raw = b"".join(b["content_hash"].to_pylist())
+        buck = np.frombuffer(raw, dtype=np.uint32)[::4] % nb
+        return (b.drop_columns(["text"])       # exchange is slim
+                .append_column("bucket", pa.array(buck.astype(np.int32))))
+
+    def dedup_sample(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["content_hash", "doc_id"])
+              .drop_duplicates("content_hash", keep="first"))
+        g = g[g["doc_id"] % 2 == 0]
+        return g[["doc_id", "source", "n_tokens"]]
+
+    return (ds.map_batches(gate, batch_format="pandas", batch_size=None)
+            .map_batches(slim_hash, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("bucket")
+            .map_groups(dedup_sample, batch_format="pandas"))
+
+
+def doc_corpus_curation_sql() -> str:
+    """Exact end-to-end oracle: the same gates (QualityScore.keep =
+    n_words >= 10 AND stopword hit; LangId 'en' = not CJK, en markers
+    max with the en-first tie-break), min-doc_id dedup per text with
+    the winner's source, and the modulus sample on the winner."""
+    stop = "(?:the|a|of|and|to|in|is|for|on|with)"
+    return rf"""
+        WITH q AS (
+          SELECT doc_id, text, source,
+                 len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+                 len(regexp_extract_all(text, '\S+')) AS n_words,
+                 len(regexp_extract_all(lower(text), '\b{stop}\b'))
+                     AS n_stop,
+                 len(regexp_extract_all(lower(text),
+                     '\b(?:the|and|ing|ion|is|of|to)\b')) AS en,
+                 len(regexp_extract_all(lower(text),
+                     '\b(?:el|la|que|de|los|cion|es)\b')) AS es,
+                 len(regexp_extract_all(lower(text),
+                     '\b(?:der|die|und|sch|ein|ich|en)\b')) AS de,
+                 len(regexp_extract_all(lower(text),
+                     '\b(?:le|les|des|que|est|tion|et)\b')) AS fr,
+                 regexp_matches(text, '[一-鿿]') AS cjk
+          FROM documents),
+        g AS (SELECT * FROM q
+              WHERE n_words >= 10 AND n_stop > 0 AND NOT cjk
+                AND en > 0 AND en >= es AND en >= de AND en >= fr),
+        d AS (SELECT min(doc_id) AS doc_id,
+                     arg_min(source, doc_id) AS source,
+                     arg_min(n_tokens, doc_id) AS n_tokens
+              FROM g GROUP BY text)
+        SELECT doc_id, source, n_tokens FROM d WHERE doc_id % 2 = 0
+    """
+
+
 def image_embed_knn(sf_dir: str):
     """Nested-column pipeline: derive a list<float32> embedding from
     decoded image pixels (ImageEmbed actor-pool stage, grid block-mean
     luminance) and run brute-force cosine top-k over the DERIVED
-    column — the image analog of embedding_knn. Rows-only check (the
-    embeddings come from our codec pipeline, not SQL-expressible);
-    deterministic per seed."""
+    column — the image analog of embedding_knn. Value-oracled: the
+    oracle recomputes the top-k in DuckDB over the dumped derived
+    vectors (_image_embed_parquet); deterministic per seed."""
     from ..pipelines.synth import image_dataset
     from ..stages.codec_stage import ImageEmbed
     from .similarity import knn_bruteforce
 
-    ds = image_dataset(1000, batch_size=125)
+    ds = image_dataset(_IMAGE_EMBED_N, batch_size=125)
     emb = ds.map_batches(ImageEmbed(grid=4), batch_format="pyarrow",
                          batch_size=125, concurrency=4)
 
@@ -1933,6 +2230,26 @@ def image_embed_knn(sf_dir: str):
     return knn_bruteforce(emb.map_batches(to_vec, batch_format="pyarrow",
                                           batch_size=None),
                           n_queries=5, k=5)
+
+
+def image_embed_knn_sql() -> str:
+    """Exact cosine top-5 for the 5 lowest vec_ids over the dumped
+    derived-embedding table — mirrors embedding_knn_sql's shape."""
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding
+                     FROM read_parquet('{_image_embed_parquet()}')),
+        q AS (SELECT vec_id AS qid, embedding AS qe
+              FROM emb ORDER BY vec_id LIMIT 5),
+        s AS (SELECT q.qid, e.vec_id AS nid,
+                     round(list_cosine_similarity(q.qe, e.embedding), 6)
+                         AS sim
+              FROM q CROSS JOIN emb e WHERE e.vec_id <> q.qid),
+        r AS (SELECT qid AS query_id, nid AS neighbor_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, nid) AS rank
+              FROM s)
+        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+    """
 
 
 def audio_features(sf_dir: str):
@@ -2231,6 +2548,10 @@ QUERIES = {
     "orders_lineitem_revenue": orders_lineitem_revenue,
     "orders_top3_per_customer": orders_top3_per_customer,
     "orders_price_band_join": orders_price_band_join,
+    "customers_without_orders": customers_without_orders,
+    "orders_rollup": orders_rollup,
+    "events_pivot": events_pivot,
+    "doc_corpus_curation": doc_corpus_curation,
     "events_distinct_users_hll": events_distinct_users_hll,
     "events_value_quantiles": events_value_quantiles,
     "parts_above_brand_median": parts_above_brand_median,
@@ -2289,6 +2610,10 @@ ORACLES = {
     "orders_lineitem_revenue": orders_lineitem_revenue_sql(),
     "orders_top3_per_customer": orders_top3_per_customer_sql(),
     "orders_price_band_join": orders_price_band_join_sql(),
+    "customers_without_orders": customers_without_orders_sql(),
+    "orders_rollup": orders_rollup_sql(),
+    "events_pivot": events_pivot_sql(),
+    "doc_corpus_curation": doc_corpus_curation_sql(),
     "doc_stratified_sample": doc_stratified_sample_sql(),
     "doc_token_stats": doc_token_stats_sql(),
     "doc_vocab_topk": doc_vocab_topk_sql(),
@@ -2303,6 +2628,7 @@ ORACLES = {
     "doc_simhash_pairs": doc_simhash_pairs_sql(),
     "image_exact_dedup": image_exact_dedup_sql(),
     "image_phash_near_dup": image_phash_near_dup_sql(),
+    "image_embed_knn": image_embed_knn_sql(),
     "embedding_near_dup": embedding_near_dup_sql(),
     "embedding_knn": embedding_knn_sql(),
     "embedding_knn_graph": embedding_knn_graph_sql(),

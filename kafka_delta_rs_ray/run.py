@@ -173,16 +173,18 @@ def run(cfg: MaintenanceConfig) -> dict:
                 for p in files:
                     yield _pq.read_table(p)
                 return
-            # JSON-lines feed: schema-projected parse per file; parse
-            # failures dead-letter to quarantine/ (the reference's
-            # P1 parse → P4 dead-letter routing) and never poison the
-            # merge
-            from .sources.readers import parse_json_lines
+            # JSON-lines / Arrow-IPC feed: schema-projected parse per
+            # file; parse failures dead-letter to quarantine/ (the
+            # reference's P1 parse → P4 dead-letter routing) and never
+            # poison the merge
+            from .sources.readers import parse_arrow_ipc, parse_json_lines
             from .stages.validate import write_quarantine_table
 
+            parse = (parse_arrow_ipc if cfg.message_format == "arrow-ipc"
+                     else parse_json_lines)
             for p in files:
                 with open(p, "rb") as f:
-                    rows, errs = parse_json_lines(f.read())
+                    rows, errs = parse(f.read())
                 if errs.num_rows:
                     parse_errors += errs.num_rows
                     q = errs.append_column(

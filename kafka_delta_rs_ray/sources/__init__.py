@@ -1,2 +1,2 @@
-from .readers import (parse_json_lines, read_changeset,
+from .readers import (parse_arrow_ipc, parse_json_lines, read_changeset,
                       read_snapshot)

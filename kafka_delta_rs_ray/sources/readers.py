@@ -170,3 +170,60 @@ def parse_json_lines(raw: bytes | str, schema: pa.Schema = CHANGESET_SCHEMA):
                        "raw": pa.array(err_rows["raw"], pa.string()),
                        "error": pa.array(err_rows["error"], pa.string())})
     return rows, errors
+
+
+def parse_arrow_ipc(raw: bytes, schema: pa.Schema = CHANGESET_SCHEMA):
+    """Binary wire format for micro-batches: an Arrow IPC STREAM of
+    record batches — the second input-format seam the reference
+    declares but never implements (``parse_grpc_object(&[u8],
+    &Schema)``, src/utils/mod.rs:158-164, a ``todo!()``). Arrow IPC is
+    the natural gRPC-payload analog here: each message in the stream
+    is already length-prefixed on the wire, arrives schema-tagged, and
+    feeds the SAME schema-first projection as the parquet/json paths
+    (extra columns dropped, castable columns cast, missing required
+    columns rejected).
+
+    Returns ``(rows, errors)`` like parse_json_lines: ``rows`` in
+    ``schema``; ``errors`` has (line, raw, error) where line is the
+    batch index within the stream. Granularity note: JSON dead-letters
+    one LINE, this dead-letters one BATCH — a framing/schema error in
+    a binary batch corrupts the whole batch, there is no meaningful
+    per-row remnant to salvage (raw carries the first 4 KB hex for
+    the audit trail)."""
+    err_rows = {"line": [], "raw": [], "error": []}
+    parts = []
+    try:
+        reader = pa.ipc.open_stream(raw)
+    except (pa.ArrowInvalid, OSError) as e:
+        err_rows["line"].append(0)
+        err_rows["raw"].append(raw[:4096].hex())
+        err_rows["error"].append(f"bad IPC stream: {e}")
+        reader = None
+    if reader is not None:
+        idx = 0
+        while True:
+            try:
+                batch = reader.read_next_batch()
+            except StopIteration:
+                break
+            except (pa.ArrowInvalid, OSError) as e:  # torn mid-stream
+                err_rows["line"].append(idx)
+                err_rows["raw"].append(raw[:4096].hex())
+                err_rows["error"].append(f"torn IPC message: {e}")
+                break
+            idx += 1
+            t = pa.Table.from_batches([batch])
+            if t.num_rows == 0:
+                continue  # empty payload drop (P5)
+            try:
+                parts.append(_project_to_schema(t, schema))
+            except ValidationError as e:
+                err_rows["line"].append(idx - 1)
+                err_rows["raw"].append(raw[:4096].hex())
+                err_rows["error"].append(str(e))
+    rows = (pa.concat_tables(parts) if parts
+            else schema.empty_table())
+    errors = pa.table({"line": pa.array(err_rows["line"], pa.int64()),
+                       "raw": pa.array(err_rows["raw"], pa.string()),
+                       "error": pa.array(err_rows["error"], pa.string())})
+    return rows, errors

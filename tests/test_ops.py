@@ -711,6 +711,105 @@ def test_parse_json_lines_schema_first():
     assert r2["d"][0].as_py() == dt.date(2026, 1, 2)
 
 
+def test_parse_arrow_ipc_schema_first():
+    """The second wire format (reference's parse_grpc_object seam,
+    src/utils/mod.rs:158-164, a todo!()): an Arrow IPC stream of
+    micro-batches through the SAME schema-first projection — extras
+    dropped, castable cast, missing column dead-letters the batch,
+    empty batch drops, corrupt bytes dead-letter with the reason."""
+    import io
+
+    import pyarrow as pa
+
+    from kafka_delta_rs_ray.sources.readers import parse_arrow_ipc
+
+    schema = pa.schema([("image_id", pa.string()),
+                        ("bytes", pa.large_binary()),
+                        ("seq", pa.int64())])
+
+    def ipc(*tables):
+        buf = io.BytesIO()
+        with pa.ipc.new_stream(buf, tables[0].schema) as w:
+            for t in tables:
+                w.write_table(t)
+        return buf.getvalue()
+
+    good = pa.table({"image_id": ["a", "b"],
+                     "bytes": pa.array([b"\x01", b"\x02"], pa.binary()),
+                     "seq": pa.array([1, 2], pa.int32()),   # castable
+                     "extra": [9, 9]})                      # projected away
+    empty = good.slice(0, 0)
+    rows, errs = parse_arrow_ipc(ipc(good, empty), schema)
+    assert rows.num_rows == 2 and errs.num_rows == 0
+    assert rows.schema == schema                  # cast + projection
+    assert rows["bytes"][0].as_py() == b"\x01"
+    assert rows["seq"].to_pylist() == [1, 2]
+
+    # missing required column → the batch dead-letters, others survive
+    missing = pa.table({"image_id": ["c"], "seq": [3]})
+    r2, e2 = parse_arrow_ipc(ipc(missing), schema)
+    assert r2.num_rows == 0 and e2.num_rows == 1
+    assert "missing required column 'bytes'" in e2["error"][0].as_py()
+
+    # corrupt bytes → one dead-letter row, no raise
+    r3, e3 = parse_arrow_ipc(b"\x00\x01not an ipc stream", schema)
+    assert r3.num_rows == 0 and e3.num_rows == 1
+    assert "bad IPC stream" in e3["error"][0].as_py()
+
+    # torn stream (valid prefix, truncated tail) → good prefix kept
+    whole = ipc(good)
+    r4, e4 = parse_arrow_ipc(whole[:len(whole) - 7], schema)
+    assert e4.num_rows == 1
+    assert "IPC" in e4["error"][0].as_py()
+
+
+def test_stream_cli_arrow_ipc_format(tmp_path, ray_session):
+    """End-to-end: the stream CLI consumes Arrow IPC micro-batch files
+    under message_format: arrow-ipc, corrupt files dead-letter to
+    quarantine, good rows commit."""
+    import io
+
+    import pyarrow as pa
+
+    from kafka_delta_rs_ray.config import MaintenanceConfig
+    from kafka_delta_rs_ray.run import run
+    from kafka_delta_rs_ray.tablefmt import IMAGE_SCHEMA, Table
+    from kafka_delta_rs_ray.tablefmt.schema import CHANGESET_SCHEMA
+
+    from test_parity import _chrow
+
+    t = Table.create(str(tmp_path / "t"), IMAGE_SCHEMA)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def write_ipc(path, rows):
+        tb = pa.Table.from_pylist(rows, schema=CHANGESET_SCHEMA)
+        buf = io.BytesIO()
+        with pa.ipc.new_stream(buf, tb.schema) as w:
+            w.write_table(tb)
+        path.write_bytes(buf.getvalue())
+
+    write_ipc(feed / "000.arrows", [_chrow("a1", 1, "x"),
+                                    _chrow("a2", 2, "y")])
+    write_ipc(feed / "001.arrows", [_chrow("a3", 3, "z")])
+    (feed / "002.arrows").write_bytes(b"corrupt!")
+
+    cfgp = tmp_path / "job.yaml"
+    cfgp.write_text(
+        f"table_root: {t.root}\njob: stream\napp_id: ipcstream\n"
+        f"changeset_path: '{feed}/*.arrows'\nmessage_format: arrow-ipc\n"
+        "max_buffer_rows: 2\nrun_id: ipcrun\n")
+    out = run(MaintenanceConfig.load(str(cfgp)))
+    assert out["files"] == 3 and out["parse_errors"] == 1
+    ds = t.snapshot().dataset(columns=["image_id"])
+    got = sorted(r["image_id"] for r in ds.take_all())
+    assert got == ["a1", "a2", "a3"]
+    from kafka_delta_rs_ray.stages.validate import quarantine_report
+
+    rep = quarantine_report(t.root)
+    assert any("IPC" in e for e in rep["errors"])
+
+
 def test_topk_kernel_deterministic_tie_break():
     """Exact sim ties at the selection boundary resolve by lowest
     neighbor_id (the oracle's ORDER BY sim DESC, neighbor_id ASC) —
