@@ -35,10 +35,17 @@ _GLOBAL = ""  # synthetic group key for the ungrouped case
 
 def quantiles_disc(ds, value_col: str, qs, group_col: str | None = None,
                    collect_threshold: int = 100_000,
-                   max_groups: int = 10_000) -> pa.Table:
+                   max_groups: int = 10_000, rank_fn=None,
+                   include_n: bool = False) -> pa.Table:
     """percentile_disc(q) per group (or globally when ``group_col`` is
     None): the smallest value whose cumulative in-group count reaches
-    ceil(q * n_group). Returns (group_col?, q, value)."""
+    ceil(q * n_group). Returns (group_col?, q, value[, n]).
+
+    ``rank_fn(q, n) -> 1-based rank`` overrides the percentile_disc
+    rank — the hook that lets percentile_cont (quantiles_cont) select
+    arbitrary order statistics through the same refinement engine.
+    ``include_n`` appends each group's row count (needed by callers
+    computing interpolation fractions)."""
     qs = [float(q) for q in qs]
 
     def _vals(b: pd.DataFrame, g):
@@ -84,7 +91,8 @@ def quantiles_disc(ds, value_col: str, qs, group_col: str | None = None,
         f = Fraction(str(q)) * n
         return max(1, -(-f.numerator // f.denominator))
 
-    state = {(g, q): {"k": _rank(q, int(r["n"])),
+    rank = rank_fn or _rank
+    state = {(g, q): {"k": rank(q, int(r["n"])),
                       "lo": float(r["lo"]), "hi": float(r["hi"]),
                       "done": None}
              for g, r in agg.iterrows() for q in qs}
@@ -214,17 +222,67 @@ def quantiles_disc(ds, value_col: str, qs, group_col: str | None = None,
             f"raise collect_threshold or the pass cap (never returns "
             f"a silent null)")
 
-    out_g, out_q, out_v = [], [], []
+    out_g, out_q, out_v, out_n = [], [], [], []
     for g in sorted(agg.index):
         for q in qs:
             out_g.append(g)
             out_q.append(q)
             out_v.append(state[(g, q)]["done"])
+            out_n.append(int(agg.loc[g, "n"]))
     cols = {}
     if group_col is not None:
         cols[group_col] = pa.array(out_g)
     cols["q"] = pa.array(out_q, pa.float64())
     cols["value"] = pa.array(out_v, pa.float64())
+    if include_n:
+        cols["n"] = pa.array(out_n, pa.int64())
+    return pa.table(cols)
+
+
+def _cont_pos(q: float, n: int):
+    """percentile_cont's 1-based lower order-statistic index and exact
+    interpolation fraction: pos = 1 + (n-1)·q computed in Fractions
+    over the decimal literal (float arithmetic overshoots integers —
+    the same failure mode _rank guards against)."""
+    from fractions import Fraction
+
+    f = 1 + Fraction(str(q)) * (n - 1)
+    k = f.numerator // f.denominator
+    return k, f - k
+
+
+def quantiles_cont(ds, value_col: str, qs, group_col: str | None = None,
+                   collect_threshold: int = 100_000,
+                   max_groups: int = 10_000) -> pa.Table:
+    """percentile_cont (linear interpolation between the two bracketing
+    order statistics) per group or globally — still NO global sort:
+    two runs of the histogram-refinement engine select the lower and
+    upper order statistics for every (group, q), and the interpolation
+    v_lo + frac·(v_hi − v_lo) happens on the (group × q)-sized result
+    with exact fractions. Returns (group_col?, q, value); value rounded
+    to 6 dp (the driver-hash convention for derived floats)."""
+    qs = [float(q) for q in qs]
+    lo = quantiles_disc(ds, value_col, qs, group_col=group_col,
+                        collect_threshold=collect_threshold,
+                        max_groups=max_groups,
+                        rank_fn=lambda q, n: _cont_pos(q, n)[0],
+                        include_n=True).to_pandas()
+    hi = quantiles_disc(ds, value_col, qs, group_col=group_col,
+                        collect_threshold=collect_threshold,
+                        max_groups=max_groups,
+                        rank_fn=lambda q, n: min(n, _cont_pos(q, n)[0] + 1)
+                        ).to_pandas()
+    vals = []
+    for i in range(len(lo)):
+        k, frac = _cont_pos(float(lo["q"].iloc[i]), int(lo["n"].iloc[i]))
+        v1 = float(lo["value"].iloc[i])
+        v2 = float(hi["value"].iloc[i])
+        vals.append(round(v1 + float(frac) * (v2 - v1), 6))
+    cols = {}
+    if group_col is not None:
+        cols[group_col] = pa.array(lo[group_col].tolist())
+    cols["q"] = pa.array(lo["q"].to_numpy(), pa.float64())
+    cols["value"] = pa.array(vals, pa.float64())
     return pa.table(cols)
 
 

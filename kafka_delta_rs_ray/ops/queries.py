@@ -1110,6 +1110,34 @@ def events_value_quantiles_sql() -> str:
     """
 
 
+def lineitem_quantity_quantiles_cont(sf_dir: str):
+    """EXACT percentile_cont (interpolated quartiles of l_quantity per
+    return flag) with no global sort: two histogram-refinement
+    selections (lower/upper bracketing order statistics per
+    (group, q)) + exact-fraction interpolation on the tiny result —
+    the continuous companion to events_value_quantiles' discrete
+    engine."""
+    from .quantiles import quantiles_cont
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return quantiles_cont(ds, "l_quantity", [0.25, 0.5, 0.75],
+                          group_col="l_returnflag")
+
+
+def lineitem_quantity_quantiles_cont_sql() -> str:
+    return """
+        SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS q,
+               round(quantile_cont(l_quantity, 0.25), 6) AS value
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, 0.5, round(quantile_cont(l_quantity, 0.5), 6)
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, 0.75, round(quantile_cont(l_quantity, 0.75), 6)
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+
 def events_distinct_users_hll(sf_dir: str):
     """Approximate distinct users via a HyperLogLog sketch (2^12
     registers): every block folds its user_ids into a 4 KB register
@@ -2554,6 +2582,7 @@ QUERIES = {
     "doc_corpus_curation": doc_corpus_curation,
     "events_distinct_users_hll": events_distinct_users_hll,
     "events_value_quantiles": events_value_quantiles,
+    "lineitem_quantity_quantiles_cont": lineitem_quantity_quantiles_cont,
     "parts_above_brand_median": parts_above_brand_median,
     "events_value_median_by_type": events_value_median_by_type,
     "events_funnel": events_funnel,
@@ -2598,6 +2627,8 @@ ORACLES = {
     "events_heavy_hitters": events_heavy_hitters_sql(),
     "events_asof_join": events_asof_join_sql(),
     "events_value_quantiles": events_value_quantiles_sql(),
+    "lineitem_quantity_quantiles_cont":
+        lineitem_quantity_quantiles_cont_sql(),
     "parts_above_brand_median": parts_above_brand_median_sql(),
     "events_value_median_by_type": events_value_median_by_type_sql(),
     "events_funnel": events_funnel_sql(),

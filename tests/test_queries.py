@@ -84,6 +84,41 @@ def test_quantiles_forced_multi_pass(ray_session):
     assert dict(zip(got["q"].to_pylist(), got["value"].to_pylist())) == ora
 
 
+def test_quantiles_cont_interpolation_exact(tmp_path, ray_session):
+    """percentile_cont through the engine: interpolated values (frac
+    not 0) match numpy's linear quantile bit-for-bit on a dataset where
+    quartile positions fall BETWEEN order statistics, both grouped and
+    global, including with a forced multi-pass collect threshold."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.ops.quantiles import quantiles_cont
+
+    rng = np.random.default_rng(11)
+    n = 1002  # (n-1)*0.25 = 250.25 → real interpolation
+    vals = rng.normal(size=n) * 100
+    grp = np.where(np.arange(n) % 2 == 0, "a", "b")
+    t = pd.DataFrame({"g": grp, "v": vals})
+    p = tmp_path / "q.parquet"
+    pq.write_table(__import__("pyarrow").Table.from_pandas(t), str(p))
+    ds = rd.read_parquet(str(p))
+
+    out = quantiles_cont(ds, "v", [0.25, 0.5, 0.75], group_col="g",
+                         collect_threshold=4).to_pandas()
+    for g in ("a", "b"):
+        gv = t.loc[t["g"] == g, "v"].to_numpy()
+        for q in (0.25, 0.5, 0.75):
+            want = round(float(np.quantile(gv, q, method="linear")), 6)
+            got = float(out.loc[(out["g"] == g) & (out["q"] == q),
+                                "value"].iloc[0])
+            assert got == want, (g, q, got, want)
+
+    glob = quantiles_cont(ds, "v", [0.9]).to_pandas()
+    assert float(glob["value"].iloc[0]) == round(
+        float(np.quantile(vals, 0.9, method="linear")), 6)
+
+
 def test_quantiles_adjacent_doubles_duplicate_runs(tmp_path, ray_session):
     """Two adjacent float64 doubles, each duplicated far past the
     collect threshold: refinement can't subdivide and must resolve
