@@ -69,6 +69,21 @@ def run(cfg: MaintenanceConfig) -> dict:
                     last_n_runs=mon.get("last_n_runs"),
                     service_name=mon.get("service_name",
                                          "kafka-delta-rs-ray"))}
+    if cfg.job == "autopilot":
+        # closed maintenance policy loop: metadata signals → thresholded
+        # decisions → actions (the at-rest analog of the reference's
+        # flush-policy loop, src/kafka/mod.rs:182-190)
+        from .pipelines.autopilot import autopilot
+
+        opts = cfg.options
+        kw = {k: opts[k] for k in ("max_delete_debt",
+                                   "max_point_selectivity",
+                                   "min_cluster_fragments",
+                                   "min_age_seconds") if k in opts}
+        return {"job": "autopilot",
+                **autopilot(table, keep_last=cfg.keep_last,
+                            target_fragment_bytes=cfg.target_fragment_bytes,
+                            dry_run=bool(opts.get("dry_run")), **kw)}
     if cfg.job == "stats":
         from .state.tablestats import table_stats
 
