@@ -2151,6 +2151,74 @@ def events_pivot_sql() -> str:
     """
 
 
+CHUNK_LEN = 500
+CHUNK_STRIDE = 400  # 100-char overlap between consecutive chunks
+
+
+def doc_chunks(sf_dir: str):
+    """Overlapping fixed-window document chunking — the RAG /
+    training-prep transform: each doc yields chunks of CHUNK_LEN chars
+    every CHUNK_STRIDE (100-char overlap), last partial chunk kept,
+    empty docs yield none. Embarrassingly parallel (no shuffle): each
+    batch emits its own chunks via one vectorized str.slice per chunk
+    index (bounded by the batch's longest doc), never a per-row Python
+    loop. Output is chunk-granular by nature — the one operator family
+    whose output legitimately scales with the corpus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk(b: pd.DataFrame) -> pd.DataFrame:
+        lens = b["text"].str.len().to_numpy()
+        out = []
+        max_i = int((lens.max() - 1) // CHUNK_STRIDE) if len(b) else -1
+        for i in range(max_i + 1):
+            start = i * CHUNK_STRIDE
+            m = lens > start
+            out.append(pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy()[m],
+                "chunk_idx": np.int64(i),
+                "chunk_text": b["text"][m].str.slice(
+                    start, start + CHUNK_LEN).to_numpy()}))
+        if not out:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "chunk_idx": pd.Series([], dtype="int64"),
+                "chunk_text": pd.Series([], dtype="object")})
+        return pd.concat(out, ignore_index=True)
+
+    return ds.map_batches(chunk, batch_format="pandas", batch_size=None)
+
+
+def doc_chunks_sql() -> str:
+    """Same windows via generate_series + substr (both sides use
+    code-point semantics for length/slice)."""
+    return f"""
+        WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents
+                   WHERE length(text) > 0)
+        SELECT doc_id, i AS chunk_idx,
+               substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT),
+                      {CHUNK_LEN}) AS chunk_text
+        FROM d, LATERAL (SELECT unnest(generate_series(
+                 0, (L - 1) // {CHUNK_STRIDE})) AS i) s
+    """
+
+
+def doc_pack_sequences(sf_dir: str):
+    """LLM training-sequence packing (ops/packing.py): token counts
+    per doc (TokenCount, same lexer as the oracle family) → greedy
+    token-budget packing in contiguous doc_id-range buckets →
+    per-sequence summary (seq_id, n_docs, n_tokens, fill). Rows-only
+    driver check (greedy sequential packing is not SQL-expressible);
+    exactness vs a local reference greedy is pinned in tests."""
+    from .packing import pack_sequences
+    from .textops import TokenCount
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = ds.map_batches(TokenCount(), batch_format="pandas",
+                          batch_size=None).select_columns(
+        ["doc_id", "n_tokens"])
+    return pack_sequences(toks, budget=256)
+
+
 def doc_corpus_curation(sf_dir: str):
     """The composed training-data curation pipeline a corpus team
     actually ships — quality gate (Gopher/C4-style length + stopword
@@ -2579,6 +2647,8 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "orders_rollup": orders_rollup,
     "events_pivot": events_pivot,
+    "doc_chunks": doc_chunks,
+    "doc_pack_sequences": doc_pack_sequences,
     "doc_corpus_curation": doc_corpus_curation,
     "events_distinct_users_hll": events_distinct_users_hll,
     "events_value_quantiles": events_value_quantiles,
@@ -2644,6 +2714,7 @@ ORACLES = {
     "customers_without_orders": customers_without_orders_sql(),
     "orders_rollup": orders_rollup_sql(),
     "events_pivot": events_pivot_sql(),
+    "doc_chunks": doc_chunks_sql(),
     "doc_corpus_curation": doc_corpus_curation_sql(),
     "doc_stratified_sample": doc_stratified_sample_sql(),
     "doc_token_stats": doc_token_stats_sql(),

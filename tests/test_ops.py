@@ -810,6 +810,48 @@ def test_stream_cli_arrow_ipc_format(tmp_path, ray_session):
     assert any("IPC" in e for e in rep["errors"])
 
 
+def test_pack_sequences_matches_reference_greedy(ray_session):
+    """Distributed token-budget packing must equal a local greedy
+    reference run per bucket span: same sequence count, same per-seq
+    doc/token totals, oversized docs isolated, determinism across
+    runs."""
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.ops.packing import (SEQ_NAMESPACE, pack_greedy,
+                                                pack_sequences)
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    toks = rng.integers(10, 400, n).astype(np.int64)
+    toks[7] = 5000          # oversized doc → its own overflow sequence
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "n_tokens": toks}))
+    span = 1000
+    out = pack_sequences(ds, budget=2048,
+                         docs_per_bucket=span).to_pandas()
+
+    # local reference: greedy per contiguous bucket, same namespacing
+    ref = {}
+    for b in np.unique(ids // span):
+        m = (ids // span) == b
+        seq = pack_greedy(toks[m], 2048)
+        for s in np.unique(seq):
+            key = int(b) * SEQ_NAMESPACE + int(s)
+            sel = toks[m][seq == s]
+            ref[key] = (len(sel), int(sel.sum()))
+    got = {int(r.seq_id): (int(r.n_docs), int(r.n_tokens))
+           for r in out.itertuples()}
+    assert got == ref
+    # invariants: no sequence over budget except single oversized docs
+    over = out[out["n_tokens"] > 2048]
+    assert (over["n_docs"] == 1).all()
+    assert (out.loc[out["n_docs"] > 1, "n_tokens"] <= 2048).all()
+    out2 = pack_sequences(ds, budget=2048,
+                          docs_per_bucket=span).to_pandas()
+    assert got == {int(r.seq_id): (int(r.n_docs), int(r.n_tokens))
+                   for r in out2.itertuples()}
+
+
 def test_topk_kernel_deterministic_tie_break():
     """Exact sim ties at the selection boundary resolve by lowest
     neighbor_id (the oracle's ORDER BY sim DESC, neighbor_id ASC) —
