@@ -2219,6 +2219,261 @@ def doc_pack_sequences(sf_dir: str):
     return pack_sequences(toks, budget=256)
 
 
+DECON_N = 8            # n-gram width (word-level), GPT-3-style overlap
+DECON_EVAL_MOD = 20    # doc_id % MOD == 0 plays the held-out benchmark
+DECON_MAX_EVAL_GRAMS = 2_000_000  # broadcast-side guard
+
+
+def _word_gram_hashes(texts: pd.Series, n: int):
+    """Per-position word n-gram hashes for a batch of texts:
+    whitespace-split words (matches ``string_split(text, ' ')``),
+    64-bit per-word hash (pandas siphash, fixed key — deterministic
+    across processes), grams combined by a polynomial of the n word
+    hashes via n shifted vectorized multiplies. Returns (flat uint64
+    gram hashes, doc index per gram) — no per-row Python beyond the
+    C-level split. Hash equality stands in for string equality
+    (64-bit; collisions negligible below ~2^32 grams)."""
+    ws = texts.str.split(" ")
+    lens = np.fromiter((len(x) for x in ws), dtype=np.int64, count=len(ws))
+    flat = [w for x in ws for w in x]
+    empty = (np.empty(0, np.uint64), np.empty(0, np.int64))
+    if not flat or len(flat) < n:
+        return empty
+    wh = pd.util.hash_array(np.asarray(flat, dtype=object))
+    didx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    m = wh.size - n + 1
+    with np.errstate(over="ignore"):
+        acc = np.zeros(m, np.uint64)
+        mult = np.uint64(1)
+        for j in range(n):
+            acc += wh[j:j + m] * mult
+            mult = mult * _MIX64
+    valid = didx[:m] == didx[n - 1:]
+    return acc[valid], didx[:m][valid]
+
+
+def doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination — the training-corpus hygiene step:
+    flag every training document sharing any word 8-gram with the
+    held-out eval set (docs with ``doc_id % DECON_EVAL_MOD == 0``
+    stand in for the benchmark). Output: contaminated training docs
+    with their hit-position counts.
+
+    Scale shape: the eval side is benchmark-sized BY DEFINITION
+    (bounded, not corpus-sized — in production it is a separate small
+    table), so this is the canonical broadcast join: a first pass
+    collects the eval set's distinct gram hashes (per-batch unique →
+    driver np.unique, guarded by DECON_MAX_EVAL_GRAMS), ray.put's the
+    sorted array ONCE, and the corpus pass resolves membership with
+    one vectorized searchsorted per batch — zero shuffle. Gram
+    hashing never loops rows (see _word_gram_hashes)."""
+    import ray
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def eval_grams(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"] % DECON_EVAL_MOD == 0]
+        g, _ = _word_gram_hashes(b["text"], DECON_N)
+        return pd.DataFrame({"g": np.unique(g)})
+
+    ev = np.empty(0, np.uint64)
+    for chunk in (ds.map_batches(eval_grams, batch_format="pandas",
+                                 batch_size=None)
+                  .iter_batches(batch_format="pandas", batch_size=None)):
+        ev = np.union1d(ev, chunk["g"].to_numpy())
+        if ev.size > DECON_MAX_EVAL_GRAMS:
+            raise ValueError(
+                f"eval side has >{DECON_MAX_EVAL_GRAMS} grams — "
+                "not a benchmark-sized broadcast side")
+    ev_ref = ray.put(ev)  # sorted (np.union1d) — searchsorted-ready
+
+    class _Score:
+        def __init__(self):
+            self._ev = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self._ev is None:
+                self._ev = ray.get(ev_ref)
+            b = b[b["doc_id"] % DECON_EVAL_MOD != 0]
+            g, didx = _word_gram_hashes(b["text"], DECON_N)
+            out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                "n_hits": pd.Series([], dtype="int64")})
+            if not g.size or not self._ev.size:
+                return out
+            pos = np.searchsorted(self._ev, g)
+            pos[pos == self._ev.size] = 0
+            hit = self._ev[pos] == g
+            if not hit.any():
+                return out
+            n_hits = np.bincount(didx[hit], minlength=len(b))
+            keep = n_hits > 0
+            return pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy()[keep],
+                "n_hits": n_hits[keep].astype(np.int64)})
+
+    return ds.map_batches(_Score(), batch_format="pandas",
+                          batch_size=None)
+
+
+def doc_decontaminate_sql() -> str:
+    """Same semantics on gram STRINGS (hash equality == string
+    equality absent 64-bit collisions)."""
+    n1 = DECON_N - 1
+    return f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        pos AS (SELECT doc_id, ws, i FROM w, LATERAL
+                (SELECT unnest(generate_series(1, len(ws) - {n1})) AS i) s),
+        grams AS (SELECT doc_id,
+                         array_to_string(ws[i:i+{n1}], ' ') AS g
+                  FROM pos),
+        ev AS (SELECT DISTINCT g FROM grams
+               WHERE doc_id % {DECON_EVAL_MOD} = 0)
+        SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM grams JOIN ev USING (g)
+        WHERE grams.doc_id % {DECON_EVAL_MOD} <> 0
+        GROUP BY grams.doc_id
+    """
+
+
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition features per document, all integers so
+    the value-hash compare is float-free: n_words (whitespace words),
+    n_distinct, top_count (occurrences of the most frequent word),
+    max_run (longest same-word consecutive run — catches 'batch batch
+    batch' spam). Embarrassingly parallel; the kernel flattens the
+    batch's words once and does hash-groupbys + one boundary-diff run
+    encoding — no per-row Python."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        ws = b["text"].str.split(" ")
+        lens = np.fromiter((len(x) for x in ws), np.int64, len(ws))
+        flat = np.asarray([w for x in ws for w in x], dtype=object)
+        didx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        cnt = (pd.DataFrame({"d": didx, "w": flat})
+               .groupby(["d", "w"], sort=False).size())
+        byd = cnt.groupby(level=0, sort=False)
+        idx = np.arange(len(b))
+        new = np.ones(flat.size, bool)
+        if flat.size > 1:
+            new[1:] = (flat[1:] != flat[:-1]) | (didx[1:] != didx[:-1])
+        starts = np.flatnonzero(new)
+        rl = np.diff(np.append(starts, flat.size))
+        max_run = pd.Series(rl).groupby(didx[starts]).max()
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_words": lens,
+            "n_distinct": byd.size().reindex(idx, fill_value=0)
+                             .to_numpy(np.int64),
+            "top_count": byd.max().reindex(idx, fill_value=0)
+                            .to_numpy(np.int64),
+            "max_run": max_run.reindex(idx, fill_value=0)
+                              .to_numpy(np.int64)})
+
+    return ds.map_batches(stats, batch_format="pandas", batch_size=None)
+
+
+def doc_repetition_sql() -> str:
+    return """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        t AS (SELECT doc_id, i, ws[i] AS wd FROM w, LATERAL
+              (SELECT unnest(generate_series(1, len(ws))) AS i) s),
+        cnt AS (SELECT doc_id, wd, count(*) AS c
+                FROM t GROUP BY doc_id, wd),
+        stats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                         CAST(count(*) AS BIGINT) AS n_distinct,
+                         CAST(max(c) AS BIGINT) AS top_count
+                  FROM cnt GROUP BY doc_id),
+        r AS (SELECT doc_id, wd,
+                     i - row_number() OVER (PARTITION BY doc_id, wd
+                                            ORDER BY i) AS grp
+              FROM t),
+        rl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+               FROM r GROUP BY doc_id, wd, grp),
+        mr AS (SELECT doc_id, max(n) AS max_run FROM rl GROUP BY doc_id)
+        SELECT s.doc_id, s.n_words, s.n_distinct, s.top_count, m.max_run
+        FROM stats s JOIN mr m USING (doc_id)
+    """
+
+
+SOURCE_CAP_K = 10  # per-domain document cap (CommonCrawl-style)
+
+
+def doc_source_cap(sf_dir: str):
+    """Per-source document cap — the per-domain curation rule (keep
+    the first K docs per source by doc_id). Scalable k-bounded
+    decomposition like events_ordered_head: every batch keeps its own
+    per-source head-K (vectorized sort + groupby-head), so the final
+    per-source stage sees <= K x n_blocks rows regardless of corpus
+    size — never a whole source's documents in one task."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def local_cap(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.sort_values(["source", "doc_id"])
+                 .groupby("source", sort=False).head(SOURCE_CAP_K))
+
+    def final_cap(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values("doc_id").head(SOURCE_CAP_K)
+                [["doc_id", "source"]])
+
+    return (ds.map_batches(local_cap, batch_format="pandas",
+                           batch_size=None)
+            .groupby("source").map_groups(final_cap,
+                                          batch_format="pandas"))
+
+
+def doc_source_cap_sql() -> str:
+    return f"""
+        SELECT doc_id, source FROM documents
+        QUALIFY row_number() OVER (PARTITION BY source
+                                   ORDER BY doc_id) <= {SOURCE_CAP_K}
+    """
+
+
+REDACT_RE = r"\b(?:key|hash)\b"  # stand-in for PII patterns (emails,
+# phone numbers, ...) — the corpus is synthetic lowercase words, so a
+# word-boundary token list exercises the same vectorized rewrite path
+
+
+def doc_redact(sf_dir: str):
+    """Pattern redaction — the PII-scrub transform: replace every
+    match of a compiled pattern list with [MASK] and count the
+    redactions. Embarrassingly parallel rewrite: the regex compiles
+    once per worker (callable instance state), each batch is two
+    vectorized pandas str kernels (count + replace)."""
+    import re
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    class _Redact:
+        def __init__(self):
+            self.rx = re.compile(REDACT_RE)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "n_redacted": b["text"].str.count(self.rx).astype("int64"),
+                "redacted": b["text"].str.replace(self.rx, "[MASK]",
+                                                  regex=True)})
+
+    return ds.map_batches(_Redact(), batch_format="pandas",
+                          batch_size=None)
+
+
+def doc_redact_sql() -> str:
+    return rf"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{REDACT_RE}'))
+                    AS BIGINT) AS n_redacted,
+               regexp_replace(text, '{REDACT_RE}', '[MASK]', 'g')
+                   AS redacted
+        FROM documents
+    """
+
+
 def doc_corpus_curation(sf_dir: str):
     """The composed training-data curation pipeline a corpus team
     actually ships — quality gate (Gopher/C4-style length + stopword
@@ -2649,6 +2904,10 @@ QUERIES = {
     "events_pivot": events_pivot,
     "doc_chunks": doc_chunks,
     "doc_pack_sequences": doc_pack_sequences,
+    "doc_decontaminate": doc_decontaminate,
+    "doc_repetition": doc_repetition,
+    "doc_source_cap": doc_source_cap,
+    "doc_redact": doc_redact,
     "doc_corpus_curation": doc_corpus_curation,
     "events_distinct_users_hll": events_distinct_users_hll,
     "events_value_quantiles": events_value_quantiles,
@@ -2715,6 +2974,10 @@ ORACLES = {
     "orders_rollup": orders_rollup_sql(),
     "events_pivot": events_pivot_sql(),
     "doc_chunks": doc_chunks_sql(),
+    "doc_decontaminate": doc_decontaminate_sql(),
+    "doc_repetition": doc_repetition_sql(),
+    "doc_source_cap": doc_source_cap_sql(),
+    "doc_redact": doc_redact_sql(),
     "doc_corpus_curation": doc_corpus_curation_sql(),
     "doc_stratified_sample": doc_stratified_sample_sql(),
     "doc_token_stats": doc_token_stats_sql(),

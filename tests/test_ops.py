@@ -810,6 +810,73 @@ def test_stream_cli_arrow_ipc_format(tmp_path, ray_session):
     assert any("IPC" in e for e in rep["errors"])
 
 
+def test_word_gram_hashes_respect_doc_boundaries():
+    """No gram may span two documents, per-doc gram counts follow
+    max(len - n + 1, 0), and identical word windows hash identically
+    across different docs/batches (the decontamination invariant)."""
+    from kafka_delta_rs_ray.ops.queries import _word_gram_hashes
+
+    texts = pd.Series(["a b c d", "x y", "c d a b c"])
+    g, didx = _word_gram_hashes(texts, 3)
+    # doc0: 2 grams, doc1 (2 words < n): 0, doc2: 3 grams
+    assert np.bincount(didx, minlength=3).tolist() == [2, 0, 3]
+    # "b c d" (doc0 pos1) != "c d a" (doc2 pos0); "a b c" appears in
+    # doc0 pos0 AND doc2 pos2 -> same hash
+    assert g[0] == g[4] and g[1] != g[2]
+    g2, _ = _word_gram_hashes(pd.Series(["a b c"]), 3)
+    assert g2[0] == g[0]  # cross-batch determinism
+
+
+def test_decontaminate_eval_guard():
+    """A corpus-sized eval side must raise, not silently broadcast."""
+    import kafka_delta_rs_ray.ops.queries as q
+
+    old = q.DECON_MAX_EVAL_GRAMS
+    q.DECON_MAX_EVAL_GRAMS = 2
+    try:
+        with pytest.raises(ValueError, match="benchmark-sized"):
+            q.doc_decontaminate("/root/testdata/sf0.001")
+    finally:
+        q.DECON_MAX_EVAL_GRAMS = old
+
+
+def test_repetition_kernel_planted_runs(ray_session):
+    """max_run/top_count distinguish a spam run from scattered
+    repeats; single-word docs count as one word (split semantics)."""
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.ops.queries import doc_repetition
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["spam spam spam ok spam", "a b a b a", ""]})
+    import kafka_delta_rs_ray.ops.queries as q
+    orig = q._read
+    q._read = lambda sf, name, cols=None, split=None: rd.from_pandas(df)
+    try:
+        out = (doc_repetition("unused").to_pandas()
+               .set_index("doc_id").sort_index())
+    finally:
+        q._read = orig
+    assert out.loc[0].tolist() == [5, 2, 4, 3]   # words,distinct,top,run
+    assert out.loc[1].tolist() == [5, 2, 3, 1]
+    assert out.loc[2].tolist() == [1, 1, 1, 1]   # "" splits to [""]
+
+
+def test_source_cap_k_bounded(ray_session):
+    """Every source keeps exactly its first K docs by doc_id."""
+    from kafka_delta_rs_ray.ops.queries import SOURCE_CAP_K, doc_source_cap
+
+    out = doc_source_cap("/root/testdata/sf0.001").to_pandas()
+    assert (out.groupby("source").size() <= SOURCE_CAP_K).all()
+    import pyarrow.parquet as pq
+    full = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    exp = (full.sort_values("doc_id").groupby("source")
+           .head(SOURCE_CAP_K))
+    assert set(out["doc_id"]) == set(exp["doc_id"])
+
+
 def test_pack_sequences_matches_reference_greedy(ray_session):
     """Distributed token-budget packing must equal a local greedy
     reference run per bucket span: same sequence count, same per-seq
