@@ -2882,6 +2882,274 @@ def embedding_centroid_norms_sql() -> str:
     """
 
 
+# ------------------------------------------- distribution / sampling ops
+def events_user_activity_hist(sf_dir: str):
+    """Events-per-user distribution in log2 buckets — the skew-survey
+    primitive (find hot keys / power-law tails before choosing a
+    shuffle strategy). Stage 1 is Ray Data's distributed hash count
+    (pre-combining groupby — never one task per user); stage 2 folds
+    the per-user counts into ~60 histogram buckets with per-batch
+    partials, so the second exchange carries buckets, not users."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    per_user = ds.groupby("user_id").count()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["count()"].to_numpy(dtype=np.float64)
+        bucket = np.floor(np.log2(n)).astype(np.int64)
+        out = pd.DataFrame({"bucket": bucket})
+        return (out.groupby("bucket", as_index=False)
+                .agg(n_users=("bucket", "size")))
+
+    from ray.data.aggregate import Sum
+
+    out = (per_user.map_batches(partial, batch_format="pandas",
+                                batch_size=None)
+           .groupby("bucket")
+           .aggregate(Sum("n_users", alias_name="n_users")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_users"] = b["n_users"].astype("int64")
+        return b
+
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def events_user_activity_hist_sql() -> str:
+    return """
+        WITH per_user AS (
+            SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+        SELECT CAST(floor(log2(n)) AS BIGINT) AS bucket,
+               count(*) AS n_users
+        FROM per_user GROUP BY 1
+    """
+
+
+def events_session_size_hist(sf_dir: str):
+    """Session-size distribution — composes the sessionize operator
+    (gap-based windows, user-co-located shuffle) with a second
+    bucket-count reduction; integers end to end, so the oracle is
+    exact. The histogram exchange moves ≤ distinct-size rows per
+    batch."""
+    sess = events_sessionize(sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("n_events", as_index=False)
+                .agg(n_sessions=("n_events", "size")))
+
+    from ray.data.aggregate import Sum
+
+    out = (sess.map_batches(partial, batch_format="pandas",
+                            batch_size=None)
+           .groupby("n_events")
+           .aggregate(Sum("n_sessions", alias_name="n_sessions")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_sessions"] = b["n_sessions"].astype("int64")
+        return b
+
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def events_session_size_hist_sql() -> str:
+    return """
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
+            FROM marked
+        ), sizes AS (
+            SELECT user_id, session_id, count(*) AS n_events
+            FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT n_events, count(*) AS n_sessions
+        FROM sizes GROUP BY n_events
+    """
+
+
+def orders_yoy_growth(sf_dir: str):
+    """Year-over-year revenue growth: per-batch partial sums by year,
+    one tiny groupby, then a ~7-row driver-side LAG — the output (and
+    the driver state) is O(#years) regardless of corpus size. Growth
+    is computed from the ROUNDED yearly sums in both systems so the
+    division sees bit-identical inputs."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "year": b["o_orderdate"].dt.year.astype("int64"),
+            "rev": b["o_totalprice"],
+        })
+        return out.groupby("year", as_index=False).agg(rev=("rev", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    yearly = (ds.map_batches(partial, batch_format="pandas",
+                             batch_size=None)
+              .groupby("year").aggregate(Sum("rev", alias_name="rev"))
+              .to_pandas())  # O(#years) rows — driver-safe
+    yearly = yearly.sort_values("year").reset_index(drop=True)
+    yearly["revenue"] = yearly["rev"].round(4)
+    growth = yearly["revenue"] / yearly["revenue"].shift() - 1.0
+    yearly["yoy_growth"] = growth.round(6).fillna(0.0)  # first year: 0
+    return pa.Table.from_pandas(
+        yearly[["year", "revenue", "yoy_growth"]], preserve_index=False)
+
+
+def orders_yoy_growth_sql() -> str:
+    return """
+        WITH yearly AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM orders GROUP BY 1)
+        SELECT year, revenue,
+               coalesce(round(revenue / lag(revenue) OVER (ORDER BY year)
+                              - 1, 6), 0.0) AS yoy_growth
+        FROM yearly
+    """
+
+
+def events_anomaly_zscore(sf_dir: str):
+    """Per-type z-score outliers (|z| > 3) — the two-pass broadcast
+    pattern: pass 1 reduces the corpus to O(#types) moment rows
+    (n, sum, sumsq per event_type, mergeable partials), the driver
+    derives mean/stddev_samp and broadcasts the tiny dict; pass 2
+    streams the corpus once more and filters vectorized. No shuffle
+    of event rows at any point."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"]
+        out = b.assign(sq=v * v).groupby("event_type", as_index=False).agg(
+            n=("value", "size"), s=("value", "sum"), s2=("sq", "sum"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    from ray.data.aggregate import Sum
+
+    m = (ds.map_batches(moments, batch_format="pandas", batch_size=None)
+         .groupby("event_type")
+         .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                    Sum("s2", alias_name="s2"))
+         .to_pandas())  # O(#event types)
+    mu = m["s"] / m["n"]
+    var = (m["s2"] - m["s"] * m["s"] / m["n"]) / (m["n"] - 1)
+    mu_map = dict(zip(m["event_type"], mu.astype(float)))
+    sd_map = dict(zip(m["event_type"], np.sqrt(var).astype(float)))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        mus = b["event_type"].map(mu_map).to_numpy(dtype=np.float64)
+        sds = b["event_type"].map(sd_map).to_numpy(dtype=np.float64)
+        z = (b["value"].to_numpy() - mus) / sds
+        keep = np.abs(z) > 3.0
+        out = b.loc[keep, ["event_id", "event_type", "value"]].copy()
+        out["z"] = np.round(z[keep], 4)
+        return out
+
+    return ds.map_batches(flag, batch_format="pandas", batch_size=None)
+
+
+def events_anomaly_zscore_sql() -> str:
+    return """
+        WITH stats AS (
+            SELECT event_type, avg(value) AS mu,
+                   stddev_samp(value) AS sd
+            FROM events GROUP BY event_type)
+        SELECT e.event_id, e.event_type, e.value,
+               round((e.value - s.mu) / s.sd, 4) AS z
+        FROM events e JOIN stats s USING (event_type)
+        WHERE abs((e.value - s.mu) / s.sd) > 3
+    """
+
+
+_WS_K = 500  # weighted-sample size
+
+
+def doc_weighted_sample(sf_dir: str):
+    """Deterministic weight-proportional sample (k = 500 docs, weight
+    = n_chars): an integer-exact Efraimidis-Spirakis-style priority
+    race — u = mix64(doc_id) (63-bit), priority = u // weight, keep
+    the k SMALLEST priorities. Larger weights shrink the priority, so
+    selection probability grows with weight, while pure integer math
+    makes the DuckDB oracle bit-exact (no pow/log libm drift).
+    Scalable top-k decomposition: each batch keeps its own k best,
+    then one k×n_blocks-row global sort."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        w = np.maximum(b["n_chars"].to_numpy(zero_copy_only=False), 1)
+        h = ids.astype(np.uint64) * _MIX64
+        h ^= h >> np.uint64(32)
+        prio = ((h >> np.uint64(1)) // w.astype(np.uint64)).astype(np.int64)
+        order = np.lexsort((ids, prio))[:_WS_K]
+        return pa.table({"doc_id": ids[order], "priority": prio[order]})
+
+    return (ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=None)
+            .sort(["priority", "doc_id"]).limit(_WS_K))
+
+
+def doc_weighted_sample_sql() -> str:
+    # same mix64 in HUGEINT arithmetic: x*C mod 2^64, xorshift-32,
+    # drop to 63 bits, divide by the weight
+    return f"""
+        WITH pri AS (
+            SELECT doc_id,
+                   CAST(((xor(h, h // 4294967296)) // 2)
+                        // greatest(n_chars, 1) AS BIGINT) AS priority
+            FROM (SELECT doc_id, n_chars,
+                         (CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                             % 18446744073709551616 AS h
+                  FROM documents))
+        SELECT doc_id, priority FROM pri
+        ORDER BY priority, doc_id LIMIT {_WS_K}
+    """
+
+
+def doc_quality_filter(sf_dir: str):
+    """Corpus-relative quality gate: keep documents at or above the
+    75th percentile of word count — threshold from the exact
+    distributed quantile engine (histogram refinement, no global
+    sort), then one broadcast-threshold streaming filter. The pattern
+    for any 'top-X% of corpus by score' curation rule."""
+    from .quantiles import quantiles_disc
+    from .textops import QualityScore
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(QualityScore(), batch_format="pandas")
+          .select_columns(["doc_id", "n_words"]))
+    qt = quantiles_disc(ds, "n_words", [0.75])
+    thr = float(qt["value"][0].as_py())
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(b["n_words"], int(thr)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def doc_quality_filter_sql() -> str:
+    return r"""
+        WITH q AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_words
+            FROM documents)
+        SELECT doc_id, n_words FROM q
+        WHERE n_words >= (SELECT percentile_disc(0.75)
+                              WITHIN GROUP (ORDER BY n_words) FROM q)
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     "events_first_wins": events_first_wins,
@@ -2943,6 +3211,12 @@ QUERIES = {
     "embedding_knn_graph_ivf": embedding_knn_graph_ivf,
     "embedding_near_dup": embedding_near_dup,
     "embedding_centroid_norms": embedding_centroid_norms,
+    "events_user_activity_hist": events_user_activity_hist,
+    "events_session_size_hist": events_session_size_hist,
+    "orders_yoy_growth": orders_yoy_growth,
+    "events_anomaly_zscore": events_anomaly_zscore,
+    "doc_weighted_sample": doc_weighted_sample,
+    "doc_quality_filter": doc_quality_filter,
 }
 
 ORACLES = {
@@ -2998,4 +3272,10 @@ ORACLES = {
     "embedding_knn": embedding_knn_sql(),
     "embedding_knn_graph": embedding_knn_graph_sql(),
     "embedding_centroid_norms": embedding_centroid_norms_sql(),
+    "events_user_activity_hist": events_user_activity_hist_sql(),
+    "events_session_size_hist": events_session_size_hist_sql(),
+    "orders_yoy_growth": orders_yoy_growth_sql(),
+    "events_anomaly_zscore": events_anomaly_zscore_sql(),
+    "doc_weighted_sample": doc_weighted_sample_sql(),
+    "doc_quality_filter": doc_quality_filter_sql(),
 }
