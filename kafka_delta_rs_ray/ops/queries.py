@@ -3138,6 +3138,21 @@ def doc_quality_filter(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
 
 
+def doc_perplexity(sf_dir: str):
+    """CCNet-style perplexity filter: pass 1 trains a byte-bigram LM
+    on the corpus (map-side bincount combiners → one 64Ki-row groupby
+    — driver state is a fixed 512 KB cost table at ANY corpus size),
+    pass 2 broadcasts the table and scores every document's
+    bits-per-bigram in one vectorized reduceat sweep. Deterministic;
+    rows-only (byte-level LM training is not SQL-expressible) with
+    the distributed-vs-local equivalence pinned in tests."""
+    from .textops import PerplexityScore, train_bigram_lm
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bits = train_bigram_lm(ds)
+    return ds.map_batches(PerplexityScore(bits), batch_format="pandas")
+
+
 def doc_quality_filter_sql() -> str:
     return r"""
         WITH q AS (
@@ -3217,6 +3232,7 @@ QUERIES = {
     "events_anomaly_zscore": events_anomaly_zscore,
     "doc_weighted_sample": doc_weighted_sample,
     "doc_quality_filter": doc_quality_filter,
+    "doc_perplexity": doc_perplexity,
 }
 
 ORACLES = {

@@ -165,3 +165,95 @@ class Fingerprint:
             fps = self._fp_batch(batch["text"].tolist())
         return pd.DataFrame({"doc_id": batch["doc_id"],
                              "fingerprint": fps})
+
+
+class BigramPartial:
+    """Map-side combiner for the corpus byte-bigram language model
+    (pass 1 of the CCNet-style perplexity filter): each batch's texts
+    are concatenated once, UTF-8 byte bigrams computed in one
+    vectorized pass (b0*256+b1 → a 65,536-slot space, no hashing
+    needed), pairs straddling document boundaries masked out, and the
+    batch reduced to its nonzero (bigram, n) rows — the exchange
+    carries ≤ 64Ki rows per batch regardless of text volume, and the
+    global reduce is one vocabulary-sized groupby sum."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("").tolist()
+        blob = "\x00".join(texts).encode("utf-8", "surrogatepass")
+        a = np.frombuffer(blob, dtype=np.uint8)
+        if a.size < 2:
+            return pd.DataFrame({"bigram": np.array([], dtype=np.int64),
+                                 "n": np.array([], dtype=np.int64)})
+        big = a[:-1].astype(np.int32) * 256 + a[1:]
+        # drop pairs touching the \x00 separators
+        keep = (a[:-1] != 0) & (a[1:] != 0)
+        counts = np.bincount(big[keep], minlength=65536)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame({"bigram": nz.astype(np.int64),
+                             "n": counts[nz].astype(np.int64)})
+
+
+def train_bigram_lm(ds) -> np.ndarray:
+    """Reduce a documents Dataset to a 65,536-entry byte-bigram
+    cost table (bits per bigram, add-one smoothed, conditioned on the
+    first byte: -log2 p(b1|b0)). The driver holds O(64Ki) state — a
+    512 KB table independent of corpus size — and callers broadcast
+    it into pass 2 (ray.put on a real cluster; closure capture is
+    equivalent single-node)."""
+    from ray.data.aggregate import Sum
+
+    parts = (ds.map_batches(BigramPartial(), batch_format="pandas",
+                            batch_size=None)
+             .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())  # ≤ 64Ki rows by construction
+    counts = np.zeros(65536, dtype=np.float64)
+    counts[parts["bigram"].to_numpy()] = parts["n"].to_numpy()
+    ctx = counts.reshape(256, 256)
+    # p(b1|b0) with add-one smoothing over the 256-way continuation
+    denom = ctx.sum(axis=1, keepdims=True) + 256.0
+    bits = -np.log2((ctx + 1.0) / denom)
+    return bits.reshape(-1)
+
+
+class PerplexityScore:
+    """Pass 2: per-document bits-per-bigram under the broadcast
+    corpus model — np.add.reduceat over the batch's concatenated
+    bigram costs, no per-document Python loop. Documents scoring far
+    above the corpus-typical rate (gibberish, binary junk, wrong
+    encoding) are the ones a CCNet-style filter drops; ``keep``
+    thresholds at KEEP_BITS bits/bigram."""
+
+    KEEP_BITS = 6.0
+
+    def __init__(self, bits_table: np.ndarray):
+        self.bits = np.asarray(bits_table, dtype=np.float64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("").tolist()
+        enc = [t.encode("utf-8", "surrogatepass") for t in texts]
+        lens = np.array([len(b) for b in enc], dtype=np.int64)
+        blob = b"\x00".join(enc)
+        a = np.frombuffer(blob, dtype=np.uint8)
+        n_docs = len(texts)
+        n_big = np.maximum(lens - 1, 0)
+        if a.size >= 2:
+            big = a[:-1].astype(np.int32) * 256 + a[1:]
+            cost = self.bits[big]
+            cost[(a[:-1] == 0) | (a[1:] == 0)] = 0.0
+            # each doc d occupies [off_d, off_d + len_d) in the blob;
+            # its bigrams are the first len_d - 1 positions
+            offs = np.concatenate(([0], (np.cumsum(lens + 1))[:-1]))
+            starts = np.minimum(offs, cost.size - 1)
+            totals = np.add.reduceat(cost, starts) if n_docs else np.array([])
+            # reduceat includes the doc's own separator-masked tail, which
+            # is already zeroed, so totals are exact per-doc sums
+        else:
+            totals = np.zeros(n_docs)
+        bpb = np.divide(totals, n_big, out=np.zeros(n_docs, dtype=np.float64),
+                        where=n_big > 0)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_bigrams": n_big,
+            "bits_per_bigram": np.round(bpb, 6),
+            "keep": bpb <= self.KEEP_BITS,
+        })

@@ -1007,3 +1007,52 @@ def test_semdedup_prunes_planted_duplicates(ray_session):
 
     out2 = semdedup(ds, threshold=1.01, n_centroids=4).to_pandas()
     assert out2["kept"].all()               # nothing exceeds sim > 1
+
+
+def test_perplexity_matches_local_reference(ray_session):
+    """Distributed bigram-LM training + reduceat scoring must equal a
+    plain per-document Python reference (same smoothing, same byte
+    bigrams) — pins both passes of the CCNet-style filter."""
+    import math
+
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.ops.textops import (PerplexityScore,
+                                                train_bigram_lm)
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+             "\x7f\x01\x02\x03 binary-ish junk \x05\x06",
+             "une phrase en francais avec des mots",
+             "", "x"]
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(docs).repartition(3)
+
+    bits = train_bigram_lm(ds)
+    out = (ds.map_batches(PerplexityScore(bits), batch_format="pandas")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # local reference: count bigrams, add-one smoothed conditional
+    counts = {}
+    for t in texts:
+        b = t.encode("utf-8")
+        for i in range(len(b) - 1):
+            counts[(b[i], b[i + 1])] = counts.get((b[i], b[i + 1]), 0) + 1
+    row_tot = {}
+    for (b0, _), n in counts.items():
+        row_tot[b0] = row_tot.get(b0, 0) + n
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        n_big = max(len(b) - 1, 0)
+        assert int(out.loc[i, "n_bigrams"]) == n_big
+        if n_big == 0:
+            assert out.loc[i, "bits_per_bigram"] == 0.0
+            continue
+        tot = 0.0
+        for j in range(n_big):
+            p = (counts.get((b[j], b[j + 1]), 0) + 1.0) / \
+                (row_tot.get(b[j], 0) + 256.0)
+            tot += -math.log2(p)
+        assert abs(out.loc[i, "bits_per_bigram"] - tot / n_big) < 1e-6, i
+    # the repetitive and binary docs should score differently from prose
+    assert out.loc[1, "bits_per_bigram"] < out.loc[0, "bits_per_bigram"]
