@@ -63,6 +63,24 @@ def expire(table: Table, keep_last: int = 2,
             # fragment-list shard files are part of its closure
             reachable.update(m.shard_paths())
 
+        # other lines (branches when expiring main; main + sibling
+        # branches when expiring a branch) are live writable refs:
+        # their ENTIRE closure stays reachable — only delete_branch
+        # releases a line. Without this, expiring main would sweep
+        # data/shard files that only a branch still references.
+        main = Table(table.root) if table.is_branch else table
+        other_lines = [main] if table.is_branch else []
+        other_lines += [main.branch(b) for b in main.branches()
+                        if not (table.is_branch
+                                and b == table.branch_name)]
+        for line in other_lines:
+            for v in line.versions():
+                m = line.read_manifest(v)
+                for f in m.fragments:
+                    reachable.add(f.path)
+                    reachable.update(f.delete_paths)
+                reachable.update(m.shard_paths())
+
         removed_files: list[str] = []
         kept_young = 0
         now = time.time()

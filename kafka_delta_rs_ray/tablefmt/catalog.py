@@ -149,7 +149,9 @@ class Table:
 
         @contextlib.contextmanager
         def _lock():
-            path = os.path.join(self._manifest_dir(), ".gc.lock")
+            # always the MAIN line's lock file, so branch handles and
+            # the main handle serialize against the same GC
+            path = os.path.join(self.root, "manifest", ".gc.lock")
             with open(path, "w") as f:
                 fcntl.flock(f, fcntl.LOCK_EX)
                 try:
@@ -253,6 +255,123 @@ class Table:
             raise StateError(f"no such tag {name!r}")
         os.unlink(path)
 
+    # -- branches (named WRITABLE refs; Iceberg-style) ----------------------
+    is_branch = False
+
+    def _branches_dir(self) -> str:
+        # branches always hang off the MAIN manifest dir, even when
+        # called through a branch handle (no nested branches)
+        return os.path.join(self.root, "manifest", "branches")
+
+    def branches(self) -> list[str]:
+        d = self._branches_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(n for n in os.listdir(d)
+                      if os.path.isdir(os.path.join(d, n)))
+
+    def create_branch(self, name: str,
+                      version: int | None = None) -> "BranchTable":
+        """Fork a writable line from ``version`` (default latest).
+
+        A branch is its own manifest sequence under
+        ``manifest/branches/<name>/`` sharing the table's data files:
+        the seed manifest is a HARD LINK of the base version's doc
+        (zero copy, shared shard files — all file paths are
+        root-relative), and every pipeline (append/merge/compact/
+        cluster) works on the branch handle unchanged because the
+        whole engine resolves state through ``_manifest_dir()``.
+        Commits on a branch never touch the main line; ``expire`` on
+        any line retains every OTHER line's full closure. Publication
+        is atomic (temp dir + rename), so readers never observe a
+        half-created branch."""
+        import re as _re
+        import shutil
+
+        if self.is_branch:
+            raise StateError("nested branches are not supported; "
+                             "branch from the main table")
+        if not _re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(f"bad branch name {name!r} "
+                             f"(allowed: [A-Za-z0-9._-], max 64)")
+        v = self.latest_version() if version is None else int(version)
+        if not os.path.exists(self.manifest_path(v)):
+            raise StateError(f"cannot branch from missing version {v}")
+        bdir = os.path.join(self._branches_dir(), name)
+        if os.path.isdir(bdir):
+            raise StateError(f"branch {name!r} already exists")
+        os.makedirs(self._branches_dir(), exist_ok=True)
+        tmp = tempfile.mkdtemp(dir=self._branches_dir(),
+                               prefix=f".tmp-{name}-")
+        try:
+            # seed = hard link of the base manifest: the branch keeps
+            # base's snapshot alive even after main expires it
+            os.link(self.manifest_path(v),
+                    os.path.join(tmp, os.path.basename(
+                        self.manifest_path(v))))
+            try:
+                os.rename(tmp, bdir)  # atomic: branch appears complete
+            except OSError:
+                raise StateError(
+                    f"branch {name!r} already exists") from None
+        finally:
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
+        return self.branch(name)
+
+    def branch(self, name: str) -> "BranchTable":
+        return BranchTable(self.root, name)
+
+    def delete_branch(self, name: str) -> None:
+        """Drop a branch line. Its manifests disappear immediately;
+        data/shard files unique to the branch become unreachable and
+        are swept by the next ``expire``. Runs under the gc lock so a
+        concurrent expire never sees a half-deleted line."""
+        import shutil
+
+        bdir = os.path.join(self._branches_dir(), name)
+        if not os.path.isdir(bdir):
+            raise StateError(f"no such branch {name!r}")
+        with self.gc_lock():
+            tmp = bdir + f".deleting-{uuid.uuid4().hex[:8]}"
+            os.rename(bdir, tmp)  # atomic disappearance
+            shutil.rmtree(tmp)
+
+    def merge_branch(self, name: str) -> "Manifest":
+        """Fast-forward the MAIN line to a branch's latest state.
+
+        Allowed only when main has not advanced past the branch's
+        fork point (true fast-forward — the branch state already
+        contains main's); otherwise raises CommitConflict and the
+        caller rebases by re-running its maintenance on a fresh
+        branch. The merge is one ordinary optimistic commit publishing
+        the branch's manifest content as main's next version, so it
+        inherits CAS atomicity, snapshot isolation and the txn ledger
+        (exactly-once watermarks travel with the branch)."""
+        if self.is_branch:
+            raise StateError("merge_branch runs on the main handle")
+        bt = self.branch(name)
+        bvs = bt.versions()
+        fork = bvs[0]  # the seed version == main version at fork time
+        bm = bt.read_manifest(bvs[-1])
+
+        def build(latest: Manifest) -> Manifest | None:
+            if latest.version > fork:
+                raise CommitConflict(
+                    f"main advanced to v{latest.version} past branch "
+                    f"{name!r}'s fork point v{fork}; fast-forward "
+                    f"merge only — re-branch and replay")
+            if bvs[-1] == fork:
+                return None  # branch never committed: merge is a no-op
+            return Manifest(
+                version=0, parent=None, kind="branch_merge",
+                schema=bm.schema, fragments=list(bm.fragments),
+                txn=dict(bm.txn),
+                properties={**bm.properties, "merged_branch": name,
+                            "merged_branch_version": bvs[-1]})
+
+        return self.commit(build)
+
     def snapshot(self, version: int | None = None,
                  as_of: float | None = None,
                  tag: str | None = None) -> Snapshot:
@@ -331,3 +450,24 @@ class Table:
                 continue
         raise CommitConflict(
             f"commit failed after {max_attempts} attempts: {last_err}")
+
+
+class BranchTable(Table):
+    """Handle to one branch line: identical engine surface to
+    ``Table`` (snapshot/commit/history/pipelines all resolve through
+    ``_manifest_dir()``), rooted at ``manifest/branches/<name>/``.
+    Data, delete and shard files are shared with the main line —
+    file paths are root-relative, so reads and commits resolve
+    against the same table root."""
+
+    is_branch = True
+
+    def __init__(self, root: str, name: str):
+        self.root = os.path.abspath(root)
+        self.branch_name = name
+        if not os.path.isdir(self._manifest_dir()):
+            raise StateError(f"no such branch {name!r} in {root}")
+
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "manifest", "branches",
+                            self.branch_name)

@@ -497,3 +497,113 @@ def test_leaf_paths_match_parquet_column_paths(tmp_path):
               for i in range(md.num_columns)}
     computed = set(fragment_compression(schema))
     assert computed == actual, (computed - actual, actual - computed)
+
+
+# -------------------------------------------------------------- branches
+def test_branch_isolation_and_ff_merge(table, ray_session):
+    """Writable branch: commits on the branch never touch main; a
+    fast-forward merge publishes the branch state (and its txn
+    ledger) as main's next version."""
+    append(table, image_dataset(30, batch_size=30),
+           target_fragment_rows=30)
+    b = table.create_branch("dev")
+    assert table.branches() == ["dev"]
+    assert b.snapshot().dataset().count() == 30  # seeded from main
+
+    extra = image_dataset(10, seed=7, batch_size=10).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("image_id"), "image_id",
+            [[f"dev-{x}" for x in t["image_id"].to_pylist()]]),
+        batch_format="pyarrow")
+    append(b, extra, target_fragment_rows=10)
+    assert b.snapshot().dataset().count() == 40
+    assert table.snapshot().dataset().count() == 30  # main untouched
+    assert table.latest_version() == 1
+
+    m = table.merge_branch("dev")
+    assert m.kind == "branch_merge"
+    assert m.properties["merged_branch"] == "dev"
+    assert table.snapshot().dataset().count() == 40
+    ids = set(table.snapshot().dataset().select_columns(
+        ["image_id"]).to_pandas()["image_id"])
+    assert any(i.startswith("dev-") for i in ids)
+
+
+def test_branch_merge_conflict_and_noop(table, ray_session):
+    append(table, image_dataset(20, batch_size=20),
+           target_fragment_rows=20)
+    table.create_branch("idle")  # no commits on it → merge is a no-op
+    assert table.merge_branch("idle") is None
+
+    b = table.create_branch("stale")
+    append(b, image_dataset(5, seed=3, batch_size=5),
+           target_fragment_rows=5)
+    # main advances past the fork point → fast-forward impossible
+    append(table, image_dataset(5, seed=4, batch_size=5),
+           target_fragment_rows=5)
+    from kafka_delta_rs_ray.errors import CommitConflict
+    with pytest.raises(CommitConflict, match="fork point"):
+        table.merge_branch("stale")
+
+
+def test_branch_guards(table):
+    with pytest.raises(Exception, match="bad branch name"):
+        table.create_branch("no/slashes")
+    table.create_branch("dup")
+    from kafka_delta_rs_ray.errors import StateError
+    with pytest.raises(StateError, match="already exists"):
+        table.create_branch("dup")
+    with pytest.raises(StateError, match="nested"):
+        table.branch("dup").create_branch("nested")
+    with pytest.raises(StateError, match="no such branch"):
+        table.branch("ghost")
+
+
+def test_expire_retains_branch_closure(table, ray_session):
+    """Expire on main must keep files that only a branch references —
+    and sweep them once the branch is deleted."""
+    from kafka_delta_rs_ray.pipelines.expire import expire
+
+    append(table, image_dataset(20, batch_size=20),
+           target_fragment_rows=20)
+    b = table.create_branch("keepme")
+    append(b, image_dataset(6, seed=9, batch_size=6).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("image_id"), "image_id",
+            [[f"br-{x}" for x in t["image_id"].to_pylist()]]),
+        batch_format="pyarrow"), target_fragment_rows=6)
+    branch_frag_paths = [f.path for f in b.read_manifest().fragments
+                         if f.path not in
+                         {g.path for g in table.read_manifest().fragments}]
+    assert branch_frag_paths
+    # churn main so expire has something to drop
+    append(table, image_dataset(4, seed=5, batch_size=4),
+           target_fragment_rows=4)
+    rep = expire(table, keep_last=1, min_age_seconds=0)
+    for p in branch_frag_paths:
+        assert p not in rep["removed_files"]
+    assert b.snapshot().dataset().count() == 26  # branch scan intact
+
+    table.delete_branch("keepme")
+    assert table.branches() == []
+    rep2 = expire(table, keep_last=1, min_age_seconds=0)
+    for p in branch_frag_paths:
+        assert p in rep2["removed_files"]
+
+
+def test_expire_on_branch_handle_keeps_main(table, ray_session):
+    from kafka_delta_rs_ray.pipelines.expire import expire
+
+    append(table, image_dataset(12, batch_size=12),
+           target_fragment_rows=12)
+    b = table.create_branch("work")
+    for s in (21, 22):
+        append(b, image_dataset(3, seed=s, batch_size=3).map_batches(
+            lambda t, s=s: t.set_column(
+                t.schema.get_field_index("image_id"), "image_id",
+                [[f"w{s}-{x}" for x in t["image_id"].to_pylist()]]),
+            batch_format="pyarrow"), target_fragment_rows=3)
+    rep = expire(b, keep_last=1, min_age_seconds=0)
+    assert rep["expired_versions"]  # old branch versions dropped
+    assert table.snapshot().dataset().count() == 12  # main intact
+    assert b.snapshot().dataset().count() == 18
