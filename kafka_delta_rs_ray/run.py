@@ -42,6 +42,34 @@ def run(cfg: MaintenanceConfig) -> dict:
     from .pipelines import delete as dl
 
     table = Table(cfg.table_root)
+    if cfg.job == "branch":
+        # branch management: options.action = create|merge|delete|list
+        # (write-audit-publish: run maintenance jobs with
+        # options.branch=<name>, audit the branch snapshot, then
+        # action=merge to fast-forward main)
+        action = cfg.options.get("action", "list")
+        name = cfg.options.get("name")
+        if action == "list":
+            return {"job": "branch", "branches": table.branches()}
+        if not name:
+            raise ValueError("branch job needs options.name")
+        if action == "create":
+            bv = cfg.options.get("from_version")
+            table.create_branch(name, None if bv is None else int(bv))
+            return {"job": "branch", "created": name,
+                    "versions": table.branch(name).versions()}
+        if action == "merge":
+            m = table.merge_branch(name)
+            return {"job": "branch", "merged": name,
+                    "version": None if m is None else m.version}
+        if action == "delete":
+            table.delete_branch(name)
+            return {"job": "branch", "deleted": name}
+        raise ValueError(f"unknown branch action {action!r}")
+    if cfg.options.get("branch"):
+        # any maintenance job can target a branch line (write-audit-
+        # publish): identical engine path, isolated commits
+        table = table.branch(str(cfg.options["branch"]))
     if cfg.job == "history":
         return {"job": "history", "history": table.history()}
     if cfg.job == "metrics":

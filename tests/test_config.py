@@ -239,3 +239,44 @@ def test_stream_job_json_feed(tmp_path, ray_session):
         "message_format": "avro"}))
     with pytest.raises(ConfigError, match="message_format"):
         MaintenanceConfig.load(str(bad))
+
+
+def test_branch_job_cli_end_to_end(tmp_path, ray_session):
+    """Write-audit-publish through the CLI: create a branch, compact
+    it via options.branch, fast-forward merge, delete."""
+    from kafka_delta_rs_ray.config import MaintenanceConfig
+    from kafka_delta_rs_ray.pipelines.ingest import append
+    from kafka_delta_rs_ray.pipelines.synth import image_dataset
+    from kafka_delta_rs_ray.run import run
+    from kafka_delta_rs_ray.tablefmt import IMAGE_SCHEMA, Table
+
+    t = Table.create(str(tmp_path / "t"), IMAGE_SCHEMA)
+    append(t, image_dataset(24, batch_size=6), target_fragment_rows=6)
+    pre = t.snapshot().dataset().to_pandas().sort_values(
+        "image_id").reset_index(drop=True)
+
+    def cfg(body: str, name: str) -> MaintenanceConfig:
+        p = tmp_path / name
+        p.write_text(f"table_root: {t.root}\n{body}")
+        return MaintenanceConfig.load(str(p))
+
+    out = run(cfg("job: branch\noptions:\n  action: create\n"
+                  "  name: audit\n", "b1.yaml"))
+    assert out["created"] == "audit"
+    assert run(cfg("job: branch\n", "b2.yaml"))["branches"] == ["audit"]
+
+    out = run(cfg("job: compact\noptions:\n  branch: audit\n", "b3.yaml"))
+    # compaction committed on the branch only
+    assert t.latest_version() == 1
+    assert t.branch("audit").latest_version() == 2
+
+    out = run(cfg("job: branch\noptions:\n  action: merge\n"
+                  "  name: audit\n", "b4.yaml"))
+    assert out["version"] == 2
+    post = t.snapshot().dataset().to_pandas().sort_values(
+        "image_id").reset_index(drop=True)
+    assert pre.equals(post)  # scan identity across the WAP cycle
+
+    run(cfg("job: branch\noptions:\n  action: delete\n  name: audit\n",
+            "b5.yaml"))
+    assert t.branches() == []
