@@ -69,7 +69,8 @@ def _sample_boundaries(snap, prune, n_buckets: int,
                        hot_factor: float = 4.0,
                        salt_buckets: int = 4096,
                        curve: str = "morton",
-                       keyspec: dict | None = None):
+                       keyspec: dict | None = None,
+                       fragment_ids: set | None = None):
     """Equal-frequency zcode boundaries + hot-bucket split factors.
 
     I/O is bounded BY CONSTRUCTION, not by post-read sampling: at most
@@ -82,7 +83,7 @@ def _sample_boundaries(snap, prune, n_buckets: int,
     """
     import ray
 
-    frags = snap._select_fragments(prune)
+    frags = snap._select_fragments(prune, ids=fragment_ids)
     stride = max(1, len(frags) // MAX_BOUNDARY_FRAGMENTS)
     chosen = frags[::stride][:MAX_BOUNDARY_FRAGMENTS]
 
@@ -214,7 +215,8 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
             curve: str = "morton",
             target_fragment_bytes: int | None = None,
             key_cols: list | None = None,
-            salt_col: str = "image_id") -> Manifest | None:
+            salt_col: str = "image_id",
+            incremental: bool = False) -> Manifest | None:
     """Cluster the live table (or a zone-map-pruned slice) by zcode.
 
     ``curve``: "morton" (Z-order) or "hilbert" — the space-filling
@@ -232,16 +234,33 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
 
     ``target_fragment_bytes``: when set, fragment slices are bounded
     by payload bytes as well as rows (see _SortWriteBucket) — use for
-    tables whose row size varies widely (mixed image resolutions)."""
+    tables whose row size varies widely (mixed image resolutions).
+
+    ``incremental``: rewrite ONLY the fragments that violate the
+    existing layout — not zcode-sorted (appends since the last
+    cluster) or carrying delete files — into a fresh sorted run,
+    leaving already-sorted clean fragments untouched. Work is
+    O(new data), not O(table): the tiered strategy every 100-TB
+    table needs between full reclusters (sorted runs may overlap in
+    zcode range, which costs some scan-prune efficiency until the
+    autopilot's selectivity signal triggers a full pass). Returns
+    None (no commit) when the layout is already fully clustered."""
     ctx = RunContext(table.root, run_id, job="cluster")
     snap = table.snapshot()
     if not snap.manifest.fragments:
         return None
+    sel_ids: set | None = None
+    if incremental:
+        dirty = [f for f in snap.manifest.fragments
+                 if f.sorted_by != "zcode" or f.delete_paths]
+        if not dirty:
+            return None  # layout quiesced — nothing to rewrite
+        sel_ids = {f.id for f in dirty}
     t0 = time.time()
 
     keyspec = None
     if key_cols is not None:
-        frags_sel = snap._select_fragments(prune)
+        frags_sel = snap._select_fragments(prune, ids=sel_ids)
         mins, maxs = [], []
         for c in key_cols:
             stats = [f.stats.get(c) for f in frags_sel]
@@ -260,7 +279,8 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
             maxs.append(max(s["max"] for s in stats))
         keyspec = make_keyspec(key_cols, mins, maxs, salt_col=salt_col)
 
-    rows_est = max(1, snap.manifest.total_rows())
+    rows_est = max(1, (sum(f.rows for f in dirty) if incremental
+                       else snap.manifest.total_rows()))
 
     if strategy == "range":
         import ray
@@ -271,7 +291,8 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
                                       // max(1, target_fragment_rows))))
         bounds, hot = _sample_boundaries(snap, prune, n_buckets,
                                          salt_buckets=salt_buckets,
-                                         curve=curve, keyspec=keyspec)
+                                         curve=curve, keyspec=keyspec,
+                                         fragment_ids=sel_ids)
         bref = ray.put((bounds, hot))
         # hash exchange on bucket (scoped): a plain streaming shuffle —
         # no giant merge-sorted blocks. Reducer-side concurrency is
@@ -303,7 +324,7 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
             return sw(g)
 
         try:
-            ds = snap.dataset(prune=prune)
+            ds = snap.dataset(prune=prune, fragment_ids=sel_ids)
             # coalesce read blocks into ~2k-row blocks BEFORE the
             # shuffle: the hash exchange sends one slice per (block,
             # partition) pair, so many tiny read blocks turn into tens
@@ -338,7 +359,7 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
     else:
         n_parts = min(MAX_SORT_PARTITIONS,
                       max(8, rows_est // max(1, target_fragment_rows)))
-        ds = snap.dataset(prune=prune)
+        ds = snap.dataset(prune=prune, fragment_ids=sel_ids)
         ds = ds.map_batches(lambda b: add_zorder_keys(b, salt_buckets,
                                                       curve=curve,
                                                       keyspec=keyspec),
@@ -369,13 +390,14 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
             # image-schema curve: a stale generic-keys claim from an
             # earlier run must not survive into this manifest
             props.pop("cluster_key_cols", None)
-        if prune is None:
+        if prune is None and sel_ids is None:
             frags = list(new_frags)
             # every fragment was rewritten at the current schema, so
             # old-fragment null-fill (schema_evolved) is no longer needed
             props.pop("schema_evolved", None)
         else:  # only the scanned slice was rewritten
-            scanned = {f.id for f in snap._select_fragments(prune)}
+            scanned = {f.id for f in
+                       snap._select_fragments(prune, ids=sel_ids)}
             frags = [f for f in latest.fragments if f.id not in scanned]
             frags += new_frags
         return Manifest(version=-1, parent=None, kind="cluster",
@@ -388,6 +410,7 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
                    fragments_out=len(new_frags),
                    strategy=strategy,
                    curve=curve,
+                   incremental=incremental,
                    sort_partitions=int(n_parts),
                    salt_buckets=salt_buckets,
                    seconds=time.time() - t0,

@@ -174,7 +174,9 @@ def run(cfg: MaintenanceConfig) -> dict:
                        curve=cfg.cluster_curve,
                        key_cols=cfg.options.get("cluster_key_cols"),
                        salt_col=cfg.options.get("cluster_salt_col",
-                                                "image_id"))
+                                                "image_id"),
+                       incremental=bool(cfg.options.get("incremental",
+                                                        False)))
     elif cfg.job == "expire":
         rep = ex.expire(table, keep_last=cfg.keep_last,
                         min_age_seconds=cfg.min_age_seconds,

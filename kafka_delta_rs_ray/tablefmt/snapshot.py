@@ -110,8 +110,11 @@ class Snapshot:
     def version(self) -> int:
         return self.manifest.version
 
-    def _select_fragments(self, prune: dict | None) -> list["Fragment"]:
+    def _select_fragments(self, prune: dict | None,
+                          ids: set | None = None) -> list["Fragment"]:
         frags = self.manifest.fragments
+        if ids is not None:
+            frags = [f for f in frags if f.id in ids]
         if prune:
             for col, (lo, hi) in prune.items():
                 frags = [f for f in frags if _overlaps(f.stats, col, lo, hi)]
@@ -136,7 +139,8 @@ class Snapshot:
         return out
 
     def dataset(self, columns: list | None = None, prune: dict | None = None,
-                apply_deletes: bool = True, row_filter=None):
+                apply_deletes: bool = True, row_filter=None,
+                fragment_ids: set | None = None):
         """The snapshot as a lazy ray.data.Dataset.
 
         ``prune``: {col: (lo, hi)} zone-map predicate (inclusive; None =
@@ -146,10 +150,13 @@ class Snapshot:
         parquet scan of the surviving fragments (row-group/page-level
         filtering inside fragments; compose with ``prune`` for the full
         two-level pushdown).
+        ``fragment_ids``: restrict to an explicit fragment subset (the
+        incremental-maintenance hook — select by LAYOUT state, not by
+        value predicate).
         """
         import ray.data as rd
 
-        frags = self._select_fragments(prune)
+        frags = self._select_fragments(prune, ids=fragment_ids)
         schema = self.manifest.schema if columns is None else pa.schema(
             [self.manifest.schema.field(c) for c in columns])
         if not frags:

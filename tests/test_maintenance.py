@@ -970,3 +970,54 @@ def test_table_stats_reports_clustering_quality(table, tmp_path):
     out = run(MaintenanceConfig.load(str(cfgp)))
     assert out["job"] == "stats" and out["fragments"] == post["fragments"]
     assert out["columns"]["zcode"] == zc
+
+
+def test_cluster_incremental_rewrites_only_new_data(table):
+    """Incremental cluster = O(new data) rewrite: already-sorted clean
+    fragments keep their identity; only post-cluster appends (and
+    delete-carrying fragments) are rewritten into a new sorted run;
+    a second incremental pass on a quiesced layout commits nothing."""
+    m1 = cluster(table, target_fragment_rows=30)
+    sorted_ids = {f.id for f in m1.fragments}
+
+    # append new unsorted data (distinct ids so scan identity is checkable)
+    extra = image_dataset(25, seed=77, batch_size=25).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("image_id"), "image_id",
+            [[f"new-{x}" for x in t["image_id"].to_pylist()]]),
+        batch_format="pyarrow")
+    append(table, extra, target_fragment_rows=25)
+    before = _sorted_rows(table.snapshot().to_arrow())
+
+    m2 = cluster(table, target_fragment_rows=30, incremental=True)
+    assert m2 is not None and m2.kind == "cluster"
+    after = _sorted_rows(table.snapshot().to_arrow())
+    assert before == after  # scan identity
+
+    kept = {f.id for f in m2.fragments} & sorted_ids
+    assert kept == sorted_ids  # clean sorted fragments untouched
+    new_run = [f for f in m2.fragments if f.id not in sorted_ids]
+    assert new_run and all(f.sorted_by == "zcode" for f in new_run)
+    assert sum(f.rows for f in new_run) == 25  # only the new data
+
+    # quiesced: nothing dirty → no commit
+    v = table.latest_version()
+    assert cluster(table, target_fragment_rows=30,
+                   incremental=True) is None
+    assert table.latest_version() == v
+
+
+def test_cluster_incremental_folds_in_deletes(table):
+    """A delete-carrying sorted fragment counts as dirty: incremental
+    cluster rewrites it, materializing the deletes away."""
+    cluster(table, target_fragment_rows=30)
+    ch = changeset_dataset(40, 12, seed=5).materialize()
+    merge(table, ch, app_id="inc")
+    assert any(f.delete_paths for f in
+               table.snapshot().manifest.fragments)
+    before = _sorted_rows(table.snapshot().to_arrow())
+
+    m = cluster(table, target_fragment_rows=30, incremental=True)
+    assert m is not None
+    assert not any(f.delete_paths for f in m.fragments)
+    assert _sorted_rows(table.snapshot().to_arrow()) == before
