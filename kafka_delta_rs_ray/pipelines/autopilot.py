@@ -42,6 +42,7 @@ def autopilot(table: Table, *, max_delete_debt: float = 0.05,
               min_cluster_fragments: int = 4,
               keep_last: int = 8, min_age_seconds: float = 3600.0,
               target_fragment_bytes: int | None = None,
+              incremental_cluster_max_dirty: float = 0.3,
               dry_run: bool = False) -> dict:
     """One policy pass. Returns ``{signals, decisions, actions}`` where
     ``decisions`` lists every triggered job with its reason and
@@ -68,13 +69,29 @@ def autopilot(table: Table, *, max_delete_debt: float = 0.05,
 
     n_versions = len(table.history())
 
+    # tiered clustering: dirty = not zcode-sorted or carrying deletes.
+    # A small dirty fraction on an otherwise-clustered table takes the
+    # O(new data) incremental path; a large one — or pure overlap decay
+    # with NOTHING dirty (incremental would be a no-op and the trigger
+    # would re-fire forever) — takes the full rewrite.
+    dirty_rows = sum(f.rows for f in m.fragments
+                     if f.sorted_by != "zcode" or f.delete_paths)
+    dirty_frac = dirty_rows / rows if rows else 0.0
+    has_sorted = any(f.sorted_by == "zcode" and not f.delete_paths
+                     for f in m.fragments)
+
     decisions = []
     if (sel is not None and n_frags >= min_cluster_fragments
             and sel > max_point_selectivity):
+        inc = (dirty_rows > 0 and has_sorted
+               and dirty_frac <= incremental_cluster_max_dirty)
         decisions.append({
             "job": "cluster",
+            "mode": "incremental" if inc else "full",
             "reason": (f"est_point_selectivity({key_cols[0]}) = {sel} > "
-                       f"{max_point_selectivity} over {n_frags} fragments")})
+                       f"{max_point_selectivity} over {n_frags} fragments; "
+                       f"dirty_fraction = {round(dirty_frac, 4)} → "
+                       f"{'incremental' if inc else 'full'} rewrite")})
     elif debt > max_delete_debt or multi_bins > 0:
         decisions.append({
             "job": "compact",
@@ -91,6 +108,8 @@ def autopilot(table: Table, *, max_delete_debt: float = 0.05,
                "delete_debt": round(debt, 6),
                "multi_input_bins": multi_bins,
                "point_selectivity": sel, "cluster_key": key_cols or None,
+               "dirty_rows": dirty_rows,
+               "dirty_fraction": round(dirty_frac, 6),
                "versions": n_versions}
     out = {"signals": signals, "decisions": decisions, "actions": [],
            "dry_run": dry_run}
@@ -101,11 +120,13 @@ def autopilot(table: Table, *, max_delete_debt: float = 0.05,
         if d["job"] == "cluster":
             from .cluster import cluster
 
-            kw = {"target_fragment_bytes": tfb}
+            kw = {"target_fragment_bytes": tfb,
+                  "incremental": d.get("mode") == "incremental"}
             if stats.get("cluster_key_cols"):
                 kw["key_cols"] = stats["cluster_key_cols"]
             man = cluster(table, **kw)
             out["actions"].append({"job": "cluster",
+                                   "mode": d.get("mode", "full"),
                                    "committed_version":
                                        None if man is None else man.version})
         elif d["job"] == "compact":

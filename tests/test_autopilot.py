@@ -88,3 +88,43 @@ def test_autopilot_expire_and_cli(table, tmp_path):
     assert rep["job"] == "autopilot" and rep["dry_run"]
     assert {"fragments", "delete_debt", "point_selectivity",
             "versions"} <= set(rep["signals"])
+
+
+def test_autopilot_tiered_cluster_mode(table):
+    """Tiered policy: a never-clustered table takes the FULL rewrite;
+    a clustered table with a small unsorted append takes the
+    INCREMENTAL path (sorted fragments keep their identity); and
+    after acting, the layout quiesces."""
+    pre = autopilot(table, dry_run=True, keep_last=50)
+    assert pre["decisions"][0]["mode"] == "full"  # nothing sorted yet
+
+    out = autopilot(table, keep_last=50)
+    assert out["actions"][0]["mode"] == "full"
+    sorted_ids = {f.id for f in table.read_manifest().fragments}
+
+    # small append: 20/140 ≈ 14% dirty → incremental
+    extra = image_dataset(20, seed=31, batch_size=20).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("image_id"), "image_id",
+            [[f"ap-{x}" for x in t["image_id"].to_pylist()]]),
+        batch_format="pyarrow")
+    append(table, extra, target_fragment_rows=20)
+
+    # force the trigger regardless of how selective the append left us
+    out2 = autopilot(table, keep_last=50, max_point_selectivity=0.0)
+    cl = [a for a in out2["actions"] if a["job"] == "cluster"]
+    assert cl and cl[0]["mode"] == "incremental", out2
+    kept = {f.id for f in table.read_manifest().fragments} & sorted_ids
+    assert kept == sorted_ids  # clean sorted fragments untouched
+
+    # large append (dominates the table) → full rewrite again
+    big = image_dataset(400, seed=32, batch_size=100).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("image_id"), "image_id",
+            [[f"bg-{x}" for x in t["image_id"].to_pylist()]]),
+        batch_format="pyarrow")
+    append(table, big, target_fragment_rows=100)
+    d = autopilot(table, dry_run=True, keep_last=50,
+                  max_point_selectivity=0.0)
+    cl = [x for x in d["decisions"] if x["job"] == "cluster"]
+    assert cl and cl[0]["mode"] == "full", d
