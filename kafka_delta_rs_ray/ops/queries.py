@@ -3165,6 +3165,111 @@ def doc_quality_filter_sql() -> str:
     """
 
 
+def embedding_knn_classify(sf_dir: str):
+    """kNN majority-vote label prediction (k = 5, cosine): the
+    classic embedding-quality probe — predict each vector's label
+    from its neighbors' labels and report correctness against the
+    stored label. Composition is fully distributed: the exact kNN
+    graph (blockwise object-store plan, nothing corpus-sized on the
+    driver) feeds TWO slim bucketed exchanges — edges ⋈ labels on
+    neighbor_id (labels are corpus-sized, so a broadcast is NOT
+    driver-safe; a hash-bucket cogroup is), then a per-query vote
+    ⋈ true label on vec_id. Ties break to the smallest label, the
+    same total order as the oracle's (count DESC, label ASC)."""
+    from .similarity import knn_graph
+
+    emb = _read(sf_dir, "embeddings")
+    labels = emb.select_columns(["vec_id", "label"])
+    edges = knn_graph(emb, k=5).select_columns(
+        ["query_id", "neighbor_id"])
+    nb = n_key_groups(labels.count())
+
+    # normalized exchange rows (bucket, side, key, payload), all
+    # int64, so both cogroup inputs union under one schema and each
+    # exchange moves exactly two slim integer columns of payload
+    def _norm(key_col: str, payload_col: str, side: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            key = b[key_col].to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "bucket": hash_bucket(key, nb),
+                "side": np.full(len(b), side, dtype=np.int8),
+                "key": key,
+                "payload": b[payload_col].to_numpy(dtype=np.int64)})
+        return f
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        """Cogroup 1: edge (key=neighbor, payload=query) ⋈ label
+        (key=vec, payload=label) → (query_id, n_label)."""
+        e = g[g["side"] == 0]
+        lab = g[g["side"] == 1]
+        out = e.merge(lab[["key", "payload"]].rename(
+            columns={"payload": "n_label"}), on="key")
+        return pd.DataFrame({"query_id": out["payload"],
+                             "n_label": out["n_label"]})
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        """Cogroup 2: majority vote (count DESC, label ASC) ⋈ true
+        label."""
+        votes = g[g["side"] == 0]
+        truth = g[g["side"] == 1]
+        vc = (votes.groupby(["key", "payload"], as_index=False)
+              .size()
+              .sort_values(["key", "size", "payload"],
+                           ascending=[True, False, True])
+              .drop_duplicates("key"))
+        out = vc.rename(columns={"payload": "pred_label"}).merge(
+            truth[["key", "payload"]].rename(
+                columns={"payload": "true_label"}), on="key")
+        return pd.DataFrame({
+            "vec_id": out["key"].astype("int64"),
+            "true_label": out["true_label"].astype("int32"),
+            "pred_label": out["pred_label"].astype("int32"),
+            "correct": (out["pred_label"] == out["true_label"]),
+        })
+
+    lab_by_vec = labels.map_batches(_norm("vec_id", "label", 1),
+                                    batch_format="pandas",
+                                    batch_size=None)
+    labeled = (edges.map_batches(
+        _norm("neighbor_id", "query_id", 0),
+        batch_format="pandas", batch_size=None)
+        .union(lab_by_vec)
+        .groupby("bucket").map_groups(attach, batch_format="pandas"))
+
+    return (labeled.map_batches(_norm("query_id", "n_label", 0),
+                                batch_format="pandas", batch_size=None)
+            .union(lab_by_vec)
+            .groupby("bucket").map_groups(vote, batch_format="pandas"))
+
+
+def embedding_knn_classify_sql() -> str:
+    return """
+        WITH s AS (SELECT a.vec_id AS q, a.label AS true_label,
+                          b.vec_id AS nid, b.label AS n_label,
+                          round(list_cosine_similarity(a.embedding,
+                                                       b.embedding), 6)
+                              AS sim
+                   FROM embeddings a CROSS JOIN embeddings b
+                   WHERE a.vec_id <> b.vec_id),
+        top AS (SELECT q, true_label, n_label FROM (
+                    SELECT q, true_label, n_label,
+                           row_number() OVER (PARTITION BY q
+                                              ORDER BY sim DESC, nid)
+                               AS rk
+                    FROM s) WHERE rk <= 5),
+        votes AS (SELECT q, true_label, n_label, count(*) AS c
+                  FROM top GROUP BY q, true_label, n_label)
+        SELECT q AS vec_id, true_label,
+               n_label AS pred_label,
+               n_label = true_label AS correct
+        FROM (SELECT *, row_number() OVER (PARTITION BY q
+                                           ORDER BY c DESC, n_label)
+                  AS vr
+              FROM votes)
+        WHERE vr = 1
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     "events_first_wins": events_first_wins,
@@ -3233,6 +3338,7 @@ QUERIES = {
     "doc_weighted_sample": doc_weighted_sample,
     "doc_quality_filter": doc_quality_filter,
     "doc_perplexity": doc_perplexity,
+    "embedding_knn_classify": embedding_knn_classify,
 }
 
 ORACLES = {
@@ -3294,4 +3400,5 @@ ORACLES = {
     "events_anomaly_zscore": events_anomaly_zscore_sql(),
     "doc_weighted_sample": doc_weighted_sample_sql(),
     "doc_quality_filter": doc_quality_filter_sql(),
+    "embedding_knn_classify": embedding_knn_classify_sql(),
 }
