@@ -3270,6 +3270,155 @@ def embedding_knn_classify_sql() -> str:
     """
 
 
+def orders_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — the canonical 3-table join: segment-filtered
+    customers SEMI-join orders on custkey, surviving orders join
+    pre-aggregated lineitem revenue on orderkey, top-10 by revenue.
+    Both fact-fact exchanges are hash-bucket cogroups on a scaled
+    group count (a customer-side broadcast would NOT be driver-safe
+    at corpus scale); lineitem is reduced to per-(batch, order)
+    revenue partials BEFORE its exchange, and the final top-10 is a
+    per-group head + one 10×n_groups-row global sort."""
+    cutoff = pd.Timestamp("1997-06-01")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+    nb = n_key_groups(orders.count())
+
+    # exchange 1: orders ⋈ building-segment customers on custkey
+    def cust_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["c_mktsegment"] == "BUILDING"]
+        key = b["c_custkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "bucket": hash_bucket(key, nb), "key": key,
+            "o_orderkey": np.full(len(b), -1, dtype=np.int64),
+            "o_orderdate": pd.Series([pd.NaT] * len(b),
+                                     dtype="datetime64[us]"),
+            "o_orderpriority": pd.Series([""] * len(b), dtype=object)})
+
+    def orders_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderdate"] < cutoff]
+        key = b["o_custkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "bucket": hash_bucket(key, nb), "key": key,
+            "o_orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
+            "o_orderdate": b["o_orderdate"].astype("datetime64[us]"),
+            "o_orderpriority": b["o_orderpriority"].astype(object)})
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        keep = set(g.loc[g["o_orderkey"] < 0, "key"])
+        out = g[(g["o_orderkey"] >= 0) & g["key"].isin(keep)]
+        return out[["o_orderkey", "o_orderdate", "o_orderpriority"]]
+
+    surviving = (orders.map_batches(orders_side, batch_format="pandas",
+                                    batch_size=None)
+                 .union(cust.map_batches(cust_side,
+                                         batch_format="pandas",
+                                         batch_size=None))
+                 .groupby("bucket").map_groups(semi,
+                                               batch_format="pandas"))
+
+    # exchange 2: surviving orders ⋈ lineitem revenue partials
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] > cutoff]
+        rev = b["l_extendedprice"] * (1 - b["l_discount"])
+        out = (pd.DataFrame({"o_orderkey": b["l_orderkey"], "rev": rev})
+               .groupby("o_orderkey", as_index=False).agg(
+                   rev=("rev", "sum")))
+        out["bucket"] = hash_bucket(
+            out["o_orderkey"].to_numpy(dtype=np.int64), nb)
+        out["o_orderdate"] = pd.Series([pd.NaT] * len(out),
+                                       dtype="datetime64[us]")
+        out["o_orderpriority"] = pd.Series([""] * len(out), dtype=object)
+        return out[["bucket", "o_orderkey", "rev", "o_orderdate",
+                    "o_orderpriority"]]
+
+    def ord_side2(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = hash_bucket(
+            b["o_orderkey"].to_numpy(dtype=np.int64), nb)
+        b["rev"] = np.nan  # sentinel: the orders side carries no revenue
+        return b[["bucket", "o_orderkey", "rev", "o_orderdate",
+                  "o_orderpriority"]]
+
+    def join_rev(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["rev"].isna()]
+        r = (g[~g["rev"].isna()]
+             .groupby("o_orderkey", as_index=False).agg(rev=("rev", "sum")))
+        out = o.drop(columns=["rev", "bucket"]).merge(r, on="o_orderkey")
+        out["revenue"] = out["rev"].round(4)
+        out = out.sort_values(["revenue", "o_orderkey"],
+                              ascending=[False, True]).head(10)
+        return out[["o_orderkey", "revenue", "o_orderdate",
+                    "o_orderpriority"]]
+
+    joined = (surviving.map_batches(ord_side2, batch_format="pandas",
+                                    batch_size=None)
+              .union(li.map_batches(li_partial, batch_format="pandas",
+                                    batch_size=None))
+              .groupby("bucket").map_groups(join_rev,
+                                            batch_format="pandas"))
+    return (joined.sort(["revenue", "o_orderkey"],
+                        descending=[True, False]).limit(10))
+
+
+def orders_shipping_priority_sql() -> str:
+    return """
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-01'
+          AND l_shipdate > TIMESTAMP '1997-06-01'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """
+
+
+def events_value_winsorized(sf_dir: str):
+    """Winsorization (clip to the exact [p1, p99] order statistics) —
+    the outlier-capping cleaner every metrics/training pipeline wants:
+    two exact-quantile engine passes reduce the corpus to TWO numbers,
+    then one broadcast-threshold streaming map. No sort, no shuffle."""
+    from .quantiles import quantiles_disc
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    qt = quantiles_disc(ds, "value", [0.01, 0.99])
+    vals = {round(float(q), 2): float(v) for q, v in
+            zip(qt["q"].to_pylist(), qt["value"].to_pylist())}
+    lo, hi = vals[0.01], vals[0.99]
+
+    def clip(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = b["value"]
+        return b.append_column(
+            "value_w", pc.min_element_wise(
+                pc.max_element_wise(v, pa.scalar(lo)), pa.scalar(hi)))
+
+    return ds.map_batches(clip, batch_format="pyarrow", batch_size=None)
+
+
+def events_value_winsorized_sql() -> str:
+    return """
+        WITH q AS (SELECT
+            percentile_disc(0.01) WITHIN GROUP (ORDER BY value) AS lo,
+            percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS hi
+            FROM events)
+        SELECT event_id, value,
+               least(greatest(value, lo), hi) AS value_w
+        FROM events, q
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     "events_first_wins": events_first_wins,
@@ -3339,6 +3488,8 @@ QUERIES = {
     "doc_quality_filter": doc_quality_filter,
     "doc_perplexity": doc_perplexity,
     "embedding_knn_classify": embedding_knn_classify,
+    "orders_shipping_priority": orders_shipping_priority,
+    "events_value_winsorized": events_value_winsorized,
 }
 
 ORACLES = {
@@ -3401,4 +3552,6 @@ ORACLES = {
     "doc_weighted_sample": doc_weighted_sample_sql(),
     "doc_quality_filter": doc_quality_filter_sql(),
     "embedding_knn_classify": embedding_knn_classify_sql(),
+    "orders_shipping_priority": orders_shipping_priority_sql(),
+    "events_value_winsorized": events_value_winsorized_sql(),
 }
