@@ -3383,6 +3383,96 @@ def orders_shipping_priority_sql() -> str:
     """
 
 
+def image_dedup_pipeline(sf_dir: str):
+    """End-to-end IMAGE corpus dedup (the image twin of
+    doc_dedup_pipeline): exact phash-identity first-wins → Hamming
+    near-dup pairs (16-bit-block LSH + verify, pigeonhole-complete at
+    max_dist 3) → connected components → keep the min image_id per
+    duplicate cluster. Pair graph is output-bounded, so the driver
+    union-find + broadcast loser filter is the right regime here
+    (doc_dedup_pipeline carries the distributed min-label path for
+    the pathological case; same machinery applies). Metadata-only —
+    no image bytes move. EXACT SQL oracle (Hamming + recursive CTE
+    over the dumped deterministic table)."""
+    import ray
+
+    from ..pipelines.synth import image_dataset
+    from .dedup import phash_near_dup_pairs
+
+    ds = image_dataset(2000, batch_size=250).select_columns(
+        ["image_id", "phash"])
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values("image_id")
+                 .drop_duplicates("phash", keep="first")
+                 [["image_id", "phash"]])
+
+    survivors = ds.groupby("phash").map_groups(
+        keep_first, batch_format="pandas").materialize()
+    pairs = phash_near_dup_pairs(survivors, max_dist=3, n_images=2000)
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for b in pairs.iter_batches(batch_format="pandas", batch_size=None):
+        for a, c in zip(b["img_a"].tolist(), b["img_b"].tolist()):
+            ra, rb = find(a), find(c)
+            if ra != rb:  # fixed-width ids: lexicographic min == numeric
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    losers = {x for x in parent if find(x) != x}
+    losers_ref = ray.put(losers)
+
+    def drop(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lose = ray.get(losers_ref)
+        if not lose:
+            return b.select(["image_id"])
+        vs = pa.array(sorted(lose), pa.string())
+        return (b.select(["image_id"])
+                .filter(pc.invert(pc.is_in(b["image_id"], value_set=vs))))
+
+    return survivors.map_batches(drop, batch_format="pyarrow",
+                                 batch_size=None)
+
+
+def image_dedup_pipeline_sql() -> str:
+    """EXACT oracle: exact-dedup survivors, the full Hamming-≤3 pair
+    graph, transitive closure by recursive CTE (output-sized), keep
+    rows with no smaller reachable id — the keep-the-min rule the
+    union-find applies."""
+    return f"""
+        WITH RECURSIVE surv AS (
+          SELECT min(image_id) AS image_id, phash
+          FROM read_parquet('{_image_meta_parquet()}')
+          GROUP BY phash
+        ),
+        pairs AS (
+          SELECT a.image_id AS u, b.image_id AS v
+          FROM surv a JOIN surv b ON a.image_id < b.image_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        ),
+        edges AS (
+          SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        best AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+        SELECT s.image_id FROM surv s
+        LEFT JOIN best ON best.u = s.image_id
+        WHERE best.u IS NULL OR best.mv >= s.image_id
+    """
+
+
 def events_value_winsorized(sf_dir: str):
     """Winsorization (clip to the exact [p1, p99] order statistics) —
     the outlier-capping cleaner every metrics/training pipeline wants:
@@ -3490,6 +3580,7 @@ QUERIES = {
     "embedding_knn_classify": embedding_knn_classify,
     "orders_shipping_priority": orders_shipping_priority,
     "events_value_winsorized": events_value_winsorized,
+    "image_dedup_pipeline": image_dedup_pipeline,
 }
 
 ORACLES = {
@@ -3554,4 +3645,5 @@ ORACLES = {
     "embedding_knn_classify": embedding_knn_classify_sql(),
     "orders_shipping_priority": orders_shipping_priority_sql(),
     "events_value_winsorized": events_value_winsorized_sql(),
+    "image_dedup_pipeline": image_dedup_pipeline_sql(),
 }
