@@ -3509,6 +3509,205 @@ def events_value_winsorized_sql() -> str:
     """
 
 
+def nations_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — the canonical multi-dimension join: revenue by
+    nation for orders whose customer AND line-supplier sit in the same
+    ASIA nation, in one order-date year. Join-order plan for 100 TB:
+    the region⋈nation dim chain is BROADCAST (25 rows by schema
+    definition — the only legitimately driver-sized side), while all
+    three fact joins (orders⋈customer on custkey, lineitem⋈surviving
+    orders on orderkey, revenue⋈supplier on suppkey) are slim
+    hash-bucket cogroup exchanges on the scaled group count — customer,
+    orders, lineitem and supplier are all corpus-sized, so none may be
+    broadcast or collected. Lineitem is pre-aggregated to (order, supp)
+    revenue partials per batch BEFORE its exchange, and each cogroup
+    re-partials per key so every exchange shrinks downstream."""
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    nat = _read(sf_dir, "nation").to_pandas()   # 25-row dim chain:
+    reg = _read(sf_dir, "region").to_pandas()   # broadcast by design
+    asia = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(asia)]
+    nat_keys = set(int(k) for k in nat["n_nationkey"])
+    nat_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nb = n_key_groups(orders.count())
+
+    def _ex(key, a, rev, side):
+        """Normalized exchange row block: every cogroup input is the
+        same slim (bucket, side, key, a, rev) shape."""
+        key = np.asarray(key, dtype=np.int64)
+        return pd.DataFrame({
+            "bucket": hash_bucket(key, nb),
+            "side": np.full(len(key), side, dtype=np.int8),
+            "key": key,
+            "a": np.asarray(a, dtype=np.int64),
+            "rev": np.asarray(rev, dtype=np.float64)})
+
+    def cust_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["c_nationkey"].isin(nat_keys)]
+        return _ex(b["c_custkey"], b["c_nationkey"], 0.0, 0)
+
+    def ord_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        return _ex(b["o_custkey"], b["o_orderkey"], 0.0, 1)
+
+    def join_cust(g: pd.DataFrame) -> pd.DataFrame:
+        """orders ⋈ ASIA customers on custkey → (orderkey, nation)."""
+        c = g[g["side"] == 0]
+        o = g[g["side"] == 1]
+        out = o.merge(c[["key", "a"]].rename(columns={"a": "nat"}),
+                      on="key")
+        return pd.DataFrame({"o_orderkey": out["a"].astype(np.int64),
+                             "nat": out["nat"].astype(np.int64)})
+
+    surviving = (orders.map_batches(ord_side, batch_format="pandas",
+                                    batch_size=None)
+                 .union(cust.map_batches(cust_side, batch_format="pandas",
+                                         batch_size=None))
+                 .groupby("bucket").map_groups(join_cust,
+                                               batch_format="pandas"))
+
+    def surv_side(b: pd.DataFrame) -> pd.DataFrame:
+        return _ex(b["o_orderkey"], b["nat"], 0.0, 0)
+
+    def li_side(b: pd.DataFrame) -> pd.DataFrame:
+        rev = b["l_extendedprice"] * (1 - b["l_discount"])
+        p = (pd.DataFrame({"k": b["l_orderkey"], "s": b["l_suppkey"],
+                           "rev": rev})
+             .groupby(["k", "s"], as_index=False).agg(rev=("rev", "sum")))
+        return _ex(p["k"], p["s"], p["rev"], 1)
+
+    def join_order(g: pd.DataFrame) -> pd.DataFrame:
+        """lineitem partials ⋈ surviving orders on orderkey →
+        (suppkey, customer nation, rev) partials."""
+        o = g[g["side"] == 0]
+        r = g[g["side"] == 1]
+        out = r.merge(o[["key", "a"]].rename(columns={"a": "nat"}),
+                      on="key")
+        out = (pd.DataFrame({"s": out["a"], "nat": out["nat"],
+                             "rev": out["rev"]})
+               .groupby(["s", "nat"], as_index=False)
+               .agg(rev=("rev", "sum")))
+        return pd.DataFrame({"l_suppkey": out["s"].astype(np.int64),
+                             "nat": out["nat"].astype(np.int64),
+                             "rev": out["rev"]})
+
+    rev_by_supp = (surviving.map_batches(surv_side, batch_format="pandas",
+                                         batch_size=None)
+                   .union(li.map_batches(li_side, batch_format="pandas",
+                                         batch_size=None))
+                   .groupby("bucket").map_groups(join_order,
+                                                 batch_format="pandas"))
+
+    def supp_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["s_nationkey"].isin(nat_keys)]
+        return _ex(b["s_suppkey"], b["s_nationkey"], 0.0, 0)
+
+    def rev_side(b: pd.DataFrame) -> pd.DataFrame:
+        return _ex(b["l_suppkey"], b["nat"], b["rev"], 1)
+
+    def join_supp(g: pd.DataFrame) -> pd.DataFrame:
+        """revenue partials ⋈ suppliers on suppkey, keeping only rows
+        where the supplier's nation equals the customer's (the Q5
+        'local supplier' predicate) → per-nation partials."""
+        s = g[g["side"] == 0]
+        r = g[g["side"] == 1]
+        out = r.merge(s[["key", "a"]].rename(columns={"a": "s_nat"}),
+                      on="key")
+        out = out[out["a"] == out["s_nat"]]
+        out = (pd.DataFrame({"nat": out["a"], "rev": out["rev"]})
+               .groupby("nat", as_index=False).agg(rev=("rev", "sum")))
+        return pd.DataFrame({"nat": out["nat"].astype(np.int64),
+                             "rev": out["rev"]})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_name": [nat_names[int(g["nat"].iloc[0])]],
+            "revenue": [round(float(g["rev"].sum()), 4)]})
+
+    return (rev_by_supp.map_batches(rev_side, batch_format="pandas",
+                                    batch_size=None)
+            .union(supp.map_batches(supp_side, batch_format="pandas",
+                                    batch_size=None))
+            .groupby("bucket").map_groups(join_supp,
+                                          batch_format="pandas")
+            .groupby("nat").map_groups(finish, batch_format="pandas")
+            .sort("revenue", descending=True))
+
+
+def nations_local_supplier_volume_sql() -> str:
+    return """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC
+    """
+
+
+def doc_length_percent_rank(sf_dir: str):
+    """Exact percent_rank of every document by length — the
+    corpus-relative position feature quality filters threshold on.
+    percent_rank(v) = |{rows < v}| / (n - 1) is tie-deterministic, so
+    it is computable from the VALUE HISTOGRAM alone: per-batch
+    value_counts → one groupby-sum whose cardinality is bounded by the
+    number of DISTINCT lengths (≤ max document length — metadata-sized
+    at any corpus size, unlike a rank() global sort), driver cumsum,
+    then one broadcast searchsorted pass over the corpus. No global
+    sort, no corpus-sized driver state."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    n = ds.count()
+
+    def vc(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["n_chars"].value_counts()
+        return pd.DataFrame({"v": c.index.to_numpy(dtype=np.int64),
+                             "cnt": c.to_numpy(dtype=np.int64)})
+
+    hist = (ds.map_batches(vc, batch_format="pandas", batch_size=None)
+            .groupby("v").aggregate(Sum("cnt")).to_pandas()
+            .sort_values("v"))
+    vals = hist["v"].to_numpy(dtype=np.int64)
+    below = np.concatenate(
+        ([0], np.cumsum(hist["sum(cnt)"].to_numpy(dtype=np.int64))[:-1]))
+    thresholds = ray.put((vals, below))
+
+    def pr(b: pa.Table) -> pa.Table:
+        vals_, below_ = ray.get(thresholds)
+        x = b["n_chars"].to_numpy()
+        idx = np.searchsorted(vals_, x)
+        p = below_[idx] / max(1, n - 1)
+        return b.append_column("pr", pa.array(np.round(p, 6)))
+
+    return ds.map_batches(pr, batch_format="pyarrow", batch_size=None)
+
+
+def doc_length_percent_rank_sql() -> str:
+    return """
+        SELECT doc_id, n_chars,
+               round(percent_rank() OVER (ORDER BY n_chars), 6) AS pr
+        FROM documents
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     "events_first_wins": events_first_wins,
@@ -3581,6 +3780,8 @@ QUERIES = {
     "orders_shipping_priority": orders_shipping_priority,
     "events_value_winsorized": events_value_winsorized,
     "image_dedup_pipeline": image_dedup_pipeline,
+    "nations_local_supplier_volume": nations_local_supplier_volume,
+    "doc_length_percent_rank": doc_length_percent_rank,
 }
 
 ORACLES = {
@@ -3646,4 +3847,6 @@ ORACLES = {
     "orders_shipping_priority": orders_shipping_priority_sql(),
     "events_value_winsorized": events_value_winsorized_sql(),
     "image_dedup_pipeline": image_dedup_pipeline_sql(),
+    "nations_local_supplier_volume": nations_local_supplier_volume_sql(),
+    "doc_length_percent_rank": doc_length_percent_rank_sql(),
 }
