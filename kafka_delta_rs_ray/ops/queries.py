@@ -3708,6 +3708,44 @@ def doc_length_percent_rank_sql() -> str:
     """
 
 
+def doc_split_assign(sf_dir: str):
+    """Deterministic train/val/test split (90/5/5) — the assignment
+    every training pipeline needs to be REPRODUCIBLE and stable under
+    re-runs, insertions and re-partitioning: split follows
+    mix64(doc_id) % 1000 so a document's fate depends only on its id,
+    never on row order, block layout or corpus size. Embarrassingly
+    parallel (one vectorized hash per batch, zero shuffle); exact
+    HUGEINT-arithmetic oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.uint64)
+        h = ids * _MIX64
+        h ^= h >> np.uint64(32)
+        bucket = (h % np.uint64(1000)).astype(np.int64)
+        split = np.where(bucket < 900, "train",
+                         np.where(bucket < 950, "val", "test"))
+        return b.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def doc_split_assign_sql() -> str:
+    return """
+        SELECT doc_id,
+               CASE WHEN b < 900 THEN 'train'
+                    WHEN b < 950 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     xor(h, h // 4294967296) % 1000 AS b
+              FROM (SELECT doc_id,
+                           (CAST(doc_id AS HUGEINT)
+                            * 11400714819323198485)
+                               % 18446744073709551616 AS h
+                    FROM documents))
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     "events_first_wins": events_first_wins,
@@ -3782,6 +3820,7 @@ QUERIES = {
     "image_dedup_pipeline": image_dedup_pipeline,
     "nations_local_supplier_volume": nations_local_supplier_volume,
     "doc_length_percent_rank": doc_length_percent_rank,
+    "doc_split_assign": doc_split_assign,
 }
 
 ORACLES = {
@@ -3849,4 +3888,5 @@ ORACLES = {
     "image_dedup_pipeline": image_dedup_pipeline_sql(),
     "nations_local_supplier_volume": nations_local_supplier_volume_sql(),
     "doc_length_percent_rank": doc_length_percent_rank_sql(),
+    "doc_split_assign": doc_split_assign_sql(),
 }
