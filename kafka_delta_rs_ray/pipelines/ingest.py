@@ -45,6 +45,14 @@ def append(table: Table, ds, run_id: str | None = None,
         validate_subset(table.schema(), incoming)
     elif mode != "merge_schema":
         raise ValueError(f"unknown write mode {mode!r}")
+    cons = table.constraints()
+    if cons:
+        # CHECK-constraint gate: violating rows dead-letter to
+        # quarantine/ and never reach a fragment (stages/constraints.py)
+        from ..stages.constraints import ConstraintFilter
+
+        ds = ds.map_batches(ConstraintFilter(table.root, cons, run_id),
+                            batch_format="pyarrow")
     meta = ds.map_batches(
         FragmentWriter(table.root, run_id),
         batch_format="pyarrow", batch_size=target_fragment_rows,

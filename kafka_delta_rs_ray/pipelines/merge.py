@@ -325,10 +325,14 @@ class _ValidateChanges:
     failures go to the dead-letter topic, src/kafka/mod.rs:288-300).
     Delete ops carry no payload and pass through untouched."""
 
-    def __init__(self, root: str, run_id: str):
+    def __init__(self, root: str, run_id: str,
+                 constraints: list | None = None):
+        from ..stages.constraints import ConstraintFilter
         from ..stages.validate import ValidateImages
 
         self.inner = ValidateImages(root, run_id=run_id, check_pixels=True)
+        self.cons = (ConstraintFilter(root, constraints, run_id=run_id)
+                     if constraints else None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -339,6 +343,10 @@ class _ValidateChanges:
         if upserts.num_rows == 0:
             return batch
         valid = self.inner(upserts)
+        if self.cons is not None:
+            # CHECK constraints ride the same dead-letter path as
+            # decode failures (upserts only; deletes carry no payload)
+            valid = self.cons(valid)
         if deletes.num_rows == 0:
             return valid
         return pa.concat_tables([valid, deletes])
@@ -580,7 +588,8 @@ def merge(table: Table, changes_ds, app_id: str,
     call_tag = f"{ctx.run_id}-c{uuid.uuid4().hex[:8]}"
     stages = [_ReplayFilter(wm0)]
     if validate:
-        stages.append(_ValidateChanges(table.root, call_tag))
+        stages.append(_ValidateChanges(table.root, call_tag,
+                                       constraints=table.constraints()))
 
     def _materialize_validated():
         out = changes_ds

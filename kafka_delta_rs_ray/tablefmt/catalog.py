@@ -47,16 +47,66 @@ class Table:
 
     # -- creation ----------------------------------------------------------
     @classmethod
-    def create(cls, root: str, schema: pa.Schema, properties: dict | None = None) -> "Table":
+    def create(cls, root: str, schema: pa.Schema,
+               properties: dict | None = None,
+               constraints: list | None = None) -> "Table":
+        """``constraints``: declarative CHECK constraints (see
+        stages/constraints.py) enforced by every write path —
+        violating rows dead-letter to quarantine/."""
+        from ..stages.constraints import normalize_constraints
+
         root = os.path.abspath(root)
         for d in _DIRS:
             os.makedirs(os.path.join(root, d), exist_ok=True)
         t = cls.__new__(cls)
         t.root = root
+        props = dict(properties or {})
+        if constraints:
+            props["constraints"] = normalize_constraints(constraints)
         m = Manifest(version=0, parent=None, kind="create", schema=schema,
-                     properties=properties or {})
+                     properties=props)
         t._publish(m)
         return t
+
+    # -- CHECK constraints (write-time row contracts) ----------------------
+    def constraints(self) -> list[dict]:
+        return list(self.read_manifest().properties.get("constraints", []))
+
+    def add_constraint(self, constraint: dict) -> "Manifest":
+        """Publish a new CHECK constraint as a property-only commit
+        (kind='alter'). Applies to FUTURE writes only — existing rows
+        are not re-validated (Delta's ADD CONSTRAINT requires a table
+        scan; our contract is explicit instead of implicit)."""
+        from ..stages.constraints import normalize_constraints
+
+        def build(latest: Manifest) -> Manifest:
+            cur = list(latest.properties.get("constraints", []))
+            merged = normalize_constraints(cur + [constraint])
+            return Manifest(version=-1, parent=None, kind="alter",
+                            schema=latest.schema,
+                            fragments=list(latest.fragments),
+                            txn={k: dict(v) for k, v in latest.txn.items()},
+                            properties={**latest.properties,
+                                        "constraints": merged})
+
+        return self.commit(build)
+
+    def drop_constraint(self, name: str) -> "Manifest":
+        def build(latest: Manifest) -> Manifest:
+            cur = list(latest.properties.get("constraints", []))
+            kept = [c for c in cur if c["name"] != name]
+            if len(kept) == len(cur):
+                raise StateError(f"no such constraint {name!r}")
+            props = {**latest.properties, "constraints": kept}
+            if not kept:
+                props.pop("constraints")
+            return Manifest(version=-1, parent=None, kind="alter",
+                            schema=latest.schema,
+                            fragments=list(latest.fragments),
+                            txn={k: dict(v) for k, v in latest.txn.items()},
+                            properties=props)
+
+        return self.commit(build)
 
     # -- paths -------------------------------------------------------------
     def _manifest_dir(self) -> str:
