@@ -22,6 +22,35 @@ from ..tablefmt.manifest import Manifest
 from ..tablefmt.schema import merge_schemas, validate_subset
 
 
+def commit_fragments(table: Table, new_frags, incoming: "pa.Schema",
+                     mode: str = "default", txn: dict | None = None,
+                     kind: str = "append") -> Manifest:
+    """One atomic append-style commit of already-written fragments:
+    ledger watermark merge + optional schema evolution + CAS. Shared by
+    ``append`` and ``TableDatasink`` so the commit semantics can't
+    drift between the two write surfaces."""
+
+    def build(latest: Manifest) -> Manifest:
+        merged_txn = {k: dict(v) for k, v in latest.txn.items()}
+        for app, parts in (txn or {}).items():
+            cur = merged_txn.setdefault(app, {})
+            for p, s in parts.items():
+                cur[str(p)] = max(int(s), int(cur.get(str(p), -1)))
+        schema = (merge_schemas(latest.schema, incoming)
+                  if mode == "merge_schema" else latest.schema)
+        props = dict(latest.properties)
+        if schema != latest.schema:
+            # older fragments now need null-fill at read time (see
+            # Snapshot.dataset); a full re-cluster clears this
+            props["schema_evolved"] = True
+        return Manifest(version=-1, parent=None, kind=kind,
+                        schema=schema,
+                        fragments=list(latest.fragments) + new_frags,
+                        txn=merged_txn, properties=props)
+
+    return table.commit(build)
+
+
 def append(table: Table, ds, run_id: str | None = None,
            target_fragment_rows: int = 4096, txn: dict | None = None,
            kind: str = "append", mode: str = "default") -> Manifest:
@@ -58,26 +87,8 @@ def append(table: Table, ds, run_id: str | None = None,
         batch_format="pyarrow", batch_size=target_fragment_rows,
     ).take_all()  # tiny: one row per fragment
     new_frags = frags_from_meta(meta)
-
-    def build(latest: Manifest) -> Manifest:
-        merged_txn = {k: dict(v) for k, v in latest.txn.items()}
-        for app, parts in (txn or {}).items():
-            cur = merged_txn.setdefault(app, {})
-            for p, s in parts.items():
-                cur[str(p)] = max(int(s), int(cur.get(str(p), -1)))
-        schema = (merge_schemas(latest.schema, incoming)
-                  if mode == "merge_schema" else latest.schema)
-        props = dict(latest.properties)
-        if schema != latest.schema:
-            # older fragments now need null-fill at read time (see
-            # Snapshot.dataset); a full re-cluster clears this
-            props["schema_evolved"] = True
-        return Manifest(version=-1, parent=None, kind=kind,
-                        schema=schema,
-                        fragments=list(latest.fragments) + new_frags,
-                        txn=merged_txn, properties=props)
-
-    m = table.commit(build)
+    m = commit_fragments(table, new_frags, incoming, mode=mode,
+                         txn=txn, kind=kind)
     # monitoring surface (A1): rows/bytes landed + flush seconds — the
     # reference records the same counters per flush
     # (src/pipeline/mod.rs:186-248 + src/monitoring/mod.rs:150-202)
