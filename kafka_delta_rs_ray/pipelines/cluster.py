@@ -224,13 +224,14 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
     (boundaries, salt splits, zone maps) either way; the committed
     manifest records the curve in properties["cluster_curve"].
 
-    ``key_cols``: cluster by ANY 1-3 numeric columns instead of the
-    image-schema (phash, w, h) default — per-column bounds come from
-    the fragment zone maps (metadata only) and normalize each column
-    into the curve's 21-bit/dim domain; ``salt_col`` names the
-    high-cardinality tiebreaker column for hot-key splits. This makes
-    clustering usable on arbitrary tables (events by (ts, user),
-    documents by (lang bucket, length), ...).
+    ``key_cols``: cluster by ANY 1-3 numeric or string columns instead
+    of the image-schema (phash, w, h) default — per-column bounds come
+    from the fragment zone maps (metadata only) and normalize each
+    column into the curve's 21-bit/dim domain (strings through their
+    order-preserving 8-byte prefix, stages/zorder.py::prefix64);
+    ``salt_col`` names the high-cardinality tiebreaker column for
+    hot-key splits. This makes clustering usable on arbitrary tables
+    (events by (ts, user), documents by (lang, length), ...).
 
     ``target_fragment_bytes``: when set, fragment slices are bounded
     by payload bytes as well as rows (see _SortWriteBucket) — use for
@@ -269,11 +270,13 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
                     f"key_cols column {c!r} lacks zone-map stats on some "
                     f"fragments (binary/nested columns can't be cluster "
                     f"keys; re-append with stats or pick a numeric column)")
-            if not all(isinstance(s["min"], (int, float))
-                       and not isinstance(s["min"], bool) for s in stats):
+            is_num = all(isinstance(s["min"], (int, float))
+                         and not isinstance(s["min"], bool) for s in stats)
+            is_str = all(isinstance(s["min"], str) for s in stats)
+            if not (is_num or is_str):
                 raise ValueError(
-                    f"key_cols column {c!r} is not numeric; curve keys "
-                    f"need numeric zone-map stats (got "
+                    f"key_cols column {c!r} is not numeric or string; "
+                    f"curve keys need orderable zone-map stats (got "
                     f"{type(stats[0]['min']).__name__})")
             mins.append(min(s["min"] for s in stats))
             maxs.append(max(s["max"] for s in stats))

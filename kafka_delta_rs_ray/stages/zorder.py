@@ -28,31 +28,87 @@ _RAW_CURVES = {"morton": morton3_21, "hilbert": hilbert3_21}
 _DIM_MAX = (1 << 21) - 1
 
 
+_B2S = np.uint64(56) - np.uint64(8) * np.arange(8, dtype=np.uint64)
+
+
+def prefix64_scalar(s: str) -> int:
+    """Order-preserving uint64 of a string's first 8 UTF-8 bytes."""
+    b = str(s).encode("utf-8")[:8].ljust(8, b"\0")
+    return int.from_bytes(b, "big")
+
+
+def prefix64(col) -> np.ndarray:
+    """Vectorized order-preserving uint64 of each string's first 8
+    UTF-8 bytes (big-endian): v(a) < v(b) whenever a < b byte-wise in
+    the first 8 bytes, so sorting by the prefix sorts by the string up
+    to 8-byte granularity — exactly what a locality sort key needs.
+    Nulls map to 0 (low edge). Pure buffer arithmetic: one fancy-index
+    gather + one shift-sum over an (n, 8) byte matrix, no per-row
+    Python."""
+    if isinstance(col, pa.ChunkedArray):
+        chunks = col.chunks
+    else:
+        chunks = [col]
+    parts = []
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        ch = ch.cast(pa.large_binary())
+        off = np.frombuffer(ch.buffers()[1], dtype=np.int64)[
+            ch.offset:ch.offset + len(ch) + 1]
+        data = np.frombuffer(ch.buffers()[2], dtype=np.uint8)
+        starts, ends = off[:-1], off[1:]
+        idx = starts[:, None] + np.arange(8)[None, :]
+        in_range = idx < ends[:, None]
+        safe = np.minimum(idx, max(0, len(data) - 1))
+        b8 = np.where(in_range, data[safe] if len(data) else 0, 0)
+        v = (b8.astype(np.uint64) << _B2S).sum(axis=1, dtype=np.uint64)
+        if ch.null_count:
+            v[ch.is_null().to_numpy(zero_copy_only=False)] = 0
+        parts.append(v)
+    if not parts:
+        return np.zeros(0, dtype=np.uint64)
+    return np.concatenate(parts)
+
+
 def make_keyspec(cols, mins, maxs, salt_col: str = "image_id") -> dict:
     """Affine per-column normalization spec for generic clustering.
 
-    ``cols``: 1-3 numeric column names; ``mins``/``maxs``: their global
-    bounds (fragment zone maps — metadata, no data scan). Values map to
-    [0, 2^21-1] per dimension; out-of-bounds values clamp to the edge
-    (zcode is only a sort key, so clamping costs locality at the
+    ``cols``: 1-3 column names, numeric or string; ``mins``/``maxs``:
+    their global bounds (fragment zone maps — metadata, no data scan).
+    Numeric values map affinely to [0, 2^21-1] per dimension; string
+    values map through their order-preserving 8-byte prefix (see
+    ``prefix64``) then affinely. Out-of-bounds values clamp to the
+    edge (zcode is only a sort key, so clamping costs locality at the
     extremes, never correctness). Note int64 columns wider than 2^53
-    lose low bits to the float64 map — use the image-schema default
-    path (top-bits transform) when exact bit structure matters."""
+    (and string prefixes, which span up to 2^64) lose low bits to the
+    float64 map — use the image-schema default path (top-bits
+    transform) when exact bit structure matters."""
     if not 1 <= len(cols) <= 3:
-        raise ValueError("key_cols must name 1-3 numeric columns")
-    scales = []
+        raise ValueError("key_cols must name 1-3 columns")
+    kinds, lo_f, scales = [], [], []
     for lo, hi in zip(mins, maxs):
+        if isinstance(lo, str) or isinstance(hi, str):
+            kinds.append("str")
+            lo, hi = prefix64_scalar(lo), prefix64_scalar(hi)
+        else:
+            kinds.append("num")
         span = float(hi) - float(lo)
+        lo_f.append(float(lo))
         scales.append(_DIM_MAX / span if span > 0 else 0.0)
-    return {"cols": list(cols), "mins": [float(m) for m in mins],
-            "scales": scales, "salt_col": salt_col}
+    return {"cols": list(cols), "mins": lo_f, "scales": scales,
+            "kinds": kinds, "salt_col": salt_col}
 
 
-def _keyspec_dims(batch_cols, keyspec: dict, n: int) -> list:
+def _keyspec_dims(batch: pa.Table, keyspec: dict, n: int) -> list:
+    kinds = keyspec.get("kinds") or ["num"] * len(keyspec["cols"])
     dims = []
-    for c, lo, sc in zip(keyspec["cols"], keyspec["mins"],
-                         keyspec["scales"]):
-        v = batch_cols[c].astype(np.float64)
+    for c, lo, sc, kind in zip(keyspec["cols"], keyspec["mins"],
+                               keyspec["scales"], kinds):
+        if kind == "str":
+            v = prefix64(batch[c]).astype(np.float64)
+        else:
+            v = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
         # null key values arrive as NaN; NaN→uint64 is undefined
         # behavior (platform-dependent garbage zcodes), so pin nulls
         # to the domain's low edge — a DEFINED, deterministic
@@ -71,9 +127,7 @@ def zcode_for(batch: pa.Table, curve: str, keyspec: dict | None):
         return CURVES[curve](batch["phash"].to_numpy(zero_copy_only=False),
                              batch["w"].to_numpy(zero_copy_only=False),
                              batch["h"].to_numpy(zero_copy_only=False))
-    cols = {c: batch[c].to_numpy(zero_copy_only=False)
-            for c in keyspec["cols"]}
-    d0, d1, d2 = _keyspec_dims(cols, keyspec, batch.num_rows)
+    d0, d1, d2 = _keyspec_dims(batch, keyspec, batch.num_rows)
     return _RAW_CURVES[curve](d0, d1, d2).view(np.int64)
 
 

@@ -741,9 +741,28 @@ def test_cluster_generic_key_cols(tmp_path, ray_session):
     assert t.snapshot().to_arrow().sort_by("doc_id") \
             .select(pre.column_names).equals(pre)
 
-    # binary / stats-less columns are rejected early
-    with pytest.raises(ValueError, match="not numeric"):
-        cluster(t, key_cols=["doc_id"], salt_col="doc_id")
+    # string keys cluster through the order-preserving 8-byte prefix:
+    # scan identity holds and fragments are range-ordered by doc_id
+    cluster(t, target_fragment_rows=64, key_cols=["doc_id"],
+            salt_col="doc_id")
+    assert t.snapshot().to_arrow().sort_by("doc_id") \
+            .select(pre.column_names).equals(pre)
+    sfr = sorted(t.snapshot().manifest.fragments,
+                 key=lambda f: f.stats["doc_id"]["min"])
+    overlaps = sum(1 for a, b in zip(sfr, sfr[1:])
+                   if a.stats["doc_id"]["max"] > b.stats["doc_id"]["min"])
+    assert overlaps <= len(sfr) // 4  # mostly disjoint doc_id ranges
+
+    # binary / stats-less columns are still rejected early
+    import zlib as _z
+
+    t2 = Table.create(str(tmp_path / "gb"), pa.schema(
+        [pa.field("doc_id", pa.string()), pa.field("blob", pa.binary())]))
+    append(t2, rd.from_arrow(pa.Table.from_pylist(
+        [{"doc_id": f"d{i}", "blob": _z.compress(bytes(8))}
+         for i in range(10)])))
+    with pytest.raises(ValueError, match="lacks zone-map stats"):
+        cluster(t2, key_cols=["blob"], salt_col="doc_id")
 
 
 def test_table_changes_cdc(table):
@@ -1021,3 +1040,25 @@ def test_cluster_incremental_folds_in_deletes(table):
     assert m is not None
     assert not any(f.delete_paths for f in m.fragments)
     assert _sorted_rows(table.snapshot().to_arrow()) == before
+
+
+def test_prefix64_order_preserving():
+    """String curve keys: the vectorized 8-byte-prefix transform matches
+    the scalar one, preserves lexicographic order at 8-byte granularity,
+    handles nulls (low edge), slices, and non-ASCII bytes."""
+    from kafka_delta_rs_ray.stages.zorder import prefix64, prefix64_scalar
+
+    vals = ["", "a", "aa", "ab", "abcdefgh", "abcdefghZZZ", "b",
+            "z" * 20, "éclair", "0", None]
+    arr = pa.chunked_array([vals[:5], vals[5:]], type=pa.string())
+    v = prefix64(arr)
+    for i, s in enumerate(vals):
+        expect = 0 if s is None else prefix64_scalar(s)
+        assert int(v[i]) == expect, (i, s)
+    # order preservation on the non-null prefix-distinct values
+    strs = sorted(s for s in vals if s is not None)
+    pv = [prefix64_scalar(s) for s in strs]
+    assert pv == sorted(pv)
+    # sliced array path
+    sl = pa.array(vals[:5], pa.string()).slice(2, 3)
+    assert list(prefix64(sl)) == [prefix64_scalar(s) for s in vals[2:5]]
