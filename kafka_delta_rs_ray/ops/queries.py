@@ -3746,6 +3746,42 @@ def doc_split_assign_sql() -> str:
     """
 
 
+def events_returning_users(sf_dir: str):
+    """Distributed INTERSECT — the set-op shape: users active in BOTH
+    halves of the month. Map-side distinct ((user, period) pairs dedup
+    per batch → the exchange moves ≤ 2 rows per (user, batch), not
+    every event), one scaled hash-bucket groupby, per-group vectorized
+    both-periods test. The same decomposition gives EXCEPT with the
+    mask flipped."""
+    cut = pd.Timestamp("2024-01-16")
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = n_key_groups(ds.count())
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(dtype=np.int64),
+            "period": (b["ts"] >= cut).to_numpy(dtype=np.int8)})
+        out = out.drop_duplicates()
+        out["bucket"] = hash_bucket(out["user_id"].to_numpy(), nb)
+        return out
+
+    def both(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.drop_duplicates().groupby("user_id")["period"].nunique()
+        return pd.DataFrame({
+            "user_id": n.index[n == 2].to_numpy(dtype=np.int64)})
+
+    return (ds.map_batches(pairs, batch_format="pandas", batch_size=None)
+            .groupby("bucket").map_groups(both, batch_format="pandas"))
+
+
+def events_returning_users_sql() -> str:
+    return """
+        SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        INTERSECT
+        SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     "events_first_wins": events_first_wins,
@@ -3821,6 +3857,7 @@ QUERIES = {
     "nations_local_supplier_volume": nations_local_supplier_volume,
     "doc_length_percent_rank": doc_length_percent_rank,
     "doc_split_assign": doc_split_assign,
+    "events_returning_users": events_returning_users,
 }
 
 ORACLES = {
@@ -3889,4 +3926,5 @@ ORACLES = {
     "nations_local_supplier_volume": nations_local_supplier_volume_sql(),
     "doc_length_percent_rank": doc_length_percent_rank_sql(),
     "doc_split_assign": doc_split_assign_sql(),
+    "events_returning_users": events_returning_users_sql(),
 }
