@@ -3782,6 +3782,69 @@ def events_returning_users_sql() -> str:
     """
 
 
+def orders_priority_exists_counts(sf_dir: str):
+    """TPC-H Q4 shape — EXISTS semi-join + grouped count: orders in one
+    quarter having AT LEAST ONE late-shipping lineitem, counted by
+    priority. The semi side pre-distincts per batch (lineitem shrinks
+    to ≤ one orderkey per (batch, key) before the exchange), one scaled
+    hash-bucket cogroup, then per-batch priority partials into a tiny
+    groupby — the count-by-dimension never sees the fact tables."""
+    lo, hi = pd.Timestamp("1996-07-01"), pd.Timestamp("1996-10-01")
+    cutoff = pd.Timestamp("1997-06-01")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    nb = n_key_groups(orders.count())
+
+    def ord_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        key = b["o_orderkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "bucket": hash_bucket(key, nb), "key": key,
+            "pri": b["o_orderpriority"].astype(str)})
+
+    def li_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] > cutoff]
+        key = np.unique(b["l_orderkey"].to_numpy(dtype=np.int64))
+        # "" = semi-side marker (priorities are never empty strings)
+        return pd.DataFrame({
+            "bucket": hash_bucket(key, nb), "key": key,
+            "pri": np.full(len(key), "", dtype=object).astype(str)})
+
+    def semi_count(g: pd.DataFrame) -> pd.DataFrame:
+        has = set(g.loc[g["pri"] == "", "key"])
+        o = g[(g["pri"] != "") & g["key"].isin(has)]
+        out = o.groupby("pri", as_index=False).size()
+        return pd.DataFrame({"o_orderpriority": out["pri"].astype(str),
+                             "order_count": out["size"].astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    return (orders.map_batches(ord_side, batch_format="pandas",
+                               batch_size=None)
+            .union(li.map_batches(li_side, batch_format="pandas",
+                                  batch_size=None))
+            .groupby("bucket").map_groups(semi_count,
+                                          batch_format="pandas")
+            .groupby("o_orderpriority").aggregate(Sum("order_count"))
+            .map_batches(lambda b: b.rename_columns(
+                ["o_orderpriority", "order_count"]),
+                batch_format="pyarrow"))
+
+
+def orders_priority_exists_counts_sql() -> str:
+    return """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > TIMESTAMP '1997-06-01')
+        GROUP BY o_orderpriority
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     "events_first_wins": events_first_wins,
@@ -3858,6 +3921,7 @@ QUERIES = {
     "doc_length_percent_rank": doc_length_percent_rank,
     "doc_split_assign": doc_split_assign,
     "events_returning_users": events_returning_users,
+    "orders_priority_exists_counts": orders_priority_exists_counts,
 }
 
 ORACLES = {
@@ -3927,4 +3991,5 @@ ORACLES = {
     "doc_length_percent_rank": doc_length_percent_rank_sql(),
     "doc_split_assign": doc_split_assign_sql(),
     "events_returning_users": events_returning_users_sql(),
+    "orders_priority_exists_counts": orders_priority_exists_counts_sql(),
 }
