@@ -44,6 +44,9 @@ def table_stats(table: Table, columns: list | None = None) -> dict:
         "fragments_with_deletes": sum(1 for f in frags if f.delete_paths),
         "cluster_curve": m.properties.get("cluster_curve"),
         "cluster_key_cols": m.properties.get("cluster_key_cols"),
+        "constraints": [c["name"] for c in
+                        m.properties.get("constraints", [])],
+        "branches": sorted(table.branches()),
         "columns": {},
     }
     if n == 0:

@@ -90,3 +90,24 @@ def test_ffd_invariants(sizes, target):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+@given(st.lists(st.text(min_size=0, max_size=16), min_size=1, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_prefix64_order_matches_byte_prefix_order(strs):
+    """prefix64 sorts exactly like the strings' first-8-byte UTF-8
+    prefixes, for arbitrary unicode including empty strings."""
+    import pyarrow as pa
+
+    from kafka_delta_rs_ray.stages.zorder import prefix64, prefix64_scalar
+
+    arr = pa.array(strs, pa.string())
+    v = prefix64(arr)
+    for s, x in zip(strs, v):
+        assert int(x) == prefix64_scalar(s)
+    by_prefix = sorted(range(len(strs)),
+                       key=lambda i: strs[i].encode("utf-8")[:8])
+    by_v = sorted(range(len(strs)), key=lambda i: (int(v[i]), i))
+    # equal prefixes may order arbitrarily; compare the keys, not ids
+    assert [strs[i].encode()[:8] for i in by_prefix] == \
+           sorted([strs[i].encode()[:8] for i in by_v])
