@@ -22,14 +22,23 @@ _SPLIT = 32  # block-split width for single-file testdata reads
 # (resolved at CALL time so it can be tuned/disabled globally)
 
 
-def _read(sf_dir: str, name: str, columns=None, split: int | None = None):
+def _read(sf_dir: str, name: str, columns=None, split: int | None = None,
+          filter=None):
     """Read one testdata table. Ray's reader already splits a
     single-row-group file into target-sized blocks (SplitBlocks), so
     no repartition shuffle is needed for parallelism; ``split`` forces
-    an explicit repartition only when a caller asks for it."""
+    an explicit repartition only when a caller asks for it.
+
+    ``filter``: a ``pyarrow.dataset`` expression pushed into the
+    parquet scan — row-group/page-level pruning at the READER, so a
+    date-sliced fact query never decodes the rows it will drop (on a
+    100 TB table with many row groups this is the difference between
+    scanning a month and scanning a decade; the single-row-group
+    testdata files still apply it as a scan-level filter)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns,
+                         **({"filter": filter} if filter is not None else {}))
     return ds.repartition(split) if split else ds
 
 
@@ -3279,14 +3288,20 @@ def orders_shipping_priority(sf_dir: str):
     at corpus scale); lineitem is reduced to per-(batch, order)
     revenue partials BEFORE its exchange, and the final top-10 is a
     per-group head + one 10×n_groups-row global sort."""
+    import pyarrow.dataset as pads
+
     cutoff = pd.Timestamp("1997-06-01")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    # date slices pushed into the parquet scan (row-group pruning at
+    # the reader); the kernel filters below stay as cheap no-op guards
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate",
-                    "o_orderpriority"])
+                    "o_orderpriority"],
+                   filter=pads.field("o_orderdate") < cutoff.to_pydatetime())
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount",
-                "l_shipdate"])
+                "l_shipdate"],
+               filter=pads.field("l_shipdate") > cutoff.to_pydatetime())
     nb = n_key_groups(orders.count())
 
     # exchange 1: orders ⋈ building-segment customers on custkey
@@ -3530,9 +3545,16 @@ def nations_local_supplier_volume(sf_dir: str):
     nat_keys = set(int(k) for k in nat["n_nationkey"])
     nat_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
 
+    import pyarrow.dataset as pads
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    # the order-date year is pushed into the parquet scan itself
     orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"])
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=((pads.field("o_orderdate")
+                            >= lo.to_pydatetime())
+                           & (pads.field("o_orderdate")
+                              < hi.to_pydatetime())))
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice",
                 "l_discount"])
@@ -3789,11 +3811,18 @@ def orders_priority_exists_counts(sf_dir: str):
     to ≤ one orderkey per (batch, key) before the exchange), one scaled
     hash-bucket cogroup, then per-batch priority partials into a tiny
     groupby — the count-by-dimension never sees the fact tables."""
+    import pyarrow.dataset as pads
+
     lo, hi = pd.Timestamp("1996-07-01"), pd.Timestamp("1996-10-01")
     cutoff = pd.Timestamp("1997-06-01")
     orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                   filter=((pads.field("o_orderdate")
+                            >= lo.to_pydatetime())
+                           & (pads.field("o_orderdate")
+                              < hi.to_pydatetime())))
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"],
+               filter=pads.field("l_shipdate") > cutoff.to_pydatetime())
     nb = n_key_groups(orders.count())
 
     def ord_side(b: pd.DataFrame) -> pd.DataFrame:
