@@ -3874,6 +3874,23 @@ def orders_priority_exists_counts_sql() -> str:
     """
 
 
+def embedding_pagerank(sf_dir: str):
+    """Distributed PageRank over the exact kNN similarity graph — the
+    graph-analytics entry (curation use: importance weighting over a
+    similarity graph; see ops/graph.py). Rows-only by design (iterative
+    fixpoint, not SQL-expressible); distributed-vs-local equivalence is
+    pinned in tests/test_ops.py."""
+    from .graph import pagerank
+    from .similarity import knn_graph
+
+    emb = _read(sf_dir, "embeddings")
+    edges = (knn_graph(emb, k=5)
+             .select_columns(["query_id", "neighbor_id"])
+             .map_batches(lambda b: b.rename_columns(["src", "dst"]),
+                          batch_format="pyarrow", batch_size=None))
+    return pagerank(edges.materialize())
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     "events_first_wins": events_first_wins,
@@ -3951,6 +3968,7 @@ QUERIES = {
     "doc_split_assign": doc_split_assign,
     "events_returning_users": events_returning_users,
     "orders_priority_exists_counts": orders_priority_exists_counts,
+    "embedding_pagerank": embedding_pagerank,
 }
 
 ORACLES = {

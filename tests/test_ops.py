@@ -1056,3 +1056,32 @@ def test_perplexity_matches_local_reference(ray_session):
         assert abs(out.loc[i, "bits_per_bigram"] - tot / n_big) < 1e-6, i
     # the repetitive and binary docs should score differently from prose
     assert out.loc[1, "bits_per_bigram"] < out.loc[0, "bits_per_bigram"]
+
+
+def test_pagerank_matches_local_reference(ray_session):
+    """Distributed PageRank (two bucketed exchanges per round, sorted
+    deterministic summation) equals the plain numpy power iteration on
+    the same edge set, including nodes with no in-edges; ranks sum to
+    ~1 and reruns are bit-identical."""
+    import random
+
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.ops.graph import pagerank, pagerank_local
+
+    rng = random.Random(11)
+    edges = {(rng.randrange(60), rng.randrange(60)) for _ in range(400)}
+    edges = sorted(e for e in edges if e[0] != e[1])
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64())}))
+
+    out = pagerank(ds, iters=6).to_pandas().set_index("node")["rank"]
+    ref = pagerank_local(edges, iters=6)
+    assert set(out.index) == set(ref)
+    for n, r in ref.items():
+        assert abs(out[n] - r) < 1e-9, (n, out[n], r)
+    assert abs(out.sum() - 1.0) < 1e-6
+
+    out2 = pagerank(ds, iters=6).to_pandas().set_index("node")["rank"]
+    assert (out.sort_index() == out2.sort_index()).all()
