@@ -5,25 +5,32 @@ Page et al. 1999). Same execution shape as the engine's other
 iterative operators (ops/dedup.py::cc_min_labels, clustering.kmeans):
 
 - per-iteration state (the rank vector) lives as a DATASET, never a
-  driver structure — the driver holds two scalars (dangling mass,
-  convergence delta) per round;
+  driver structure — the driver holds two scalars per round (the rank
+  total, from which the dangling mass is recovered algebraically);
 - each iteration is two scaled hash-bucket exchanges: ranks ⋈ edges
   cogrouped on src (emit contribution = rank × 1/outdeg per edge),
-  then contributions + node rows cogrouped on dst (sum + damping);
-- per-edge weights (1/outdeg) are computed ONCE up front with the
-  same cogroup shape and reused every round;
+  then contributions + node rows cogrouped on dst (sum + damping +
+  dangling share);
+- per-edge weights (1/outdeg) and the per-node zero rows are computed
+  ONCE up front with the same cogroup shape and reused every round;
 - kernels sort before summing, so ranks are bit-deterministic across
-  shuffles (float addition order pinned).
+  shuffles (float addition order pinned);
+- marker vs payload rows are distinguished by an explicit ``side``
+  column — node ids are unrestricted int64, negatives included.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from .queries import hash_bucket, n_key_groups
 
 DAMPING = 0.85
+
+_EMPTY = pa.schema([pa.field("node", pa.int64()),
+                    pa.field("rank", pa.float64())])
 
 
 def _bucketize(df: pd.DataFrame, key: str, nb: int) -> pd.DataFrame:
@@ -33,15 +40,17 @@ def _bucketize(df: pd.DataFrame, key: str, nb: int) -> pd.DataFrame:
 
 
 def pagerank(edges, iters: int = 12, damping: float = DAMPING):
-    """``edges``: Dataset with int64 ``src``/``dst`` columns (directed).
-    Returns a Dataset (node, rank) over every node appearing as src or
-    dst, ranks rounded to 12 dp (deterministic output). Fixed
-    ``iters`` power-iteration rounds (12 ≈ 1e-3 residual at d=0.85 on
-    well-connected graphs)."""
+    """``edges``: Dataset with int64 ``src``/``dst`` columns (directed;
+    any int64 ids, negatives allowed). Returns a Dataset (node, rank)
+    over every node appearing as src or dst, ranks rounded to 12 dp
+    (deterministic output). Fixed ``iters`` power-iteration rounds
+    (12 ≈ 1e-3 residual at d=0.85 on well-connected graphs). Dangling
+    nodes (no out-edges) redistribute their mass uniformly each round,
+    so ranks always sum to 1."""
     import ray.data as rd
 
     n_edges = edges.count()
-    nb = n_key_groups(n_edges)
+    nb = n_key_groups(max(1, n_edges))
 
     # ---- node set + out-degree weights (once) -------------------------
     def edge_sides(b: pd.DataFrame) -> pd.DataFrame:
@@ -62,6 +71,8 @@ def pagerank(edges, iters: int = 12, damping: float = DAMPING):
                                            batch_format="pandas")
              .materialize())
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        return rd.from_arrow(_EMPTY.empty_table())
 
     def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
         out = (pd.DataFrame({"src": b["src"].to_numpy(dtype=np.int64)})
@@ -79,27 +90,29 @@ def pagerank(edges, iters: int = 12, damping: float = DAMPING):
                                             batch_format="pandas"))
 
     # weighted edges (src, dst, w=1/outdeg(src)): one cogroup, reused
-    # by every iteration
+    # by every iteration. side 0 = edge row, side 1 = marker row.
     def e_norm(b: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
+            "side": np.zeros(len(b), dtype=np.int8),
             "src": b["src"].to_numpy(dtype=np.int64),
             "dst": b["dst"].to_numpy(dtype=np.int64),
-            "w": np.full(len(b), np.nan)})
+            "w": np.zeros(len(b))})
         return _bucketize(out, "src", nb)
 
     def d_norm(b: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
+            "side": np.ones(len(b), dtype=np.int8),
             "src": b["src"].to_numpy(dtype=np.int64),
-            "dst": np.full(len(b), -1, dtype=np.int64),
+            "dst": np.zeros(len(b), dtype=np.int64),
             "w": 1.0 / b["deg"].to_numpy(dtype=np.float64)})
         return _bucketize(out, "src", nb)
 
     def attach_w(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[g["dst"] >= 0]
-        d = g[g["dst"] < 0]
+        e = g[g["side"] == 0]
+        d = g[g["side"] == 1]
         out = e.drop(columns=["w", "bucket"]).merge(
             d[["src", "w"]], on="src")
-        return out[["src", "dst", "w"]]
+        return out[["side", "src", "dst", "w"]]
 
     wedges = (edges.map_batches(e_norm, batch_format="pandas",
                                 batch_size=None)
@@ -113,47 +126,57 @@ def pagerank(edges, iters: int = 12, damping: float = DAMPING):
                            batch_format="pandas", batch_size=None)
               .materialize())
 
+    # per-node zero-contribution rows: identical every round, so built
+    # and bucketized ONCE (side 1 = marker in the dst-keyed exchange)
+    def n_side(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "side": np.ones(len(b), dtype=np.int8),
+            "node": b["node"].to_numpy(dtype=np.int64),
+            "src": np.zeros(len(b), dtype=np.int64),
+            "c": np.zeros(len(b))})
+        return _bucketize(out, "node", nb)
+
+    node_rows = nodes.map_batches(n_side, batch_format="pandas",
+                                  batch_size=None).materialize()
+
     # ---- power iteration ---------------------------------------------
     base = (1.0 - damping) / n_nodes
     r0 = 1.0 / n_nodes
 
     def init_rank(b: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"node": b["node"].to_numpy(dtype=np.int64),
-                            "rank": np.full(len(b), r0)})
-        return out
+        return pd.DataFrame({"node": b["node"].to_numpy(dtype=np.int64),
+                             "rank": np.full(len(b), r0)})
 
     ranks = nodes.map_batches(init_rank, batch_format="pandas",
                               batch_size=None).materialize()
+    total = 1.0  # Σ ranks, maintained exactly on the driver
 
     def r_side(b: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
+            "side": np.ones(len(b), dtype=np.int8),
             "src": b["node"].to_numpy(dtype=np.int64),
-            "dst": np.full(len(b), -1, dtype=np.int64),
+            "dst": np.zeros(len(b), dtype=np.int64),
             "w": b["rank"].to_numpy(dtype=np.float64)})
         return _bucketize(out, "src", nb)
 
     def contrib(g: pd.DataFrame) -> pd.DataFrame:
         """ranks ⋈ weighted edges on src → per-edge contribution."""
-        r = g[g["dst"] < 0]
-        e = g[g["dst"] >= 0]
+        r = g[g["side"] == 1]
+        e = g[g["side"] == 0]
         out = e.drop(columns=["bucket"]).merge(
             r[["src", "w"]].rename(columns={"w": "rank"}), on="src")
-        return pd.DataFrame({
+        res = pd.DataFrame({
+            "side": np.zeros(len(out), dtype=np.int8),
             "node": out["dst"].to_numpy(dtype=np.int64),
             "src": out["src"].to_numpy(dtype=np.int64),
             "c": out["rank"].to_numpy() * out["w"].to_numpy()})
-
-    def n_side(b: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({
-            "node": b["node"].to_numpy(dtype=np.int64),
-            "src": np.full(len(b), -1, dtype=np.int64),
-            "c": np.zeros(len(b))})
-        return _bucketize(out, "node", nb)
+        return res
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         """Sum contributions per node (sorted by (node, src) first —
-        deterministic float addition order) + damping + base; node
-        rows guarantee every node emits a rank even with no in-edges."""
+        deterministic float addition order) + damping + base; the
+        side-1 node rows guarantee every node emits a rank even with
+        no in-edges."""
         g = g.sort_values(["node", "src"], kind="mergesort")
         s = g.groupby("node", as_index=False).agg(c=("c", "sum"))
         return pd.DataFrame({
@@ -161,19 +184,35 @@ def pagerank(edges, iters: int = 12, damping: float = DAMPING):
             "rank": base + damping * s["c"].to_numpy()})
 
     for _ in range(iters):
-        contribs = (ranks.map_batches(r_side, batch_format="pandas",
-                                      batch_size=None)
-                    .union(wedges)
-                    .groupby("bucket").map_groups(contrib,
-                                                  batch_format="pandas")
-                    .map_batches(lambda b: _bucketize(b, "node", nb),
-                                 batch_format="pandas", batch_size=None))
-        ranks = (contribs
-                 .union(nodes.map_batches(n_side, batch_format="pandas",
-                                          batch_size=None))
-                 .groupby("bucket").map_groups(fold,
-                                               batch_format="pandas")
-                 .materialize())
+        pre = (ranks.map_batches(r_side, batch_format="pandas",
+                                 batch_size=None)
+               .union(wedges)
+               .groupby("bucket").map_groups(contrib,
+                                             batch_format="pandas")
+               .map_batches(lambda b: _bucketize(b, "node", nb),
+                            batch_format="pandas", batch_size=None)
+               .union(node_rows)
+               .groupby("bucket").map_groups(fold,
+                                             batch_format="pandas")
+               .materialize())
+        # dangling mass, recovered algebraically on the driver: the
+        # mass SENT this round is Σc = (Σpre − n·base)/d (nodes with
+        # out-edges forward exactly their rank, weights sum to 1), so
+        # what dangling nodes held is the shortfall vs the previous
+        # total. Redistribute it uniformly — ranks stay a distribution.
+        s_pre = float(pre.sum("rank"))
+        sigma_c = (s_pre - n_nodes * base) / damping
+        dangling = max(0.0, total - sigma_c)
+        t = damping * dangling / n_nodes
+
+        def add_t(b: pd.DataFrame, _t=t) -> pd.DataFrame:
+            b = b.copy()
+            b["rank"] = b["rank"].to_numpy() + _t
+            return b
+
+        ranks = pre.map_batches(add_t, batch_format="pandas",
+                                batch_size=None).materialize()
+        total = s_pre + n_nodes * t
 
     def final(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -187,19 +226,22 @@ def pagerank(edges, iters: int = 12, damping: float = DAMPING):
 def pagerank_local(edge_list, iters: int = 12,
                    damping: float = DAMPING) -> dict:
     """Reference implementation for tests: plain numpy power iteration
-    over an in-memory edge list [(src, dst), ...]."""
+    with uniform dangling-mass redistribution, over an in-memory edge
+    list [(src, dst), ...]."""
     src = np.array([e[0] for e in edge_list], dtype=np.int64)
     dst = np.array([e[1] for e in edge_list], dtype=np.int64)
     nodes = np.unique(np.concatenate([src, dst]))
-    idx = {int(n): i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    idx = {int(v): i for i, v in enumerate(nodes)}
     si = np.array([idx[int(s)] for s in src])
     di = np.array([idx[int(d)] for d in dst])
-    deg = np.bincount(si, minlength=len(nodes)).astype(np.float64)
-    w = 1.0 / deg[si]
-    r = np.full(len(nodes), 1.0 / len(nodes))
-    base = (1.0 - damping) / len(nodes)
+    deg = np.bincount(si, minlength=n).astype(np.float64)
+    w = 1.0 / np.where(deg > 0, deg, 1.0)[si]
+    r = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
     for _ in range(iters):
-        c = np.zeros(len(nodes))
+        c = np.zeros(n)
         np.add.at(c, di, r[si] * w)
-        r = base + damping * c
-    return {int(n): float(x) for n, x in zip(nodes, r)}
+        dangling = float(r[deg == 0].sum())
+        r = base + damping * c + damping * dangling / n
+    return {int(v): float(x) for v, x in zip(nodes, r)}

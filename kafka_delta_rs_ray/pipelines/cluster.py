@@ -270,14 +270,24 @@ def cluster(table: Table, target_fragment_rows: int = 4096,
                     f"key_cols column {c!r} lacks zone-map stats on some "
                     f"fragments (binary/nested columns can't be cluster "
                     f"keys; re-append with stats or pick a numeric column)")
+            import pyarrow as _pa
+
+            ftype = snap.manifest.schema.field(c).type
             is_num = all(isinstance(s["min"], (int, float))
                          and not isinstance(s["min"], bool) for s in stats)
-            is_str = all(isinstance(s["min"], str) for s in stats)
+            # stats for timestamp/date/decimal columns are STRINGIFIED
+            # by the manifest's JSON layer, so "min is a str" alone
+            # would route them into the string-prefix transform and
+            # crash mid-shuffle — the SCHEMA type decides, not the
+            # stats representation
+            is_str = (all(isinstance(s["min"], str) for s in stats)
+                      and (_pa.types.is_string(ftype)
+                           or _pa.types.is_large_string(ftype)))
             if not (is_num or is_str):
                 raise ValueError(
-                    f"key_cols column {c!r} is not numeric or string; "
-                    f"curve keys need orderable zone-map stats (got "
-                    f"{type(stats[0]['min']).__name__})")
+                    f"key_cols column {c!r} has type {ftype}; curve "
+                    f"keys need numeric or string columns (timestamp/"
+                    f"date keys: cast to epoch integers first)")
             mins.append(min(s["min"] for s in stats))
             maxs.append(max(s["max"] for s in stats))
         keyspec = make_keyspec(key_cols, mins, maxs, salt_col=salt_col)

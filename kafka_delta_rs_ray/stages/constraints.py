@@ -27,12 +27,16 @@ _COMPARE_OPS = {">", ">=", "<", "<=", "==", "!="}
 _OPS = _COMPARE_OPS | {"in", "not_null"}
 
 
-def normalize_constraints(constraints) -> list[dict]:
+def normalize_constraints(constraints, schema=None) -> list[dict]:
     """Validate-early (reference config posture, src/config/mod.rs:
     96-177): reject malformed constraints at declaration time with a
-    specific message, not at first write."""
+    specific message, not at first write. When ``schema`` is given
+    (create/add_constraint have it in hand), a constraint naming a
+    column absent from the table schema is rejected too — a typo'd
+    CHECK must fail at declaration, not silently never fire."""
     if not constraints:
         return []
+    known = set(schema.names) if schema is not None else None
     out = []
     seen = set()
     for c in constraints:
@@ -48,6 +52,10 @@ def normalize_constraints(constraints) -> list[dict]:
         seen.add(name)
         if not col or not isinstance(col, str):
             raise ConfigError(f"constraint {name!r} needs a column name")
+        if known is not None and col not in known:
+            raise ConfigError(
+                f"constraint {name!r}: column {col!r} is not in the "
+                f"table schema ({sorted(known)})")
         if op not in _OPS:
             raise ConfigError(
                 f"constraint {name!r}: unknown op {op!r} "

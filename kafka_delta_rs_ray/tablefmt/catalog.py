@@ -62,7 +62,8 @@ class Table:
         t.root = root
         props = dict(properties or {})
         if constraints:
-            props["constraints"] = normalize_constraints(constraints)
+            props["constraints"] = normalize_constraints(constraints,
+                                                         schema=schema)
         m = Manifest(version=0, parent=None, kind="create", schema=schema,
                      properties=props)
         t._publish(m)
@@ -81,7 +82,8 @@ class Table:
 
         def build(latest: Manifest) -> Manifest:
             cur = list(latest.properties.get("constraints", []))
-            merged = normalize_constraints(cur + [constraint])
+            merged = normalize_constraints(cur + [constraint],
+                                           schema=latest.schema)
             return Manifest(version=-1, parent=None, kind="alter",
                             schema=latest.schema,
                             fragments=list(latest.fragments),

@@ -104,8 +104,14 @@ class TableDatasink(Datasink):
         rows = [{"frag_json": j} for r in write_result.write_returns
                 for j in r["frag_json"]]
         new_frags = frags_from_meta(rows)
-        if not new_frags:
-            return  # empty write → no commit (reference empty-flush skip)
+        if not new_frags and not self.txn:
+            # empty write with no watermark → no commit (reference
+            # empty-flush skip). A fragment-less write that CARRIES
+            # watermarks (e.g. every row dead-lettered by a CHECK
+            # constraint) still commits them — append/merge advance the
+            # watermark for quarantined rows too, so a replay stays a
+            # no-op instead of re-quarantining forever.
+            return
         # fold the per-task block schemas through the format layer's own
         # evolution rules (handles binary/large_binary width promotion)
         incoming = self.table_schema

@@ -141,3 +141,29 @@ def test_add_drop_constraint_commits(tmp_path, ray_session):
         [_row("after-drop", w=0)], schema=IMAGE_SCHEMA)))
     assert "after-drop" in set(
         t.snapshot().to_arrow()["image_id"].to_pylist())
+
+
+def test_constraint_unknown_column_rejected_at_declaration(tmp_path):
+    """A typo'd column fails at create/add (schema in hand), never
+    silently skips enforcement."""
+    with pytest.raises(ConfigError, match="not in the table schema"):
+        Table.create(str(tmp_path / "t"), IMAGE_SCHEMA, constraints=[
+            {"name": "w_pos", "col": "wdith", "op": ">", "value": 0}])
+    t = Table.create(str(tmp_path / "t2"), IMAGE_SCHEMA)
+    with pytest.raises(ConfigError, match="not in the table schema"):
+        t.add_constraint({"name": "x", "col": "nope", "op": "not_null"})
+
+
+def test_datasink_all_quarantined_still_commits_watermark(tmp_path,
+                                                          ray_session):
+    """A write whose rows are ALL dead-lettered by a CHECK constraint
+    still commits its txn watermarks (append/merge parity) — replays
+    must be no-ops, not re-quarantine loops."""
+    from kafka_delta_rs_ray.tablefmt.datasink import write_table
+
+    t = Table.create(str(tmp_path / "t"), IMAGE_SCHEMA, constraints=CONS)
+    ds = rd.from_arrow(pa.Table.from_pylist(
+        [_row("bad-a", w=0), _row("bad-b", w=-1)], schema=IMAGE_SCHEMA))
+    m = write_table(ds, t, txn={"app": {"0": 17}})
+    assert m is not None and m.watermark("app", 0) == 17
+    assert t.snapshot().dataset().count() == 0

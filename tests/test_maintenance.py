@@ -1062,3 +1062,22 @@ def test_prefix64_order_preserving():
     # sliced array path
     sl = pa.array(vals[:5], pa.string()).slice(2, 3)
     assert list(prefix64(sl)) == [prefix64_scalar(s) for s in vals[2:5]]
+
+
+def test_cluster_timestamp_key_rejected_cleanly(tmp_path, ray_session):
+    """Timestamp/date key_cols (whose zone-map stats are stringified by
+    the manifest JSON layer) must fail at declaration with a clear
+    message, not crash mid-shuffle in the string-prefix transform."""
+    import pandas as _pd
+    import ray.data as rd
+
+    schema = pa.schema([pa.field("doc_id", pa.string()),
+                        pa.field("ts", pa.timestamp("us"))])
+    t = Table.create(str(tmp_path / "ts"), schema)
+    append(t, rd.from_arrow(pa.table({
+        "doc_id": [f"d{i}" for i in range(20)],
+        "ts": pa.array([_pd.Timestamp("2024-01-01")
+                        + _pd.Timedelta(hours=i) for i in range(20)],
+                       pa.timestamp("us"))})))
+    with pytest.raises(ValueError, match="epoch integers"):
+        cluster(t, key_cols=["ts"], salt_col="doc_id")

@@ -1071,6 +1071,9 @@ def test_pagerank_matches_local_reference(ray_session):
 
     rng = random.Random(11)
     edges = {(rng.randrange(60), rng.randrange(60)) for _ in range(400)}
+    # a dangling sink (9999 has no out-edges) and a negative node id:
+    # dangling mass must redistribute, ids must stay unrestricted
+    edges |= {(3, 9999), (7, 9999), (-5, 3), (4, -5)}
     edges = sorted(e for e in edges if e[0] != e[1])
     ds = rd.from_arrow(pa.table({
         "src": pa.array([e[0] for e in edges], pa.int64()),
