@@ -103,6 +103,7 @@ def _follow_from(path: str, pos: int, poll_interval: float, stop,
     buf = ""
     last_event = _time.monotonic()
     while True:
+        progressed = False
         if os.path.exists(path):
             size = os.path.getsize(path)
             if size > pos:
@@ -110,14 +111,19 @@ def _follow_from(path: str, pos: int, poll_interval: float, stop,
                     f.seek(pos)
                     buf += f.read()
                     pos = f.tell()
+                progressed = True
+                last_event = _time.monotonic()
                 while "\n" in buf:
                     ln, buf = buf.split("\n", 1)
                     if ln.strip():
-                        last_event = _time.monotonic()
                         yield json.loads(ln)
         if stop is not None and stop():
             return
-        if (idle_timeout is not None
+        # idle is judged ONLY by a poll that found nothing new — time
+        # spent suspended at a yield (the consumer working between
+        # next() calls) must not count, or a slow consumer would miss
+        # events a producer appended while it was busy
+        if (not progressed and idle_timeout is not None
                 and _time.monotonic() - last_event > idle_timeout):
             return
         _time.sleep(poll_interval)
