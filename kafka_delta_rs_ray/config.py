@@ -14,7 +14,7 @@ log = logging.getLogger(__name__)
 
 JOBS = ("append", "merge", "compact", "cluster", "expire", "lifecycle",
         "delete", "rollback", "history", "quarantine", "metrics",
-        "stream", "changes", "stats", "autopilot", "branch")
+        "stream", "changes", "stats", "autopilot", "branch", "export")
 
 # monitoring section keys (reference MonitoringConfig,
 # src/config/mod.rs:81-94: enabled / endpoint / service_name; here the

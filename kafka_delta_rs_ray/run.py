@@ -13,6 +13,7 @@ import logging
 import sys
 
 from .config import MaintenanceConfig
+from .errors import ConfigError
 
 
 def init_logging(level: str = "INFO") -> None:
@@ -118,6 +119,22 @@ def run(cfg: MaintenanceConfig) -> dict:
         return {"job": "stats",
                 **table_stats(table,
                               columns=cfg.options.get("stats_columns"))}
+    if cfg.job == "export":
+        # consumer hand-off: snapshot → plain partitioned parquet
+        # shards, resumable per fragment (pipelines/export.py)
+        from .pipelines.export import export_shards
+
+        out_dir = cfg.options.get("output_path")
+        if not out_dir:
+            raise ConfigError("export requires options.output_path")
+        rep = export_shards(table, out_dir,
+                            columns=cfg.options.get("columns"),
+                            version=cfg.options.get("version"),
+                            run_id=cfg.run_id)
+        return {"job": "export", "output_path": out_dir,
+                "rows": rep["rows"], "shards": len(rep["shards"]),
+                "resumed_shards": rep.get("resumed_shards", 0),
+                "source_version": rep["source_version"]}
     if cfg.job == "changes":
         # CDC consumer surface: the (from, to] change feed written as
         # partitioned parquet for downstream re-consumers (the table-

@@ -1081,3 +1081,62 @@ def test_cluster_timestamp_key_rejected_cleanly(tmp_path, ray_session):
                        pa.timestamp("us"))})))
     with pytest.raises(ValueError, match="epoch integers"):
         cluster(t, key_cols=["ts"], salt_col="doc_id")
+
+
+def test_export_shards_roundtrip_and_resume(table, tmp_path):
+    """Export = snapshot rows exactly (deletes applied), one shard per
+    fragment, atomic completeness manifest; a re-run with the same
+    out_dir skips every finished shard and restores missing ones."""
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from kafka_delta_rs_ray.pipelines.export import export_shards
+
+    # attach deletes via a merge so the export must subtract them
+    ch = changeset_dataset(N, 30, seed=9, n_partitions=2).materialize()
+    merge(table, ch, app_id="exp")
+    expect = table.snapshot().to_arrow().sort_by("image_id")
+
+    out = str(tmp_path / "out")
+    rep = export_shards(table, out)
+    assert rep["rows"] == expect.num_rows
+    assert rep["resumed_shards"] == 0
+    man = _json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["source_version"] == table.latest_version()
+    shards = sorted(_glob.glob(os.path.join(out, "shard-*.parquet")))
+    assert len(shards) == len(man["shards"]) == len(
+        table.snapshot().manifest.fragments)
+    got = pa.concat_tables([_pq.read_table(p) for p in shards])
+    got = got.sort_by("image_id").select(expect.column_names)
+    assert got.equals(expect)
+
+    # resume: drop one shard, re-run — only that shard is rewritten
+    os.unlink(shards[0])
+    rep2 = export_shards(table, out)
+    assert rep2["rows"] == expect.num_rows
+    assert rep2["resumed_shards"] == len(shards) - 1
+    assert os.path.exists(shards[0])
+
+    # column projection
+    out2 = str(tmp_path / "out2")
+    rep3 = export_shards(table, out2, columns=["image_id", "caption"])
+    p0 = sorted(_glob.glob(os.path.join(out2, "shard-*.parquet")))[0]
+    assert _pq.read_schema(p0).names == ["image_id", "caption"]
+    assert rep3["rows"] == expect.num_rows
+
+
+def test_export_cli_job(table, tmp_path):
+    from kafka_delta_rs_ray.config import MaintenanceConfig
+    from kafka_delta_rs_ray.run import run
+
+    out = str(tmp_path / "cli-out")
+    cfgp = tmp_path / "exp.yaml"
+    cfgp.write_text(f"table_root: {table.root}\njob: export\n"
+                    f"options:\n  output_path: {out}\n"
+                    f"  columns: [image_id, phash]\n")
+    rep = run(MaintenanceConfig.load(str(cfgp)))
+    assert rep["job"] == "export" and rep["rows"] == N
+    assert rep["shards"] >= 1 and os.path.exists(
+        os.path.join(out, "_MANIFEST.json"))
