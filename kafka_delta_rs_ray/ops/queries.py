@@ -3891,6 +3891,57 @@ def embedding_pagerank(sf_dir: str):
     return pagerank(edges.materialize())
 
 
+def lineitem_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape — the canonical filtered single-table aggregate:
+    potential revenue from a year × discount-band × quantity slice.
+    Every predicate is pushed INTO the parquet scan (reader-level
+    row-group pruning — the 100 TB path scans one year, not the
+    table), then one per-batch partial sum folds into a single row.
+    Integer-cent arithmetic in the partials keeps the sum order-
+    independent (float partial sums would drift vs the oracle)."""
+    import pyarrow.dataset as pads
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    f = ((pads.field("l_shipdate") >= lo.to_pydatetime())
+         & (pads.field("l_shipdate") < hi.to_pydatetime())
+         & (pads.field("l_discount") >= 0.05)
+         & (pads.field("l_discount") <= 0.07)
+         & (pads.field("l_quantity") < 24))
+    ds = _read(sf_dir, "lineitem",
+               ["l_extendedprice", "l_discount", "l_quantity",
+                "l_shipdate"], filter=f)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = ((b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+             & (b["l_discount"] >= 0.05) & (b["l_discount"] <= 0.07)
+             & (b["l_quantity"] < 24))
+        b = b[m]
+        # prices/discounts are 2-digit decimals stored as float64:
+        # scale to exact integers so partial-sum order can't matter
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100)
+        disc = np.round(b["l_discount"].to_numpy() * 100)
+        return pd.DataFrame({
+            "rev_scaled": [int((cents * disc).sum())]})
+
+    from ray.data.aggregate import Sum
+
+    total = (ds.map_batches(partial, batch_format="pandas",
+                            batch_size=None)
+             .aggregate(Sum("rev_scaled")))["sum(rev_scaled)"] or 0
+    return pd.DataFrame({"revenue": [round(int(total) / 10000.0, 4)]})
+
+
+def lineitem_forecast_revenue_sql() -> str:
+    return """
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     "events_first_wins": events_first_wins,
@@ -3969,6 +4020,7 @@ QUERIES = {
     "events_returning_users": events_returning_users,
     "orders_priority_exists_counts": orders_priority_exists_counts,
     "embedding_pagerank": embedding_pagerank,
+    "lineitem_forecast_revenue": lineitem_forecast_revenue,
 }
 
 ORACLES = {
@@ -4039,4 +4091,5 @@ ORACLES = {
     "doc_split_assign": doc_split_assign_sql(),
     "events_returning_users": events_returning_users_sql(),
     "orders_priority_exists_counts": orders_priority_exists_counts_sql(),
+    "lineitem_forecast_revenue": lineitem_forecast_revenue_sql(),
 }
