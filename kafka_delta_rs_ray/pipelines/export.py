@@ -70,23 +70,66 @@ class _ExportTask:
 
 def export_shards(table: Table, out_dir: str, columns: list | None = None,
                   version: int | None = None, prune: dict | None = None,
-                  run_id: str | None = None) -> dict:
+                  run_id: str | None = None,
+                  overwrite: bool = False) -> dict:
     """Export a snapshot as plain parquet shards (one per fragment).
 
     Re-running with the same ``out_dir`` skips finished shards —
-    resume is free. Returns the export manifest (also written to
+    resume is free, but ONLY for the same (source version, columns,
+    prune) generation: an ``_EXPORT_STATE.json`` marker written before
+    any shard records the generation, and a re-run against a different
+    one (or an out_dir with unidentified shard files) raises unless
+    ``overwrite=True``, which first removes every prior shard — stale
+    rows or orphaned shards from rewritten fragments can never mix
+    into a 'complete' export. One writer per out_dir at a time (the
+    same single-run contract as the table's maintenance jobs).
+
+    Returns the export manifest (also written to
     ``out_dir/_MANIFEST.json`` as the completeness marker)."""
+    import glob as _glob
+
     import ray.data as rd
+
+    from ..errors import StateError
 
     t0 = time.time()
     run_id = run_id or uuid.uuid4().hex[:8]
     os.makedirs(out_dir, exist_ok=True)
     snap = table.snapshot(version=version)
-    frags = snap._select_fragments(prune)
-    schema = (snap.manifest.schema if columns is None else pa.schema(
-        [snap.manifest.schema.field(c) for c in columns]))
-    conform = bool(snap.manifest.properties.get("schema_evolved"))
-    result = {"source_version": snap.version, "shards": [], "rows": 0}
+    plan = snap.read_plan(columns=columns, prune=prune)
+    frags, schema, conform = (plan["fragments"], plan["schema"],
+                              plan["conform"])
+
+    generation = {"source_version": snap.version,
+                  "columns": list(columns) if columns else None,
+                  "prune": {k: list(v) for k, v in (prune or {}).items()}
+                           or None}
+    state_path = os.path.join(out_dir, "_EXPORT_STATE.json")
+    prior = None
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            prior = json.load(f)
+    existing = _glob.glob(os.path.join(out_dir, "shard-*.parquet"))
+    if prior != generation and (prior is not None or existing):
+        if not overwrite:
+            raise StateError(
+                f"{out_dir} holds a different export generation "
+                f"({prior or 'no state marker'} vs {generation}); pass "
+                f"overwrite=True to replace it, or use a fresh out_dir")
+        for p in existing + [os.path.join(out_dir, "_MANIFEST.json")]:
+            if os.path.exists(p):
+                os.unlink(p)
+    # crashed writers leave shard-*.tmp-* behind; single-writer
+    # contract makes this sweep safe on every start
+    for p in _glob.glob(os.path.join(out_dir, "shard-*.tmp-*")):
+        os.unlink(p)
+    tmp_state = state_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp_state, "w") as f:
+        json.dump(generation, f)
+    os.replace(tmp_state, state_path)
+
+    result = {"source_version": snap.version, "shards": [], "rows": 0,
+              "resumed_shards": 0}
     if frags:
         meta = rd.from_items(
             [{"id": f.id, "path": f.path,

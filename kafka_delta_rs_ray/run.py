@@ -130,7 +130,9 @@ def run(cfg: MaintenanceConfig) -> dict:
         rep = export_shards(table, out_dir,
                             columns=cfg.options.get("columns"),
                             version=cfg.options.get("version"),
-                            run_id=cfg.run_id)
+                            run_id=cfg.run_id,
+                            overwrite=bool(cfg.options.get("overwrite",
+                                                           False)))
         return {"job": "export", "output_path": out_dir,
                 "rows": rep["rows"], "shards": len(rep["shards"]),
                 "resumed_shards": rep.get("resumed_shards", 0),

@@ -138,6 +138,21 @@ class Snapshot:
                 out[f.id] = keys
         return out
 
+    def read_plan(self, columns: list | None = None,
+                  prune: dict | None = None) -> dict:
+        """Public scan-plan accessor for consumers that drive their own
+        per-fragment reads (e.g. pipelines/export.py): the selected
+        fragment metas, the projected schema, and whether old fragments
+        need schema-evolution conform — the same three inputs
+        ``dataset()`` computes internally, exposed so external readers
+        can't drift from the scan's semantics."""
+        frags = self._select_fragments(prune)
+        schema = (self.manifest.schema if columns is None else pa.schema(
+            [self.manifest.schema.field(c) for c in columns]))
+        return {"fragments": frags, "schema": schema,
+                "conform": bool(
+                    self.manifest.properties.get("schema_evolved"))}
+
     def dataset(self, columns: list | None = None, prune: dict | None = None,
                 apply_deletes: bool = True, row_filter=None,
                 fragment_ids: set | None = None):

@@ -1140,3 +1140,41 @@ def test_export_cli_job(table, tmp_path):
     assert rep["job"] == "export" and rep["rows"] == N
     assert rep["shards"] >= 1 and os.path.exists(
         os.path.join(out, "_MANIFEST.json"))
+
+
+def test_export_generation_guard(table, tmp_path):
+    """Resume is valid only for the same (version, columns) generation:
+    a changed table or projection refuses the stale dir unless
+    overwrite=True, which removes every prior shard first — deleted
+    rows and orphaned fragment shards can never mix into a 'complete'
+    export. Crashed tmp files are swept on start."""
+    import glob as _glob
+
+    from kafka_delta_rs_ray.errors import StateError
+    from kafka_delta_rs_ray.pipelines.export import export_shards
+
+    out = str(tmp_path / "out")
+    export_shards(table, out)
+    # crashed-writer leftover is swept by the next run
+    leftover = os.path.join(out, "shard-dead.parquet.tmp-deadbeef")
+    open(leftover, "wb").write(b"junk")
+
+    # table changes (merge attaches deletes) → old generation is stale
+    ch = changeset_dataset(N, 20, seed=5, n_partitions=2).materialize()
+    merge(table, ch, app_id="gen")
+    with pytest.raises(StateError, match="different export generation"):
+        export_shards(table, out)
+    rep = export_shards(table, out, overwrite=True)
+    assert not os.path.exists(leftover)
+    expect = table.snapshot().to_arrow().sort_by("image_id")
+    assert rep["rows"] == expect.num_rows
+    # directory holds exactly the current generation's shards
+    import pyarrow.parquet as _pq
+
+    shards = sorted(_glob.glob(os.path.join(out, "shard-*.parquet")))
+    got = pa.concat_tables([_pq.read_table(p) for p in shards])
+    assert got.num_rows == expect.num_rows
+
+    # projection change is also a new generation
+    with pytest.raises(StateError, match="different export generation"):
+        export_shards(table, out, columns=["image_id"])
