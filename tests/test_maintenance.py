@@ -1178,3 +1178,22 @@ def test_export_generation_guard(table, tmp_path):
     # projection change is also a new generation
     with pytest.raises(StateError, match="different export generation"):
         export_shards(table, out, columns=["image_id"])
+
+
+def test_delete_where_string_predicate(table):
+    """Predicate deletes work on STRING columns end-to-end: zone-map
+    classification compares lexicographically and the scan kernel's
+    vectorized bounds apply to object arrays — pinned on the fmt
+    column (delete every rawz row)."""
+    from kafka_delta_rs_ray.pipelines.delete import delete_where, rollback
+
+    pre = table.snapshot().to_arrow()
+    n_rawz = sum(1 for v in pre["fmt"].to_pylist() if v == "rawz")
+    assert 0 < n_rawz < pre.num_rows  # synth mixes fmts
+    m = delete_where(table, {"fmt": ("rawz", "rawz")})
+    assert m is not None
+    post = table.snapshot().to_arrow()
+    assert post.num_rows == pre.num_rows - n_rawz
+    assert set(post["fmt"].to_pylist()) == {"dctq"}
+    rollback(table, m.parent)
+    assert table.snapshot().to_arrow().num_rows == pre.num_rows
