@@ -3942,6 +3942,117 @@ def lineitem_forecast_revenue_sql() -> str:
     """
 
 
+_BM25_TERMS = ("merge", "scan", "window")
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 20
+
+
+def doc_bm25_topk(sf_dir: str):
+    """BM25 lexical search — top-20 documents for a fixed 3-term query
+    (the retrieval twin of the vector kNN entries). Fully distributed:
+    one pass computes per-doc (length, per-term tf) rows — tokenize +
+    explode + groupby per batch, no per-row Python — then the corpus
+    globals (N, Σdl, per-term df) reduce to a HANDFUL of numbers (df
+    is |query| rows by construction), broadcast into a vectorized
+    per-batch scoring pass with a per-batch head-K → K×n_blocks global
+    sort. Per-term scores are quantized to integer micro-units before
+    the per-doc sum (floor(1e6·s), mirrored op-for-op in the oracle)
+    so float addition order can't flip the ranking."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = list(_BM25_TERMS)
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        out = pd.DataFrame({"doc_id": b["doc_id"],
+                            "dl": toks.str.len().astype(np.int64)})
+        e = toks.explode()
+        for i, t in enumerate(terms):
+            cnt = (e == t).groupby(level=0).sum()
+            out[f"tf{i}"] = (cnt.reindex(range(len(b)), fill_value=0)
+                             .astype(np.int64))
+        return out
+
+    per_doc = ds.map_batches(stats, batch_format="pandas",
+                             batch_size=None).materialize()
+
+    # corpus globals: N (metadata), Σdl (one int), df per term (|query|
+    # ints) — nothing corpus-sized leaves the aggregation
+    n = per_doc.count()
+    agg = per_doc.aggregate(Sum("dl"), *[Sum(f"tf{i}")
+                                         for i in range(len(terms))])
+    sum_dl = int(agg["sum(dl)"])
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({f"df{i}": [int((b[f"tf{i}"] > 0).sum())]
+                             for i in range(len(terms))})
+
+    dfagg = (per_doc.map_batches(df_partial, batch_format="pandas",
+                                 batch_size=None)
+             .aggregate(*[Sum(f"df{i}") for i in range(len(terms))]))
+    dfs = [int(dfagg[f"sum(df{i})"]) for i in range(len(terms))]
+    avgdl = sum_dl / n  # double division of exact ints, oracle-identical
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        total = np.zeros(len(b), dtype=np.int64)
+        dl = b["dl"].to_numpy(dtype=np.float64)
+        for i in range(len(terms)):
+            tf = b[f"tf{i}"].to_numpy(dtype=np.float64)
+            # every expression below mirrors the oracle SQL op-for-op
+            # so the float64 bits agree before the floor quantization
+            idf = np.log((n - dfs[i] + 0.5) / (dfs[i] + 0.5) + 1.0)
+            denom = tf + _BM25_K1 * (1.0 - _BM25_B
+                                     + _BM25_B * dl / avgdl)
+            s = idf * (tf * (_BM25_K1 + 1.0)) / denom
+            part = np.floor(1e6 * s).astype(np.int64)
+            total += np.where(tf > 0, part, 0)
+        out = pd.DataFrame({"doc_id": b["doc_id"], "score_u": total})
+        out = out[out["score_u"] > 0]
+        return (out.sort_values(["score_u", "doc_id"],
+                                ascending=[False, True])
+                .head(_BM25_K))
+
+    return (per_doc.map_batches(score, batch_format="pandas",
+                                batch_size=None)
+            .sort(["score_u", "doc_id"], descending=[True, False])
+            .limit(_BM25_K))
+
+
+def doc_bm25_topk_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS term
+            FROM documents),
+        dl0 AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        d AS (SELECT doc.doc_id, coalesce(dl0.dl, 0) AS dl
+              FROM documents doc LEFT JOIN dl0 USING (doc_id)),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               WHERE term IN ({terms}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM d),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(floor(1e6 * (
+                       ln((CAST(n AS DOUBLE) - df.df + 0.5)
+                           / (df.df + 0.5) + 1.0)
+                       * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                       / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+                           + 0.75 * CAST(d.dl AS DOUBLE)
+                             / (CAST(sumdl AS DOUBLE)
+                                / CAST(n AS DOUBLE))))
+                   )) AS BIGINT) AS part
+            FROM tf JOIN d USING (doc_id), df, g
+            WHERE df.term = tf.term)
+        SELECT doc_id, sum(part) AS score_u FROM scored
+        GROUP BY doc_id HAVING sum(part) > 0
+        ORDER BY score_u DESC, doc_id LIMIT {_BM25_K}
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     "events_first_wins": events_first_wins,
@@ -4021,6 +4132,7 @@ QUERIES = {
     "orders_priority_exists_counts": orders_priority_exists_counts,
     "embedding_pagerank": embedding_pagerank,
     "lineitem_forecast_revenue": lineitem_forecast_revenue,
+    "doc_bm25_topk": doc_bm25_topk,
 }
 
 ORACLES = {
@@ -4092,4 +4204,5 @@ ORACLES = {
     "events_returning_users": events_returning_users_sql(),
     "orders_priority_exists_counts": orders_priority_exists_counts_sql(),
     "lineitem_forecast_revenue": lineitem_forecast_revenue_sql(),
+    "doc_bm25_topk": doc_bm25_topk_sql(),
 }
