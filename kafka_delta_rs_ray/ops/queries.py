@@ -4053,6 +4053,53 @@ def doc_bm25_topk_sql() -> str:
     """
 
 
+def customer_ltv_quantiles(sf_dir: str):
+    """Composed shape: per-customer lifetime value (a fact-fact join
+    reduced to one slim bucketed exchange of per-batch partials) FED
+    INTO the exact distributed quantile engine — quartiles of customer
+    spend without any global sort, over a DERIVED dataset rather than
+    a base table. LTV is rounded to cents before the quantile pass so
+    the order statistics select over oracle-identical values."""
+    from .quantiles import quantiles_disc
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    nb = n_key_groups(orders.count())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (pd.DataFrame({"c": b["o_custkey"], "v": b["o_totalprice"]})
+               .groupby("c", as_index=False).agg(v=("v", "sum")))
+        out["bucket"] = hash_bucket(out["c"].to_numpy(dtype=np.int64), nb)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # deterministic summation: order partials before adding so the
+        # cent-rounding below sees identical bits on any shuffle
+        g = g.sort_values(["c", "v"], kind="mergesort")
+        out = g.groupby("c", as_index=False).agg(v=("v", "sum"))
+        return pd.DataFrame({"c_custkey": out["c"].astype(np.int64),
+                             "ltv": np.round(out["v"].to_numpy(), 2)})
+
+    ltv = (orders.map_batches(partial, batch_format="pandas",
+                              batch_size=None)
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .materialize())
+    qt = quantiles_disc(ltv, "ltv", [0.25, 0.5, 0.75])
+    out = qt.to_pandas()
+    return pd.DataFrame({"q": np.round(out["q"].astype(float), 2),
+                         "ltv": out["value"].astype(float)})
+
+
+def customer_ltv_quantiles_sql() -> str:
+    return """
+        WITH ltv AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS v
+            FROM orders GROUP BY o_custkey)
+        SELECT 0.25 AS q, quantile_disc(v, 0.25) AS ltv FROM ltv
+        UNION ALL SELECT 0.5, quantile_disc(v, 0.5) FROM ltv
+        UNION ALL SELECT 0.75, quantile_disc(v, 0.75) FROM ltv
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     "events_first_wins": events_first_wins,
@@ -4133,6 +4180,7 @@ QUERIES = {
     "embedding_pagerank": embedding_pagerank,
     "lineitem_forecast_revenue": lineitem_forecast_revenue,
     "doc_bm25_topk": doc_bm25_topk,
+    "customer_ltv_quantiles": customer_ltv_quantiles,
 }
 
 ORACLES = {
@@ -4205,4 +4253,5 @@ ORACLES = {
     "orders_priority_exists_counts": orders_priority_exists_counts_sql(),
     "lineitem_forecast_revenue": lineitem_forecast_revenue_sql(),
     "doc_bm25_topk": doc_bm25_topk_sql(),
+    "customer_ltv_quantiles": customer_ltv_quantiles_sql(),
 }
