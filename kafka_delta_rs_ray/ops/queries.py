@@ -4100,6 +4100,23 @@ def customer_ltv_quantiles_sql() -> str:
     """
 
 
+def video_scene_cuts(sf_dir: str):
+    """Video shot-boundary detection: deterministic vraw clips →
+    SceneCuts (vectorized per-clip frame deltas) → per-clip cut
+    summary. Rows-only (media synthesis + pixel thresholds are not
+    SQL-expressible); determinism + planted-cut recall pinned in
+    tests/test_media.py."""
+    from ..pipelines.synth import video_dataset
+    from ..stages.codec_stage import SceneCuts
+
+    ds = video_dataset(32, n_frames=30)
+    out = ds.map_batches(SceneCuts(), batch_format="pyarrow",
+                         batch_size=4)
+    return out.map_batches(
+        lambda b: b.drop_columns(["cut_idxs"]),
+        batch_format="pyarrow", batch_size=None).sort("media_id")
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     "events_first_wins": events_first_wins,
@@ -4181,6 +4198,7 @@ QUERIES = {
     "lineitem_forecast_revenue": lineitem_forecast_revenue,
     "doc_bm25_topk": doc_bm25_topk,
     "customer_ltv_quantiles": customer_ltv_quantiles,
+    "video_scene_cuts": video_scene_cuts,
 }
 
 ORACLES = {

@@ -260,3 +260,51 @@ class FrameSample:
             "h": pa.array(hs, pa.int32()),
             "fmt": pa.array([self.out_fmt] * len(ids), pa.string()),
         })
+
+
+class SceneCuts:
+    """Video scene-cut detection: per-clip mean-absolute frame deltas
+    over the ``vraw`` container, cuts where the normalized delta
+    exceeds ``threshold`` — the shot-boundary primitive a video
+    curation pipeline samples keyframes from. One vectorized diff over
+    the whole (T, H, W, 3) array per clip (no per-frame Python beyond
+    the container demux); emits (media_id, n_frames, n_cuts,
+    cut_idxs list<int32>, max_delta)."""
+
+    OUTPUT_SCHEMA = pa.schema([
+        pa.field("media_id", pa.string()),
+        pa.field("n_frames", pa.int32()),
+        pa.field("n_cuts", pa.int32()),
+        pa.field("cut_idxs", pa.list_(pa.int32())),
+        pa.field("max_delta", pa.float64()),
+    ])
+
+    def __init__(self, threshold: float = 0.18):
+        self.threshold = float(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nf, nc, cuts, mx = [], [], [], [], []
+        for mid, buf, fmt in zip(batch["media_id"].to_pylist(),
+                                 binary_views(batch["bytes"]),
+                                 batch["fmt"].to_pylist()):
+            frames = decode(buf, fmt)
+            if frames.ndim != 4 or frames.shape[3] != 3:
+                raise FormatError(
+                    f"{fmt}: not a video payload (shape {frames.shape})")
+            f = frames.astype(np.float32) / 255.0
+            # mean |delta| per transition, normalized to [0, 1]
+            d = np.abs(np.diff(f, axis=0)).mean(axis=(1, 2, 3)) \
+                if frames.shape[0] > 1 else np.zeros(0, dtype=np.float32)
+            idx = (np.flatnonzero(d > self.threshold) + 1).astype(np.int32)
+            ids.append(mid)
+            nf.append(int(frames.shape[0]))
+            nc.append(int(len(idx)))
+            cuts.append(idx.tolist())
+            mx.append(float(d.max()) if len(d) else 0.0)
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "n_frames": pa.array(nf, pa.int32()),
+            "n_cuts": pa.array(nc, pa.int32()),
+            "cut_idxs": pa.array(cuts, pa.list_(pa.int32())),
+            "max_delta": pa.array(mx, pa.float64()),
+        })

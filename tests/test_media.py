@@ -142,3 +142,42 @@ def test_cross_modality_payloads_dead_letter(ray_session, tmp_path):
                       "fmt": pa.array([fmt])})
         with pytest.raises(FormatError):
             fs(b)
+
+
+def test_scene_cuts_detects_planted_boundary():
+    """SceneCuts finds exactly the planted abrupt transition and
+    nothing inside the static segments; list column carries the cut
+    frame index."""
+    import pyarrow as pa
+
+    from kafka_delta_rs_ray.stages.codec_stage import SceneCuts
+
+    frames = np.zeros((20, 8, 8, 3), np.uint8)
+    frames[10:] = 200  # one hard cut at frame 10
+    batch = pa.table({"media_id": ["clip-1"],
+                      "bytes": [vraw.encode(frames)],
+                      "fmt": ["vraw"]})
+    out = SceneCuts(threshold=0.18)(batch)
+    assert out["n_frames"][0].as_py() == 20
+    assert out["n_cuts"][0].as_py() == 1
+    assert out["cut_idxs"][0].as_py() == [10]
+    assert out["max_delta"][0].as_py() > 0.5
+
+    # static clip → zero cuts; single-frame clip → defined zeros
+    static = pa.table({"media_id": ["clip-2", "clip-3"],
+                       "bytes": [vraw.encode(np.zeros((5, 4, 4, 3),
+                                                      np.uint8)),
+                                 vraw.encode(np.zeros((1, 4, 4, 3),
+                                                      np.uint8))],
+                       "fmt": ["vraw", "vraw"]})
+    out2 = SceneCuts()(static)
+    assert out2["n_cuts"].to_pylist() == [0, 0]
+    assert out2["max_delta"].to_pylist() == [0.0, 0.0]
+
+
+def test_video_scene_cuts_query_deterministic(ray_session):
+    from kafka_delta_rs_ray.ops.queries import QUERIES
+
+    a = QUERIES["video_scene_cuts"]("/root/testdata/sf0.001").to_pandas()
+    b = QUERIES["video_scene_cuts"]("/root/testdata/sf0.001").to_pandas()
+    assert len(a) == 32 and a.equals(b)
