@@ -4117,6 +4117,22 @@ def video_scene_cuts(sf_dir: str):
         batch_format="pyarrow", batch_size=None).sort("media_id")
 
 
+def audio_silence_trim(sf_dir: str):
+    """Audio curation pipeline: deterministic pcmz clips → SilenceTrim
+    (vectorized span detection + re-encode) → per-clip span summary.
+    Rows-only (media synthesis + amplitude thresholds are not
+    SQL-expressible); planted-span behavior pinned in test_media.py."""
+    from ..pipelines.synth import audio_dataset
+    from ..stages.codec_stage import SilenceTrim
+
+    ds = audio_dataset(32)
+    out = ds.map_batches(SilenceTrim(), batch_format="pyarrow",
+                         batch_size=8)
+    return out.map_batches(
+        lambda b: b.drop_columns(["bytes"]),
+        batch_format="pyarrow", batch_size=None).sort("media_id")
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     "events_first_wins": events_first_wins,
@@ -4199,6 +4215,7 @@ QUERIES = {
     "doc_bm25_topk": doc_bm25_topk,
     "customer_ltv_quantiles": customer_ltv_quantiles,
     "video_scene_cuts": video_scene_cuts,
+    "audio_silence_trim": audio_silence_trim,
 }
 
 ORACLES = {

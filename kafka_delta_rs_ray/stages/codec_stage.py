@@ -308,3 +308,55 @@ class SceneCuts:
             "cut_idxs": pa.array(cuts, pa.list_(pa.int32())),
             "max_delta": pa.array(mx, pa.float64()),
         })
+
+
+class SilenceTrim:
+    """Audio silence trimming: locate the first/last sample whose
+    |amplitude| exceeds ``threshold`` (int16 full-scale fraction) and
+    re-encode only that span — the lead/tail cleanup an audio curation
+    pipeline runs before feature extraction. One vectorized abs+argmax
+    per clip; emits the trimmed pcmz payload plus span metadata, so it
+    composes with AudioFeatures as-is."""
+
+    OUTPUT_SCHEMA = pa.schema([
+        pa.field("media_id", pa.string()),
+        pa.field("bytes", pa.large_binary()),
+        pa.field("fmt", pa.string()),
+        pa.field("sample_rate", pa.int32()),
+        pa.field("n_samples", pa.int32()),
+        pa.field("kept_samples", pa.int32()),
+        pa.field("lead", pa.int32()),
+        pa.field("tail", pa.int32()),
+    ])
+
+    def __init__(self, threshold: float = 0.02):
+        self.threshold = float(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k.name: [] for k in self.OUTPUT_SCHEMA}
+        thr = int(self.threshold * 32767)
+        for mid, buf, fmt, sr in zip(batch["media_id"].to_pylist(),
+                                     binary_views(batch["bytes"]),
+                                     batch["fmt"].to_pylist(),
+                                     batch["sample_rate"].to_pylist()):
+            samples = decode(buf, fmt)
+            if samples.ndim != 1:
+                raise FormatError(
+                    f"{fmt}: not an audio payload (shape {samples.shape})")
+            loud = np.abs(samples.astype(np.int32)) > thr
+            n = len(samples)
+            if loud.any():
+                lead = int(np.argmax(loud))
+                tail = int(n - 1 - np.argmax(loud[::-1]))
+                kept = samples[lead:tail + 1]
+            else:
+                lead, tail, kept = n, -1, samples[:0]  # all silence
+            rows["media_id"].append(mid)
+            rows["bytes"].append(encode(kept, fmt))
+            rows["fmt"].append(fmt)
+            rows["sample_rate"].append(int(sr))
+            rows["n_samples"].append(n)
+            rows["kept_samples"].append(int(len(kept)))
+            rows["lead"].append(lead)
+            rows["tail"].append(tail)
+        return pa.Table.from_pydict(rows, schema=self.OUTPUT_SCHEMA)

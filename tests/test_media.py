@@ -181,3 +181,30 @@ def test_video_scene_cuts_query_deterministic(ray_session):
     a = QUERIES["video_scene_cuts"]("/root/testdata/sf0.001").to_pandas()
     b = QUERIES["video_scene_cuts"]("/root/testdata/sf0.001").to_pandas()
     assert len(a) == 32 and a.equals(b)
+
+
+def test_silence_trim_planted_spans():
+    """SilenceTrim removes exactly the planted silent lead/tail, keeps
+    the loud span byte-identical, and handles all-silent clips."""
+    import pyarrow as pa
+
+    from kafka_delta_rs_ray.stages.codec_stage import SilenceTrim
+
+    loud = (np.sin(np.linspace(0.3, 40, 400)) * 20000).astype(np.int16)
+    assert abs(int(loud[0])) > 655 and abs(int(loud[-1])) > 655
+    clip = np.concatenate([np.zeros(150, np.int16), loud,
+                           np.zeros(70, np.int16)])
+    batch = pa.table({"media_id": ["a", "b"],
+                      "bytes": [pcmz.encode(clip),
+                                pcmz.encode(np.zeros(100, np.int16))],
+                      "fmt": ["pcmz", "pcmz"],
+                      "sample_rate": [16000, 16000]})
+    out = SilenceTrim(threshold=0.02)(batch)
+    assert out["lead"][0].as_py() == 150
+    assert out["tail"][0].as_py() == 150 + 400 - 1
+    assert out["kept_samples"][0].as_py() == 400
+    trimmed = pcmz.decode(memoryview(out["bytes"][0].as_py()))
+    assert np.array_equal(trimmed, loud)
+    # all-silent clip → empty payload, defined metadata
+    assert out["kept_samples"][1].as_py() == 0
+    assert out["lead"][1].as_py() == 100 and out["tail"][1].as_py() == -1
