@@ -4133,6 +4133,32 @@ def audio_silence_trim(sf_dir: str):
         batch_format="pyarrow", batch_size=None).sort("media_id")
 
 
+def image_resize_stats(sf_dir: str):
+    """Image thumbnail pipeline: deterministic image table →
+    ResizeTranscode (decode → block-mean 32×32 thumbnail → re-encode)
+    → DecodeStats over the THUMBNAILS (decode-verify + luminance
+    features, no pixels out) — the two remaining multimodal stages
+    exercised end-to-end through the registry. Rows-only (pixel
+    synthesis isn't SQL-expressible); stage behavior pinned in
+    tests/test_codecs.py, determinism by the rows-only gate."""
+    from ..pipelines.synth import image_dataset
+    from ..stages.codec_stage import DecodeStats, ResizeTranscode
+
+    ds = image_dataset(200, batch_size=50)
+    thumbs = ds.map_batches(ResizeTranscode(out_w=32, out_h=32),
+                            batch_format="pyarrow", batch_size=32)
+    return (thumbs.map_batches(DecodeStats(), batch_format="pyarrow",
+                               batch_size=32)
+            .map_batches(lambda b: b.set_column(
+                b.column_names.index("lum_mean"), "lum_mean",
+                pa.array(np.round(b["lum_mean"].to_numpy(), 6)))
+                .set_column(b.column_names.index("lum_std"), "lum_std",
+                            pa.array(np.round(b["lum_std"].to_numpy(),
+                                              6))),
+                batch_format="pyarrow", batch_size=None)
+            .sort("image_id"))
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     "events_first_wins": events_first_wins,
@@ -4216,6 +4242,7 @@ QUERIES = {
     "customer_ltv_quantiles": customer_ltv_quantiles,
     "video_scene_cuts": video_scene_cuts,
     "audio_silence_trim": audio_silence_trim,
+    "image_resize_stats": image_resize_stats,
 }
 
 ORACLES = {
