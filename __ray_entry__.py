@@ -39,11 +39,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kafka_delta_rs_ray.ops.queries import QUERIES
     from kafka_delta_rs_ray.pipelines.lifecycle import maintenance_lifecycle
 
-    q = dict(QUERIES)
     # rows-only (non-SQL-expressible) maintenance lifecycle: stage
-    # summary over the synthetic image table (deterministic per seed)
-    q["image_maintenance_lifecycle"] = (
-        lambda sf_dir: maintenance_lifecycle(n_rows=300, n_changes=80))
+    # summary over the synthetic image table (deterministic per seed).
+    # It leads the dict so the flagship sits inside the driver's
+    # 50-entry CORRECTNESS window (see QUERIES ordering note).
+    q = {
+        "image_maintenance_lifecycle":
+            lambda sf_dir: maintenance_lifecycle(n_rows=300, n_changes=80),
+    }
+    q.update(QUERIES)
     return q
 
 
