@@ -27,6 +27,26 @@ _COMPARE_OPS = {">", ">=", "<", "<=", "==", "!="}
 _OPS = _COMPARE_OPS | {"in", "not_null"}
 
 
+def _check_value_type(name: str, col: str, values: list, schema) -> None:
+    """Declaration-time value/column type compatibility: a constraint
+    like ``{"op": ">", "value": "abc"}`` on an int64 column would
+    otherwise be accepted here and then blow up as ArrowInvalid inside
+    EVERY write task, poisoning the commit the 'violations never
+    poison the commit' contract promises to protect. When the schema
+    is in hand, reject at declaration like the other C1 checks."""
+    if schema is None or col not in schema.names:
+        return
+    typ = schema.field(col).type
+    for v in values:
+        try:
+            pa.scalar(v, type=typ)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError,
+                TypeError, OverflowError) as e:
+            raise ConfigError(
+                f"constraint {name!r}: value {v!r} is not compatible "
+                f"with column {col!r} of type {typ} ({e})") from None
+
+
 def normalize_constraints(constraints, schema=None) -> list[dict]:
     """Validate-early (reference config posture, src/config/mod.rs:
     96-177): reject malformed constraints at declaration time with a
@@ -69,8 +89,11 @@ def normalize_constraints(constraints, schema=None) -> list[dict]:
             if not isinstance(v, (list, tuple)) or not v:
                 raise ConfigError(
                     f"constraint {name!r}: 'in' needs a non-empty list")
+            _check_value_type(name, col, list(v), schema)
         elif c.get("value") is None:
             raise ConfigError(f"constraint {name!r}: op {op!r} needs a value")
+        else:
+            _check_value_type(name, col, [c["value"]], schema)
         out.append({"name": name, "col": col, "op": op,
                     "value": c.get("value")})
     return out

@@ -349,26 +349,58 @@ class Table:
         v = self.latest_version() if version is None else int(version)
         if not os.path.exists(self.manifest_path(v)):
             raise StateError(f"cannot branch from missing version {v}")
+        import json as _json
+
         bdir = os.path.join(self._branches_dir(), name)
         if os.path.isdir(bdir):
             raise StateError(f"branch {name!r} already exists")
         os.makedirs(self._branches_dir(), exist_ok=True)
-        tmp = tempfile.mkdtemp(dir=self._branches_dir(),
-                               prefix=f".tmp-{name}-")
-        try:
-            # seed = hard link of the base manifest: the branch keeps
-            # base's snapshot alive even after main expires it
-            os.link(self.manifest_path(v),
-                    os.path.join(tmp, os.path.basename(
-                        self.manifest_path(v))))
+        # create-vs-expire TOCTOU (same shape as tag()): without the gc
+        # lock, a concurrent expire on main can enumerate branches
+        # BEFORE our rename lands and then sweep files reachable only
+        # via the fork version, leaving a freshly created branch with a
+        # broken closure. Publish under the lock, then verify the fork
+        # version's full file closure and withdraw the branch if any of
+        # it was already swept.
+        with self.gc_lock():
+            tmp = tempfile.mkdtemp(dir=self._branches_dir(),
+                                   prefix=f".tmp-{name}-")
             try:
-                os.rename(tmp, bdir)  # atomic: branch appears complete
-            except OSError:
+                # seed = hard link of the base manifest: the branch
+                # keeps base's snapshot alive even after main expires it
+                os.link(self.manifest_path(v),
+                        os.path.join(tmp, os.path.basename(
+                            self.manifest_path(v))))
+                # durable fork point: merge_branch must not infer the
+                # fork from the branch's oldest RETAINED version (expire
+                # with keep_last can sweep the seed manifest, inflating
+                # that guess past the true fork and letting a
+                # "fast-forward" silently drop main's post-fork commits)
+                with open(os.path.join(tmp, ".branch.json"), "w") as f:
+                    f.write(_json.dumps({"name": name, "fork_version": v,
+                                         "created_at": time.time()}))
+                try:
+                    os.rename(tmp, bdir)  # atomic: branch appears complete
+                except OSError:
+                    raise StateError(
+                        f"branch {name!r} already exists") from None
+            finally:
+                if os.path.isdir(tmp):
+                    shutil.rmtree(tmp, ignore_errors=True)
+            missing = None
+            if not os.path.exists(self.manifest_path(v)):
+                missing = f"manifest v{v}"
+            else:
+                for rel in self._closure_paths(v):
+                    if not os.path.exists(self.abspath(rel)):
+                        missing = rel
+                        break
+            if missing is not None:
+                shutil.rmtree(bdir, ignore_errors=True)
                 raise StateError(
-                    f"branch {name!r} already exists") from None
-        finally:
-            if os.path.isdir(tmp):
-                shutil.rmtree(tmp, ignore_errors=True)
+                    f"version {v} was expired while branching "
+                    f"(missing {missing}); re-branch from a retained "
+                    f"version")
         return self.branch(name)
 
     def branch(self, name: str) -> "BranchTable":
@@ -400,11 +432,25 @@ class Table:
         the branch's manifest content as main's next version, so it
         inherits CAS atomicity, snapshot isolation and the txn ledger
         (exactly-once watermarks travel with the branch)."""
+        import json as _json
+
         if self.is_branch:
             raise StateError("merge_branch runs on the main handle")
         bt = self.branch(name)
         bvs = bt.versions()
-        fork = bvs[0]  # the seed version == main version at fork time
+        # fork point comes from the branch's durable metadata written
+        # at create_branch, NOT from bvs[0]: after expire(keep_last=..)
+        # sweeps the seed manifest on the branch line, the oldest
+        # RETAINED version inflates past the true fork and the
+        # fast-forward guard below would wave through a merge that
+        # silently drops main's post-fork commits.
+        meta_path = os.path.join(self._branches_dir(), name,
+                                 ".branch.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                fork = int(_json.load(f)["fork_version"])
+        else:  # pre-metadata branch (older layout): best-effort guess
+            fork = bvs[0]
         bm = bt.read_manifest(bvs[-1])
 
         def build(latest: Manifest) -> Manifest | None:

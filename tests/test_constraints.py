@@ -167,3 +167,28 @@ def test_datasink_all_quarantined_still_commits_watermark(tmp_path,
     m = write_table(ds, t, txn={"app": {"0": 17}})
     assert m is not None and m.watermark("app", 0) == 17
     assert t.snapshot().dataset().count() == 0
+
+
+def test_constraint_value_type_checked_at_declaration():
+    """ADVICE r4 (low): a value that cannot be a scalar of the
+    column's arrow type fails at declaration (C1 posture), not as
+    ArrowInvalid inside every write task."""
+    with pytest.raises(ConfigError, match="not compatible"):
+        normalize_constraints(
+            [{"name": "bad", "col": "w", "op": ">", "value": "abc"}],
+            schema=IMAGE_SCHEMA)
+    with pytest.raises(ConfigError, match="not compatible"):
+        normalize_constraints(
+            [{"name": "bad", "col": "fmt", "op": "in",
+              "value": ["rawz", 7]}],
+            schema=IMAGE_SCHEMA)
+    # compatible values still pass with the schema in hand
+    out = normalize_constraints(
+        [{"name": "ok", "col": "w", "op": ">", "value": 0},
+         {"name": "ok2", "col": "fmt", "op": "in",
+          "value": ["rawz", "dctq"]}],
+        schema=IMAGE_SCHEMA)
+    assert len(out) == 2
+    # without a schema there is nothing to check against — accepted
+    assert normalize_constraints(
+        [{"name": "x", "col": "w", "op": ">", "value": "abc"}])

@@ -607,3 +607,67 @@ def test_expire_on_branch_handle_keeps_main(table, ray_session):
     assert rep["expired_versions"]  # old branch versions dropped
     assert table.snapshot().dataset().count() == 12  # main intact
     assert b.snapshot().dataset().count() == 18
+
+
+def test_create_branch_persists_fork_point(table, ray_session):
+    """The fork version is durable branch metadata, not inferred from
+    the oldest retained manifest (which expire can sweep)."""
+    import json
+
+    append(table, image_dataset(10, batch_size=10),
+           target_fragment_rows=10)
+    table.create_branch("meta")
+    meta = os.path.join(table.root, "manifest", "branches", "meta",
+                        ".branch.json")
+    with open(meta) as f:
+        doc = json.load(f)
+    assert doc["fork_version"] == 1
+    assert doc["name"] == "meta"
+
+
+def test_merge_branch_fork_survives_branch_expire(table, ray_session):
+    """ADVICE r4 (high): after expire(keep_last=1) on the branch line
+    sweeps the seed manifest, the fork point must NOT inflate to the
+    oldest retained branch version — a merge while main has advanced
+    past the true fork must still raise CommitConflict instead of
+    silently dropping main's post-fork commits."""
+    from kafka_delta_rs_ray.pipelines.expire import expire
+
+    append(table, image_dataset(10, batch_size=10),
+           target_fragment_rows=10)          # main v1
+    b = table.create_branch("ff")            # fork at v1
+    for s in (31, 32):                       # branch v2, v3
+        append(b, image_dataset(3, seed=s, batch_size=3).map_batches(
+            lambda t, s=s: t.set_column(
+                t.schema.get_field_index("image_id"), "image_id",
+                [[f"b{s}-{x}" for x in t["image_id"].to_pylist()]]),
+            batch_format="pyarrow"), target_fragment_rows=3)
+    # main advances past the fork — its rows must never be lost
+    append(table, image_dataset(4, seed=33, batch_size=4).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("image_id"), "image_id",
+            [[f"m-{x}" for x in t["image_id"].to_pylist()]]),
+        batch_format="pyarrow"), target_fragment_rows=4)  # main v2
+    # sweep the branch's seed manifest: oldest retained version is now
+    # the branch head, which would fool a bvs[0]-derived fork guess
+    expire(b, keep_last=1, min_age_seconds=0)
+    assert b.versions()[0] > 1
+    with pytest.raises(CommitConflict, match="fork point"):
+        table.merge_branch("ff")
+    # main rows intact
+    ids = set(table.snapshot().dataset().select_columns(
+        ["image_id"]).to_pandas()["image_id"])
+    assert any(i.startswith("m-") for i in ids)
+
+
+def test_create_branch_verifies_fork_closure(table, ray_session):
+    """ADVICE r4 (medium): create_branch verifies the fork version's
+    file closure post-publish and withdraws the branch if a concurrent
+    expire already swept it (simulated by unlinking a fragment)."""
+    append(table, image_dataset(8, batch_size=8),
+           target_fragment_rows=8)
+    frag = table.read_manifest().fragments[0]
+    os.unlink(table.abspath(frag.path))  # simulate a mid-race sweep
+    with pytest.raises(StateError, match="expired while branching"):
+        table.create_branch("broken")
+    assert table.branches() == []  # withdrawn, not half-created
