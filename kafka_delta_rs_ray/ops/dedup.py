@@ -644,6 +644,16 @@ def simhash_pairs(docs_ds, max_dist: int = 3, n_docs: int | None = None):
 
 
 # ------------------------------------------------------- exact jaccard
+# Below this many candidate docs, the exact verify broadcasts the
+# candidate TEXT dict once (ray.put). Candidates come from LSH at the
+# LOOSER recall threshold, so on a duplicate-heavy crawl (near-dup
+# fraction > 30% is routine) they are a corpus FRACTION of raw text —
+# a driver OOM at 100 TB. Above the threshold the verify switches to
+# a two-sided bucketed pair⋈shingle-set join with O(1) driver state:
+# the minhash BROADCAST_VERIFY_MAX switch applied to the exact stage.
+NGRAM_BROADCAST_MAX = 200_000
+
+
 class _ExactJaccard:
     """Verify candidate pairs with EXACT word-n-gram Jaccard. The
     candidate texts are broadcast once (ray.put) — candidates are a
@@ -717,11 +727,146 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5,
                     .filter(pc.is_in(b["doc_id"], value_set=self._ids)))
 
     picked = docs_ds.map_batches(_PickTexts(), batch_format="pyarrow",
-                                 batch_size=None).take_all()
-    texts = {r["doc_id"]: (r["text"] or "") for r in picked}
-    ref = ray.put(texts)
-    return cand.map_batches(_ExactJaccard(ref, threshold),
-                            batch_format="pandas")
+                                 batch_size=None)
+    if len(ids) <= NGRAM_BROADCAST_MAX:
+        # broadcast fast path: candidate texts fit one object
+        texts = {r["doc_id"]: (r["text"] or "")
+                 for r in picked.take_all()}
+        ref = ray.put(texts)
+        return cand.map_batches(_ExactJaccard(ref, threshold),
+                                batch_format="pandas")
+    return _distributed_exact_jaccard(cand, picked, threshold,
+                                      n_cand=len(ids))
+
+
+def _shingle_sets(picked_ds):
+    """(doc_id, text) → (doc_id, sh list<int64>): per-doc UNIQUE sorted
+    shingle-hash sets. Batch-vectorized hashing; the per-doc np.unique
+    loop is over docs, not tokens."""
+
+    def to_sets(b: pa.Table) -> pa.Table:
+        texts = [t or "" for t in b["text"].to_pylist()]
+        flat, counts = batch_shingle_hashes(texts)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        parts = [np.unique(flat[offs[i]:offs[i + 1]])
+                 for i in range(len(texts))]
+        lens = np.concatenate(
+            ([0], np.array([len(p) for p in parts], dtype=np.int64)))
+        vals = (np.concatenate(parts) if parts
+                else np.empty(0, np.uint64)).view(np.int64)
+        col = pa.ListArray.from_arrays(
+            pa.array(np.cumsum(lens), pa.int32()),
+            pa.array(vals, pa.int64()))
+        return pa.table({"doc_id": b["doc_id"].cast(pa.int64()),
+                         "sh": col})
+
+    return picked_ds.map_batches(to_sets, batch_format="pyarrow",
+                                 batch_size=None)
+
+
+def _empty_sh_col(n: int) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array(np.zeros(n + 1, np.int64), pa.int32()),
+        pa.array([], pa.int64()))
+
+
+def _exact_jaccard_row(sa, sb, threshold: float):
+    """One pair's exact Jaccard from two UNIQUE sorted hash arrays;
+    None when below threshold. Mirrors _ExactJaccard's set math
+    (np.unique output ≡ set of shingle hashes)."""
+    sa = np.asarray(sa, dtype=np.int64)
+    sb = np.asarray(sb, dtype=np.int64)
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    u = sa.size + sb.size - inter
+    j = (inter / u) if u else 0.0
+    return round(j, 6) if j >= threshold else None
+
+
+def _distributed_exact_jaccard(cand, picked, threshold: float,
+                               n_cand: int):
+    """Fully distributed exact-Jaccard verify: candidate pairs joined
+    to their shingle sets by TWO bucketed exchanges (pairs ⋈ sets on
+    doc_a, rebucket, ⋈ on doc_b) — nothing corpus- or candidate-sized
+    ever lands on the driver. Pair rows carry sh_a between the stages;
+    pairs are output-sized, so the carried payload is bounded.
+    Equivalence with the broadcast path is pinned by
+    test_ngram_distributed_matches_broadcast."""
+    sets_ds = _shingle_sets(picked).materialize()
+    ng = int(min(MAX_GROUPS, max(16, 2 * n_cand // TARGET_GROUP_ROWS + 1)))
+
+    def tag_pairs_a(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bucket": pa.array(_node_bucket(a, ng)),
+                         "doc_a": pa.array(a, pa.int64()),
+                         "doc_b": b["doc_b"].cast(pa.int64()),
+                         "sh": _empty_sh_col(len(a))})
+
+    def tag_sets_a(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bucket": pa.array(_node_bucket(d, ng)),
+                         "doc_a": pa.array(d, pa.int64()),
+                         "doc_b": pa.array(np.full(len(d), -1), pa.int64()),
+                         "sh": b["sh"]})
+
+    def attach_a(g: pd.DataFrame) -> pa.Table:
+        sets_side = g[g["doc_b"] == -1]
+        pairs_side = g[g["doc_b"] != -1]
+        lut = dict(zip(sets_side["doc_a"].tolist(),
+                       sets_side["sh"].tolist()))
+        a = pairs_side["doc_a"].to_numpy().astype(np.int64)
+        bb = pairs_side["doc_b"].to_numpy().astype(np.int64)
+        sh_a = pa.array([np.asarray(lut.get(x, ()), dtype=np.int64)
+                         for x in a.tolist()], pa.list_(pa.int64()))
+        return pa.table({"bucket": pa.array(_node_bucket(bb, ng)),
+                         "doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(bb, pa.int64()),
+                         "sh_a": sh_a,
+                         "sh_b": _empty_sh_col(len(a))})
+
+    def tag_sets_b(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bucket": pa.array(_node_bucket(d, ng)),
+                         "doc_a": pa.array(np.full(len(d), -1), pa.int64()),
+                         "doc_b": pa.array(d, pa.int64()),
+                         "sh_a": _empty_sh_col(len(d)),
+                         "sh_b": b["sh"]})
+
+    stage_a = (cand.map_batches(tag_pairs_a, batch_format="pyarrow",
+                                batch_size=None)
+               .union(sets_ds.map_batches(tag_sets_a,
+                                          batch_format="pyarrow",
+                                          batch_size=None))
+               .groupby("bucket")
+               .map_groups(attach_a, batch_format="pandas"))
+
+    def verify_b(g: pd.DataFrame) -> pd.DataFrame:
+        sets_side = g[g["doc_a"] == -1]
+        pairs_side = g[g["doc_a"] != -1]
+        lut = dict(zip(sets_side["doc_b"].tolist(),
+                       sets_side["sh_b"].tolist()))
+        rows = {"doc_a": [], "doc_b": [], "jaccard": []}
+        for a, bb, sa in zip(pairs_side["doc_a"].tolist(),
+                             pairs_side["doc_b"].tolist(),
+                             pairs_side["sh_a"].tolist()):
+            j = _exact_jaccard_row(sa, np.asarray(lut.get(bb, ()),
+                                                  dtype=np.int64),
+                                   threshold)
+            if j is not None:
+                rows["doc_a"].append(a)
+                rows["doc_b"].append(bb)
+                rows["jaccard"].append(j)
+        if not rows["doc_a"]:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")})
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    return (stage_a.union(sets_ds.map_batches(tag_sets_b,
+                                              batch_format="pyarrow",
+                                              batch_size=None))
+            .groupby("bucket")
+            .map_groups(verify_b, batch_format="pandas"))
 
 
 # ---------------------------------------------------- embedding cosine

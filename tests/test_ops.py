@@ -97,6 +97,24 @@ def test_ngram_jaccard_verifies(ray_session):
     assert all(j >= 0.5 for j in pairs.values())
 
 
+def test_ngram_distributed_matches_broadcast(ray_session, monkeypatch):
+    """Force the distributed pair⋈shingle-set verify (threshold 0) and
+    pin byte-equality with the broadcast-text path — the same
+    equivalence contract as the minhash BROADCAST_VERIFY_MAX switch."""
+    from kafka_delta_rs_ray.ops import dedup
+
+    def run():
+        out = dedup.ngram_jaccard_pairs(_docs_ds(), threshold=0.5).to_pandas()
+        return (out.sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True)[["doc_a", "doc_b", "jaccard"]])
+
+    broadcast = run()
+    monkeypatch.setattr(dedup, "NGRAM_BROADCAST_MAX", 0)
+    distributed = run()
+    pd.testing.assert_frame_equal(broadcast, distributed)
+    assert len(broadcast) > 0  # the pin is vacuous on an empty pair set
+
+
 def test_embedding_near_dup(ray_session):
     from kafka_delta_rs_ray.ops.dedup import embedding_near_dup
 
