@@ -3398,63 +3398,132 @@ def orders_shipping_priority_sql() -> str:
     """
 
 
+def _img_num(ids) -> np.ndarray:
+    """'img-##########' → int64 rid (synth ids are fixed-width, so
+    lexicographic min == numeric min and the mapping is stateless —
+    no corpus-sized id dictionary on any node)."""
+    return np.array([int(s[4:]) for s in ids], dtype=np.int64)
+
+
 def image_dedup_pipeline(sf_dir: str):
     """End-to-end IMAGE corpus dedup (the image twin of
     doc_dedup_pipeline): exact phash-identity first-wins → Hamming
     near-dup pairs (16-bit-block LSH + verify, pigeonhole-complete at
     max_dist 3) → connected components → keep the min image_id per
-    duplicate cluster. Pair graph is output-bounded, so the driver
-    union-find + broadcast loser filter is the right regime here
-    (doc_dedup_pipeline carries the distributed min-label path for
-    the pathological case; same machinery applies). Metadata-only —
-    no image bytes move. EXACT SQL oracle (Hamming + recursive CTE
-    over the dumped deterministic table)."""
+    duplicate cluster. Metadata-only — no image bytes move. EXACT SQL
+    oracle (Hamming + recursive CTE over the dumped deterministic
+    table).
+
+    Scale regimes mirror doc_dedup_pipeline exactly: exact dedup
+    pre-aggregates first-wins per BLOCK before the bucketed-hash
+    shuffle (a dominant phash — blank images — contributes ≤1 row per
+    block instead of one hot group of the whole corpus), and past
+    CC_PAIRS_DRIVER_MAX the driver union-find + broadcast loser set
+    gives way to distributed min-label components + a bucketed
+    anti-join (ids map statelessly to their numeric rid for
+    cc_min_labels). Equivalence of the two regimes is pinned by
+    test_image_dedup_distributed_cc_matches_driver."""
     import ray
 
     from ..pipelines.synth import image_dataset
-    from .dedup import phash_near_dup_pairs
+    from .dedup import cc_min_labels, phash_near_dup_pairs
 
-    ds = image_dataset(2000, batch_size=250).select_columns(
+    n_images = 2000
+    ds = image_dataset(n_images, batch_size=250).select_columns(
         ["image_id", "phash"])
+    nb = n_key_groups(n_images)
+
+    def partial_first(b: pa.Table) -> pa.Table:
+        df = (b.to_pandas().sort_values("image_id")
+              .drop_duplicates("phash", keep="first")[["image_id", "phash"]])
+        ph = df["phash"].to_numpy().astype(np.int64)
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.append_column("bucket", pa.array(hash_bucket(ph, nb)))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values("image_id")
                  .drop_duplicates("phash", keep="first")
                  [["image_id", "phash"]])
 
-    survivors = ds.groupby("phash").map_groups(
-        keep_first, batch_format="pandas").materialize()
-    pairs = phash_near_dup_pairs(survivors, max_dist=3, n_images=2000)
+    survivors = (ds.map_batches(partial_first, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(keep_first, batch_format="pandas")
+                 .materialize())
+    pairs = phash_near_dup_pairs(survivors, max_dist=3,
+                                 n_images=n_images).materialize()
+    n_pairs = pairs.count()
 
-    parent: dict = {}
+    if n_pairs <= CC_PAIRS_DRIVER_MAX:
+        parent: dict = {}
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
 
-    for b in pairs.iter_batches(batch_format="pandas", batch_size=None):
-        for a, c in zip(b["img_a"].tolist(), b["img_b"].tolist()):
-            ra, rb = find(a), find(c)
-            if ra != rb:  # fixed-width ids: lexicographic min == numeric
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-    losers = {x for x in parent if find(x) != x}
-    losers_ref = ray.put(losers)
+        for b in pairs.iter_batches(batch_format="pandas",
+                                    batch_size=None):
+            for a, c in zip(b["img_a"].tolist(), b["img_b"].tolist()):
+                ra, rb = find(a), find(c)
+                if ra != rb:  # fixed-width: lexicographic min == numeric
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        losers = {x for x in parent if find(x) != x}
+        losers_ref = ray.put(losers)
 
-    def drop(b: pa.Table) -> pa.Table:
+        def drop(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            lose = ray.get(losers_ref)
+            if not lose:
+                return b.select(["image_id"])
+            vs = pa.array(sorted(lose), pa.string())
+            return (b.select(["image_id"])
+                    .filter(pc.invert(pc.is_in(b["image_id"],
+                                               value_set=vs))))
+
+        return survivors.map_batches(drop, batch_format="pyarrow",
+                                     batch_size=None)
+
+    # distributed regime: numeric-id pairs → min-label components →
+    # losers (label < node) anti-joined to survivors by hash bucket
+    def pairs_num(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_a": pa.array(_img_num(b["img_a"].to_pylist()), pa.int64()),
+            "doc_b": pa.array(_img_num(b["img_b"].to_pylist()), pa.int64())})
+
+    labels = cc_min_labels(
+        pairs.map_batches(pairs_num, batch_format="pyarrow",
+                          batch_size=None),
+        n_pairs=n_pairs)
+
+    def tag_losers(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        lose = ray.get(losers_ref)
-        if not lose:
-            return b.select(["image_id"])
-        vs = pa.array(sorted(lose), pa.string())
-        return (b.select(["image_id"])
-                .filter(pc.invert(pc.is_in(b["image_id"], value_set=vs))))
+        lose = b.filter(pc.less(b["label"], b["node"]))
+        ids = lose["node"].to_numpy(zero_copy_only=False)
+        return pa.table({"image_id": pa.array(
+            [f"img-{int(x):010d}" for x in ids], pa.string()),
+            "is_loser": pa.array(np.ones(len(lose), np.int8)),
+            "bucket": pa.array(hash_bucket(ids, nb))})
 
-    return survivors.map_batches(drop, batch_format="pyarrow",
-                                 batch_size=None)
+    def tag_survivors(b: pa.Table) -> pa.Table:
+        ids = _img_num(b["image_id"].to_pylist())
+        return pa.table({"image_id": b["image_id"],
+                         "is_loser": pa.array(np.zeros(len(b), np.int8)),
+                         "bucket": pa.array(hash_bucket(ids, nb))})
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        drop_ids = g.loc[g["is_loser"] == 1, "image_id"]
+        keep = g[(g["is_loser"] == 0) & ~g["image_id"].isin(drop_ids)]
+        return keep[["image_id"]]
+
+    tagged = (survivors.map_batches(tag_survivors, batch_format="pyarrow",
+                                    batch_size=None)
+              .union(labels.map_batches(tag_losers, batch_format="pyarrow",
+                                        batch_size=None)))
+    return tagged.groupby("bucket").map_groups(anti, batch_format="pandas")
 
 
 def image_dedup_pipeline_sql() -> str:

@@ -572,6 +572,22 @@ def test_doc_dedup_pipeline_distributed_cc_matches_driver(
     assert dist == driver and len(driver) > 0
 
 
+def test_image_dedup_distributed_cc_matches_driver(
+        ray_session, monkeypatch):
+    """The image twin of the doc pipeline's regime pin: threshold-0
+    routes image_dedup_pipeline through numeric-id min-label
+    components + bucketed anti-join; survivors identical to the
+    driver union-find path."""
+    import kafka_delta_rs_ray.ops.queries as q
+
+    driver = sorted(r["image_id"]
+                    for r in q.image_dedup_pipeline("unused").take_all())
+    monkeypatch.setattr(q, "CC_PAIRS_DRIVER_MAX", -1)
+    dist = sorted(r["image_id"]
+                  for r in q.image_dedup_pipeline("unused").take_all())
+    assert dist == driver and len(driver) > 0
+
+
 def test_train_centroids_delegates_to_distributed_kmeans(
         ray_session, monkeypatch):
     """Past DISTRIBUTED_TRAIN_C centroids, train_centroids must swap to
