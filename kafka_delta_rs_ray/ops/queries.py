@@ -1155,7 +1155,10 @@ def events_distinct_users_hll(sf_dir: str):
     (events_distinct_users) needs a key shuffle; the sketch exchanges
     4 KB per block regardless of row count — the 10^12-row shape.
     Rows-only check (approximate by design); accuracy vs exact is
-    pinned in tests (HLL p=12 → ~1.6% standard error)."""
+    pinned in tests (HLL p=12 → ~1.6% standard error), and below
+    SELF_CHECK_MAX_ROWS the callable ALSO recomputes the exact
+    distinct count and asserts the estimate lands within 5% (3σ), so
+    a rows-only pass implies sketch accuracy, not just execution."""
     from ..functions import hll
 
     ds = _read(sf_dir, "events", ["user_id"])
@@ -1170,9 +1173,12 @@ def events_distinct_users_hll(sf_dir: str):
               .iter_batches(batch_format="pyarrow", batch_size=None)):
         for buf in b["regs"].to_pylist():
             merged = hll.merge(merged, np.frombuffer(buf, np.uint8))
-    return pa.table({"n_users_approx":
-                     pa.array([int(round(hll.estimate(merged)))],
-                              pa.int64())})
+    est = int(round(hll.estimate(merged)))
+    if ds.count() <= SELF_CHECK_MAX_ROWS:
+        exact = len(ds.unique("user_id"))
+        assert abs(est - exact) <= max(1, 0.05 * exact), \
+            f"HLL estimate {est} vs exact {exact}: outside 5%"
+    return pa.table({"n_users_approx": pa.array([est], pa.int64())})
 
 
 def doc_stratified_sample(sf_dir: str):
@@ -1851,6 +1857,14 @@ def doc_ngram_jaccard_pairs_sql() -> str:
 # keeping the driver at O(1) state.
 CC_PAIRS_DRIVER_MAX = 2_000_000
 
+# Below this input size, rows-only entries with a cheap local oracle
+# (pack_sequences vs the reference greedy, HLL vs the exact count)
+# re-verify themselves inside the callable, so a driver "rows-only ran
+# clean" implies semantic correctness. Above it the re-check would
+# cost what the operator exists to avoid, so it is skipped — the
+# pytest pins still cover the semantics at small scale.
+SELF_CHECK_MAX_ROWS = 2_000_000
+
 
 def doc_dedup_pipeline(sf_dir: str):
     """End-to-end corpus dedup — what a training-data pipeline actually
@@ -2217,15 +2231,37 @@ def doc_pack_sequences(sf_dir: str):
     token-budget packing in contiguous doc_id-range buckets →
     per-sequence summary (seq_id, n_docs, n_tokens, fill). Rows-only
     driver check (greedy sequential packing is not SQL-expressible);
-    exactness vs a local reference greedy is pinned in tests."""
-    from .packing import pack_sequences
+    below SELF_CHECK_MAX_ROWS the callable ALSO re-runs the reference
+    greedy locally over the slim (doc_id, n_tokens) projection and
+    asserts exact equality, so a rows-only pass implies the packing
+    semantics, not just execution (the full distributed-vs-local pin
+    lives in test_pack_sequences_matches_reference_greedy)."""
+    from .packing import SEQ_NAMESPACE, pack_greedy, pack_sequences
     from .textops import TokenCount
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     toks = ds.map_batches(TokenCount(), batch_format="pandas",
                           batch_size=None).select_columns(
-        ["doc_id", "n_tokens"])
-    return pack_sequences(toks, budget=256)
+        ["doc_id", "n_tokens"]).materialize()
+    out = pack_sequences(toks, budget=256)
+    n_docs = toks.count()
+    if n_docs > SELF_CHECK_MAX_ROWS:
+        return out
+    out = out.materialize()
+    slim = toks.to_pandas().sort_values("doc_id")
+    ids = slim["doc_id"].to_numpy(np.int64)
+    tk = slim["n_tokens"].to_numpy(np.int64)
+    ref = {}
+    for b in np.unique(ids // 50_000):
+        m = (ids // 50_000) == b
+        seq = pack_greedy(tk[m], 256)
+        for s in np.unique(seq):
+            sel = tk[m][seq == s]
+            ref[int(b) * SEQ_NAMESPACE + int(s)] = (len(sel), int(sel.sum()))
+    got = {int(r["seq_id"]): (int(r["n_docs"]), int(r["n_tokens"]))
+           for r in out.take_all()}
+    assert got == ref, "doc_pack_sequences: distributed != local greedy"
+    return out
 
 
 DECON_N = 8            # n-gram width (word-level), GPT-3-style overlap
@@ -2612,16 +2648,61 @@ def image_embed_knn_sql() -> str:
     """
 
 
+# Planted-probe harness for the rows-only media entries: probe clips
+# with KNOWN expected outputs ride the SAME distributed stages as the
+# real rows, are asserted driver-side, and never appear in the
+# returned result — so a driver "rows-only ran clean" implies semantic
+# correctness, not just execution (the embedding_knn_ivf in-callable
+# recall pattern applied to the media family).
+_PROBE_PREFIX = "probe-"
+
+
+def _split_probes(out_ds, id_col: str = "media_id"):
+    """Materialized stage output → (list of probe rows, non-probe
+    Dataset). Probe rows are O(#probes); the kept side stays lazy."""
+    import pyarrow.compute as pc
+
+    def probes(b: pa.Table) -> pa.Table:
+        return b.filter(pc.starts_with(b[id_col], pattern=_PROBE_PREFIX))
+
+    def rest(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(
+            pc.starts_with(b[id_col], pattern=_PROBE_PREFIX)))
+
+    got = out_ds.map_batches(probes, batch_format="pyarrow",
+                             batch_size=None).take_all()
+    return got, out_ds.map_batches(rest, batch_format="pyarrow",
+                                   batch_size=None)
+
+
+def _probe_sine_clip(sr: int = 16000, seconds: float = 0.5):
+    """Deterministic pure-tone probe clip (1 kHz, quarter scale)."""
+    t = np.arange(int(sr * seconds)) / sr
+    return (0.25 * np.sin(2 * np.pi * 1000.0 * t) * 32767.0).astype(np.int16)
+
+
 def audio_features(sf_dir: str):
     """Audio modality pipeline: synthesize deterministic pcmz clips →
     AudioFeatures (windowed FFT log-filterbank) → per-clip aggregate
     (window count + feature-energy sum, rounded) so the result is a
-    compact deterministic table. Rows-only check (FFT filterbanks are
-    not SQL-expressible)."""
+    compact deterministic table. Rows-only driver check (FFT
+    filterbanks are not SQL-expressible); a planted pure-tone probe rides the
+    distributed stage and must match the same stage run driver-side
+    bit-for-bit, so 'ran clean' implies the distributed path computed
+    the features correctly."""
+    import ray.data as rd
+
+    from ..codecs import pcmz
     from ..pipelines.synth import audio_dataset
     from ..stages.codec_stage import AudioFeatures
 
-    ds = audio_dataset(64, seconds=0.5)
+    sine = _probe_sine_clip()
+    probe = pa.table({
+        "media_id": pa.array([_PROBE_PREFIX + "sine"], pa.string()),
+        "bytes": pa.array([pcmz.encode(sine)], pa.large_binary()),
+        "fmt": pa.array(["pcmz"], pa.string()),
+        "sample_rate": pa.array([16000], pa.int32())})
+    ds = audio_dataset(64, seconds=0.5).union(rd.from_arrow(probe))
     out = ds.map_batches(AudioFeatures(), batch_format="pyarrow",
                          batch_size=16)
 
@@ -2638,19 +2719,41 @@ def audio_features(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     # one group stage: windows of one clip may span batches
-    return (out.groupby("media_id")
-            .map_groups(agg, batch_format="pyarrow"))
+    res = (out.groupby("media_id")
+           .map_groups(agg, batch_format="pyarrow")).materialize()
+    got, kept = _split_probes(res)
+    ref = AudioFeatures()(probe)
+    ref_energy = round(sum(round(float(np.sum(f)), 3)
+                           for f in ref["features"].to_pylist()), 2)
+    assert len(got) == 1, got
+    row = got[0]
+    assert (row["n_windows"] == ref.num_rows
+            and row["energy"] == ref_energy), \
+        f"audio_features probe mismatch: {row} vs ({ref.num_rows}, {ref_energy})"
+    return kept
 
 
 def video_frame_sample(sf_dir: str):
     """Video modality pipeline: synthesize deterministic vraw clips →
     FrameSample (demux + every-Nth frame re-encoded rawz) → per-frame
-    phash fingerprint. Rows-only check; deterministic per seed."""
+    phash fingerprint. Rows-only check; a planted drifting-gradient
+    probe clip must come back with exactly the every-10th frame
+    indices and the driver-computed phash of each sampled frame
+    (rawz is lossless, so the fingerprints match bit-for-bit)."""
+    import ray.data as rd
+
+    from ..codecs import vraw
     from ..functions.phash import phash64
     from ..pipelines.synth import video_dataset
     from ..stages.codec_stage import FrameSample
 
-    ds = video_dataset(32, n_frames=30)
+    base = (np.arange(32 * 32 * 3) % 251).reshape(32, 32, 3).astype(np.uint8)
+    pframes = np.stack([np.roll(base, i, axis=1) for i in range(30)])
+    probe = pa.table({
+        "media_id": pa.array([_PROBE_PREFIX + "drift"], pa.string()),
+        "bytes": pa.array([vraw.encode(pframes)], pa.large_binary()),
+        "fmt": pa.array(["vraw"], pa.string())})
+    ds = video_dataset(32, n_frames=30).union(rd.from_arrow(probe))
     frames = ds.map_batches(FrameSample(every_n=10), batch_format="pyarrow",
                             batch_size=4)
 
@@ -2665,7 +2768,13 @@ def video_frame_sample(sf_dir: str):
                          "frame_idx": b["frame_idx"],
                          "phash": pa.array(phs, pa.int64())})
 
-    return frames.map_batches(fp, batch_format="pyarrow")
+    res = frames.map_batches(fp, batch_format="pyarrow").materialize()
+    got, kept = _split_probes(res)
+    want = {i: phash64(pframes[i]) for i in (0, 10, 20)}
+    got_map = {r["frame_idx"]: r["phash"] for r in got}
+    assert got_map == want, \
+        f"video_frame_sample probe mismatch: {got_map} vs {want}"
+    return kept
 
 
 # ------------------------------------------------------------- embeddings
@@ -4173,15 +4282,36 @@ def video_scene_cuts(sf_dir: str):
     """Video shot-boundary detection: deterministic vraw clips →
     SceneCuts (vectorized per-clip frame deltas) → per-clip cut
     summary. Rows-only (media synthesis + pixel thresholds are not
-    SQL-expressible); determinism + planted-cut recall pinned in
-    tests/test_media.py."""
+    SQL-expressible). Two planted probes ride the distributed stage:
+    a hard-cut clip that must yield exactly [10], and a static clip
+    that must yield zero cuts — so 'ran clean' implies the boundary
+    detector fired where and only where planted."""
+    import ray.data as rd
+
+    from ..codecs import vraw
     from ..pipelines.synth import video_dataset
     from ..stages.codec_stage import SceneCuts
 
-    ds = video_dataset(32, n_frames=30)
+    cutf = np.zeros((20, 8, 8, 3), np.uint8)
+    cutf[10:] = 200
+    probe = pa.table({
+        "media_id": pa.array([_PROBE_PREFIX + "cut",
+                              _PROBE_PREFIX + "static"], pa.string()),
+        "bytes": pa.array([vraw.encode(cutf),
+                           vraw.encode(np.zeros((5, 4, 4, 3), np.uint8))],
+                          pa.large_binary()),
+        "fmt": pa.array(["vraw", "vraw"], pa.string())})
+    ds = video_dataset(32, n_frames=30).union(rd.from_arrow(probe))
     out = ds.map_batches(SceneCuts(), batch_format="pyarrow",
-                         batch_size=4)
-    return out.map_batches(
+                         batch_size=4).materialize()
+    got, kept = _split_probes(out)
+    by_id = {r["media_id"]: r for r in got}
+    cut = by_id[_PROBE_PREFIX + "cut"]
+    static = by_id[_PROBE_PREFIX + "static"]
+    assert (list(cut["cut_idxs"]) == [10] and cut["n_cuts"] == 1
+            and cut["max_delta"] > 0.5), cut
+    assert static["n_cuts"] == 0 and static["max_delta"] == 0.0, static
+    return kept.map_batches(
         lambda b: b.drop_columns(["cut_idxs"]),
         batch_format="pyarrow", batch_size=None).sort("media_id")
 
@@ -4190,14 +4320,38 @@ def audio_silence_trim(sf_dir: str):
     """Audio curation pipeline: deterministic pcmz clips → SilenceTrim
     (vectorized span detection + re-encode) → per-clip span summary.
     Rows-only (media synthesis + amplitude thresholds are not
-    SQL-expressible); planted-span behavior pinned in test_media.py."""
+    SQL-expressible). Two planted probes ride the distributed stage:
+    a clip with a 150-sample silent lead and 70-sample silent tail
+    around a 400-sample loud span (must trim to exactly that span),
+    and an all-silent clip (must keep zero samples)."""
+    import ray.data as rd
+
+    from ..codecs import pcmz
     from ..pipelines.synth import audio_dataset
     from ..stages.codec_stage import SilenceTrim
 
-    ds = audio_dataset(32)
+    loud = (np.sin(np.linspace(0.3, 40, 400)) * 20000).astype(np.int16)
+    planted = np.concatenate([np.zeros(150, np.int16), loud,
+                              np.zeros(70, np.int16)])
+    probe = pa.table({
+        "media_id": pa.array([_PROBE_PREFIX + "span",
+                              _PROBE_PREFIX + "silent"], pa.string()),
+        "bytes": pa.array([pcmz.encode(planted),
+                           pcmz.encode(np.zeros(100, np.int16))],
+                          pa.large_binary()),
+        "fmt": pa.array(["pcmz", "pcmz"], pa.string()),
+        "sample_rate": pa.array([16000, 16000], pa.int32())})
+    ds = audio_dataset(32).union(rd.from_arrow(probe))
     out = ds.map_batches(SilenceTrim(), batch_format="pyarrow",
-                         batch_size=8)
-    return out.map_batches(
+                         batch_size=8).materialize()
+    got, kept = _split_probes(out)
+    by_id = {r["media_id"]: r for r in got}
+    span = by_id[_PROBE_PREFIX + "span"]
+    silent = by_id[_PROBE_PREFIX + "silent"]
+    assert (span["lead"] == 150 and span["tail"] == 549
+            and span["kept_samples"] == 400), span
+    assert silent["kept_samples"] == 0 and silent["tail"] == -1, silent
+    return kept.map_batches(
         lambda b: b.drop_columns(["bytes"]),
         batch_format="pyarrow", batch_size=None).sort("media_id")
 
