@@ -20,7 +20,8 @@ JOBS = ("append", "merge", "compact", "cluster", "expire", "lifecycle",
 # src/config/mod.rs:81-94: enabled / endpoint / service_name; here the
 # "endpoint" analog is the table's own _runs event store, and
 # last_n_runs bounds the aggregation window)
-MONITORING_KEYS = {"enabled", "service_name", "last_n_runs"}
+MONITORING_KEYS = {"enabled", "service_name", "last_n_runs",
+                   "export_interval_seconds", "export_path"}
 
 DEFAULT_TARGET_FRAGMENT_BYTES = 128 << 20
 DEFAULT_TARGET_FRAGMENT_ROWS = 4096
@@ -127,6 +128,10 @@ class MaintenanceConfig:
         if self.monitoring.get("last_n_runs") is not None \
                 and int(self.monitoring["last_n_runs"]) < 1:
             raise ConfigError("monitoring.last_n_runs must be >= 1")
+        if self.monitoring.get("export_interval_seconds") is not None \
+                and float(self.monitoring["export_interval_seconds"]) <= 0:
+            raise ConfigError(
+                "monitoring.export_interval_seconds must be > 0")
         if self.cluster_curve not in ("morton", "hilbert"):
             raise ConfigError(
                 f"cluster_curve must be 'morton' or 'hilbert', "

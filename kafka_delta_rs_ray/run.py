@@ -92,6 +92,24 @@ def run(cfg: MaintenanceConfig) -> dict:
                 n += 1
             return {"job": "metrics", "enabled": True, "followed": True,
                     "events": n}
+        if mon.get("export_path"):
+            # periodic-export mode (reference PeriodicReader +
+            # exporter, src/monitoring/mod.rs:49-75): snapshots land
+            # on export_path until options.export_for seconds elapse
+            # (default: one immediate flush via shutdown)
+            from .state.monitoring import reader_from_config
+
+            # reaching here means not explicitly disabled — the job
+            # invocation itself is the enable switch
+            reader = reader_from_config(table.root,
+                                        {**mon, "enabled": True})
+            if cfg.options.get("export_for"):
+                import time as _time
+
+                _time.sleep(float(cfg.options["export_for"]))
+            reader.shutdown()
+            return {"job": "metrics", "enabled": True,
+                    "exported_to": mon["export_path"]}
         return {"job": "metrics", "enabled": True,
                 **aggregate_metrics(
                     table.root,

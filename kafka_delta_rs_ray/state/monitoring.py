@@ -129,6 +129,137 @@ def _follow_from(path: str, pos: int, poll_interval: float, stop,
         _time.sleep(poll_interval)
 
 
+class MetricExporter:
+    """Pluggable exporter seam — the reference wires an OTLP
+    ``MetricExporter`` into a ``PeriodicReader``
+    (src/monitoring/mod.rs:49-75); this is that interface with the
+    transport left to the implementation (no network in this sandbox,
+    so the shipped implementations are in-memory and jsonl-file).
+    ``export`` receives one aggregated 7-instrument snapshot
+    (the ``aggregate_metrics`` dict plus a ``ts`` field)."""
+
+    def export(self, snapshot: dict) -> None:
+        raise NotImplementedError
+
+    def shutdown(self) -> None:
+        """Flush/close transport state. Called once by the reader."""
+
+
+class InMemoryExporter(MetricExporter):
+    """Test double / embedding hook: snapshots collect on a list."""
+
+    def __init__(self):
+        self.snapshots: list[dict] = []
+        self.shut_down = False
+
+    def export(self, snapshot: dict) -> None:
+        self.snapshots.append(snapshot)
+
+    def shutdown(self) -> None:
+        self.shut_down = True
+
+
+class JsonlExporter(MetricExporter):
+    """Offline OTLP stand-in: one JSON line per periodic snapshot,
+    appended (crash-tolerant — a partial final line is ignored by any
+    jsonl reader) so an external collector can tail it."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = open(path, "a")
+
+    def export(self, snapshot: dict) -> None:
+        self._f.write(json.dumps(snapshot) + "\n")
+        self._f.flush()
+
+    def shutdown(self) -> None:
+        self._f.close()
+
+
+class PeriodicMetricsReader:
+    """The reference ``PeriodicReader`` analog
+    (src/monitoring/mod.rs:63-75): a daemon thread folds the table's
+    run events into the 7-instrument view every ``interval`` seconds
+    and delivers the snapshot to every registered exporter; shutdown
+    performs one final export (the OTLP flush-on-shutdown contract)
+    then closes the exporters. Driver-side by design, like
+    aggregate_metrics: input is O(runs) JSON lines, never data rows."""
+
+    def __init__(self, table_root: str, exporters: list[MetricExporter],
+                 interval: float = 60.0, last_n_runs: int | None = None,
+                 service_name: str = "kafka-delta-rs-ray"):
+        import threading
+
+        self.table_root = table_root
+        self.exporters = list(exporters)
+        self.interval = float(interval)
+        self.last_n_runs = last_n_runs
+        self.service_name = service_name
+        self._stop = threading.Event()
+        self._thread: "threading.Thread | None" = None
+
+    def _snapshot(self) -> dict:
+        import time as _time
+
+        snap = aggregate_metrics(self.table_root,
+                                 last_n_runs=self.last_n_runs,
+                                 service_name=self.service_name)
+        snap["ts"] = _time.time()
+        return snap
+
+    def _deliver(self) -> None:
+        snap = self._snapshot()
+        for ex in self.exporters:
+            ex.export(snap)
+
+    def _run(self) -> None:
+        # Event.wait gives interruptible sleep: shutdown() never waits
+        # out a full interval
+        while not self._stop.wait(self.interval):
+            self._deliver()
+
+    def start(self) -> "PeriodicMetricsReader":
+        import threading
+
+        if self._thread is not None:
+            raise RuntimeError("reader already started")
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="kdr-metrics-reader")
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        self._deliver()  # final flush, even if never started
+        for ex in self.exporters:
+            ex.shutdown()
+
+
+def reader_from_config(table_root: str, monitoring: dict,
+                       extra_exporters: list[MetricExporter] | None = None):
+    """MaintenanceConfig.monitoring section → started reader, or None
+    when disabled (the reference's NO_OP-monitor fallback,
+    src/config/mod.rs:81-94 + mod.rs:131). ``export_path`` adds a
+    JsonlExporter; ``extra_exporters`` lets an embedding register its
+    own transport."""
+    if not monitoring.get("enabled"):
+        return None
+    exporters = list(extra_exporters or [])
+    if monitoring.get("export_path"):
+        exporters.append(JsonlExporter(monitoring["export_path"]))
+    if not exporters:
+        return None
+    return PeriodicMetricsReader(
+        table_root, exporters,
+        interval=float(monitoring.get("export_interval_seconds", 60.0)),
+        last_n_runs=monitoring.get("last_n_runs"),
+        service_name=monitoring.get("service_name",
+                                    "kafka-delta-rs-ray")).start()
+
+
 def aggregate_metrics(table_root: str, last_n_runs: int | None = None,
                       service_name: str = "kafka-delta-rs-ray") -> dict:
     """Fold ``_runs/*/metrics.jsonl`` into the reference's

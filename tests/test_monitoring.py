@@ -101,6 +101,18 @@ def test_metrics_job_end_to_end(table, tmp_path):
     assert run(MaintenanceConfig.load(str(cfgp))) == {
         "job": "metrics", "enabled": False}
 
+    # export mode: one flushed snapshot lands on export_path
+    exp = tmp_path / "exp.jsonl"
+    cfgp.write_text(f"table_root: {table.root}\njob: metrics\n"
+                    "monitoring:\n  service_name: t\n"
+                    f"  export_path: {exp}\n"
+                    "  export_interval_seconds: 3600\n")
+    out = run(MaintenanceConfig.load(str(cfgp)))
+    assert out["exported_to"] == str(exp)
+    lines = [json.loads(x) for x in open(exp) if x.strip()]
+    assert len(lines) == 1
+    assert lines[0]["instruments"]["messages_read"] == 42
+
 
 def test_monitoring_config_validation(tmp_path):
     from kafka_delta_rs_ray.config import MaintenanceConfig
@@ -114,6 +126,89 @@ def test_monitoring_config_validation(tmp_path):
     p.write_text("table_root: /x\njob: metrics\n"
                  "monitoring:\n  last_n_runs: 0\n")
     with pytest.raises(ConfigError, match="last_n_runs"):
+        MaintenanceConfig.load(str(p))
+
+
+def test_periodic_exporter_delivers_snapshots(tmp_path):
+    """PeriodicMetricsReader (the reference PeriodicReader analog,
+    src/monitoring/mod.rs:63-75): snapshots arrive on the interval,
+    reflect events appended mid-flight, and shutdown performs one
+    final flush then closes exporters."""
+    import time
+
+    from kafka_delta_rs_ray.state.monitoring import (InMemoryExporter,
+                                                     PeriodicMetricsReader)
+
+    root = str(tmp_path)
+    _write_events(root, "r1", [
+        {"ts": 1.0, "metric": "append_done", "rows": 100,
+         "bytes_written": 5000, "seconds": 0.3, "committed_version": 1}])
+    ex = InMemoryExporter()
+    reader = PeriodicMetricsReader(root, [ex], interval=0.05).start()
+    deadline = time.monotonic() + 5
+    while len(ex.snapshots) < 2 and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert len(ex.snapshots) >= 2
+    assert ex.snapshots[0]["instruments"]["messages_read"] == 100
+    assert ex.snapshots[0]["ts"] > 0
+
+    # events appended while the reader runs show up in later snapshots
+    _write_events(root, "r2", [
+        {"ts": 2.0, "metric": "append_done", "rows": 50,
+         "bytes_written": 900, "seconds": 0.1, "committed_version": 2}])
+    n = len(ex.snapshots)
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline:
+        fresh = ex.snapshots[n:]
+        if any(s["instruments"]["messages_read"] == 150 for s in fresh):
+            break
+        time.sleep(0.02)
+    assert any(s["instruments"]["messages_read"] == 150
+               for s in ex.snapshots[n:])
+
+    reader.shutdown()
+    assert ex.shut_down
+    assert ex.snapshots[-1]["instruments"]["messages_read"] == 150
+    n_final = len(ex.snapshots)
+    time.sleep(0.12)  # thread is gone: no snapshots after shutdown
+    assert len(ex.snapshots) == n_final
+
+
+def test_reader_from_config_jsonl_exporter(tmp_path):
+    """Config-gated construction (reference MonitoringConfig,
+    src/config/mod.rs:81-94): disabled → None; enabled with an
+    export_path → a started reader writing one JSON line per
+    snapshot; shutdown-before-first-interval still flushes once."""
+    from kafka_delta_rs_ray.state.monitoring import reader_from_config
+
+    root = str(tmp_path)
+    _write_events(root, "r1", [
+        {"ts": 1.0, "metric": "append_done", "rows": 7,
+         "bytes_written": 10, "seconds": 0.1, "committed_version": 1}])
+    assert reader_from_config(root, {}) is None
+    assert reader_from_config(root, {"enabled": True}) is None  # no sink
+
+    out = str(tmp_path / "metrics_export.jsonl")
+    reader = reader_from_config(
+        root, {"enabled": True, "export_path": out,
+               "export_interval_seconds": 3600,
+               "service_name": "svc-x"})
+    assert reader is not None
+    reader.shutdown()  # before the first interval → final flush only
+    lines = [json.loads(x) for x in open(out) if x.strip()]
+    assert len(lines) == 1
+    assert lines[0]["service_name"] == "svc-x"
+    assert lines[0]["instruments"]["messages_read"] == 7
+
+
+def test_export_interval_config_validation(tmp_path):
+    from kafka_delta_rs_ray.config import MaintenanceConfig
+    from kafka_delta_rs_ray.errors import ConfigError
+
+    p = tmp_path / "bad.yaml"
+    p.write_text("table_root: /x\njob: metrics\n"
+                 "monitoring:\n  export_interval_seconds: 0\n")
+    with pytest.raises(ConfigError, match="export_interval_seconds"):
         MaintenanceConfig.load(str(p))
 
 
