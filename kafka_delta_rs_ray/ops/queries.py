@@ -240,28 +240,47 @@ def events_window_agg(sf_dir: str):
     """Tumbling 1-hour micro-batch windows (D4 flush-window analog):
     per (window, event_type) count + sum. Partial aggregation inside
     map_batches BEFORE the groupby — the shuffle moves one row per
-    (window, type) per batch, not every event."""
+    (window, type) per batch, not every event.
+
+    The partial is Arrow-native (floor_temporal + Table.group_by):
+    an interleaved same-window A/B at sf0.1 measured it at 2.47 s
+    median vs 4.14 s for the pandas kernel (5/5 pairs faster) — the
+    zero-copy path avoids two full-table pandas conversions. The
+    first-wins twin measured the OPPOSITE way (pandas 2.21 s vs
+    arrow 3.90 s, 4/5 pairs), so it keeps its pandas kernel."""
+    import pyarrow.compute as pc
+
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(window_start=b["ts"].dt.floor("h"))
-        g = (b.groupby(["window_start", "event_type"], as_index=False)
-             .agg(n_events=("value", "size"), sum_value=("value", "sum")))
-        return g
+    def partial(b: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(b["ts"], unit="hour")
+        t = pa.table({"window_start": win,
+                      "event_type": b["event_type"],
+                      "value": b["value"]})
+        g = t.group_by(["window_start", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return g.rename_columns(["window_start", "event_type",
+                                 "n_events", "sum_value"])
 
     from ray.data.aggregate import Sum
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
     out = (partials.groupby(["window_start", "event_type"])
            .aggregate(Sum("n_events", alias_name="n_events"),
                       Sum("sum_value", alias_name="sum_value")))
 
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b["n_events"] = b["n_events"].astype("int64")
-        b["sum_value"] = b["sum_value"].round(6)
-        return b
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            # ns precision: what the previous pandas kernel emitted —
+            # keeps the observable schema stable for the driver check
+            "window_start": pc.cast(b["window_start"], pa.timestamp("ns")),
+            "event_type": b["event_type"],
+            "n_events": pc.cast(b["n_events"], pa.int64()),
+            "sum_value": pc.round(b["sum_value"], 6)})
 
-    return out.map_batches(finish, batch_format="pandas", batch_size=None)
+    return out.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
 
 
 def events_sessionize(sf_dir: str):
