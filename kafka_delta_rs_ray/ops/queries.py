@@ -2259,14 +2259,16 @@ def doc_pack_sequences(sf_dir: str):
     from .textops import TokenCount
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # TokenCount is 1:1, so the parquet-metadata count of the read IS
+    # the token-row count — the self-check gate costs no execution
+    n_docs = ds.count()
     toks = ds.map_batches(TokenCount(), batch_format="pandas",
                           batch_size=None).select_columns(
-        ["doc_id", "n_tokens"]).materialize()
-    out = pack_sequences(toks, budget=256)
-    n_docs = toks.count()
+        ["doc_id", "n_tokens"])
     if n_docs > SELF_CHECK_MAX_ROWS:
-        return out
-    out = out.materialize()
+        return pack_sequences(toks, budget=256)
+    toks = toks.materialize()  # consumed twice below (pack + reference)
+    out = pack_sequences(toks, budget=256).materialize()
     slim = toks.to_pandas().sort_values("doc_id")
     ids = slim["doc_id"].to_numpy(np.int64)
     tk = slim["n_tokens"].to_numpy(np.int64)
