@@ -4403,6 +4403,153 @@ def image_resize_stats(sf_dir: str):
             .sort("image_id"))
 
 
+def events_click_only_days(sf_dir: str):
+    """Distributed EXCEPT — the set-op twin of events_returning_users
+    (INTERSECT), over a COMPOSITE key: (user, day) pairs with a click
+    and NO purchase that day. Same decomposition, mask flipped:
+    map-side distinct (user, day, side) triples, one scaled
+    hash-bucket exchange, per-group vectorized membership test. The
+    shuffle moves ≤ 2 rows per (user, day, batch) — never every
+    event."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    nb = n_key_groups(ds.count())
+
+    def triples(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(["click", "purchase"])]
+        out = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(dtype=np.int64),
+            "day": b["ts"].dt.floor("D"),
+            "purchased": (b["event_type"] == "purchase")
+            .to_numpy(dtype=np.int8)})
+        out = out.drop_duplicates()
+        out["bucket"] = hash_bucket(out["user_id"].to_numpy(), nb)
+        return out
+
+    def click_only(g: pd.DataFrame) -> pd.DataFrame:
+        p = (g.drop_duplicates()
+             .groupby(["user_id", "day"])["purchased"].max())
+        keep = p.index[p == 0]
+        return pd.DataFrame({
+            "user_id": keep.get_level_values(0).to_numpy(dtype=np.int64),
+            "day": keep.get_level_values(1)})
+
+    return (ds.map_batches(triples, batch_format="pandas",
+                           batch_size=None)
+            .groupby("bucket").map_groups(click_only,
+                                          batch_format="pandas"))
+
+
+def events_click_only_days_sql() -> str:
+    return """
+        SELECT user_id, date_trunc('day', ts) AS day FROM events
+        WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id, date_trunc('day', ts) AS day FROM events
+        WHERE event_type = 'purchase'
+    """
+
+
+# Deterministic sampling priority: multiplicative hash mod 2^64 —
+# chosen over the avalanche mix because DuckDB HUGEINT arithmetic can
+# reproduce it EXACTLY, making the sample SQL-oracle-able.
+_SAMPLE_MIX = 0x9E3779B97F4A7C15
+SAMPLE_K = 200
+
+
+def doc_sample_bottomk(sf_dir: str, k: int = SAMPLE_K):
+    """Distributed uniform k-sample WITHOUT coordination or RNG state:
+    priority = (doc_id * odd64) mod 2^64 (a fixed measure-preserving
+    permutation of the id space), sample = the k smallest priorities —
+    the bottom-k/reservoir technique. Each block keeps its local
+    bottom-k (vectorized argpartition-equivalent via sort+slice), one
+    tiny final reduce over ≤ k × n_blocks survivors; exchange volume
+    is k per block regardless of corpus size. Exactly reproducible →
+    EXACT SQL oracle (same multiply-mod in HUGEINT)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def local_bottomk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            # order-preserving shift of the uint64 priority into int64
+            # range (pri - 2^63): arrow's signed sort then matches the
+            # oracle's unsigned mod-2^64 ordering exactly
+            pri = (ids * np.uint64(_SAMPLE_MIX)
+                   - np.uint64(1 << 63)).view(np.int64)
+        b = b.append_column("pri", pa.array(pri, pa.int64()))
+        return b.sort_by([("pri", "ascending"),
+                          ("doc_id", "ascending")]).slice(0, k)
+
+    picked = (ds.map_batches(local_bottomk, batch_format="pyarrow",
+                             batch_size=None)
+              .sort(["pri", "doc_id"]).limit(k))
+    return picked.map_batches(
+        lambda b: b.select(["doc_id", "lang"]),
+        batch_format="pyarrow", batch_size=None)
+
+
+def doc_sample_bottomk_sql() -> str:
+    return f"""
+        SELECT doc_id, lang FROM documents
+        ORDER BY (CAST(doc_id AS HUGEINT) * {_SAMPLE_MIX})
+                 % 18446744073709551616, doc_id
+        LIMIT {SAMPLE_K}
+    """
+
+
+def events_value_quantile_sketch(sf_dir: str, m: int = 4096):
+    """Streaming quantile ESTIMATE via a mergeable deterministic
+    uniform sample (bottom-m by hashed event_id priority): each block
+    contributes its local bottom-m, the union reduces to one m-row
+    sample, quantiles read off the sample. Exchange volume is m per
+    block at ANY corpus size — the 10^12-row shape next to the exact
+    engine (events_value_quantiles), trading ~1.5/sqrt(m) ≈ 2.3% rank
+    error for no value shuffle. Rows-only (approximate by design);
+    below SELF_CHECK_MAX_ROWS the callable asserts each estimate lies
+    within the exact [q−0.05, q+0.05] quantile bracket, so a driver
+    'ran clean' implies the sketch's rank-error bound held."""
+    from .quantiles import quantiles_disc
+
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def local_bottomm(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            # order-preserving shift into int64 so arrow sorts match
+            # unsigned priority order
+            pri = (ids * np.uint64(_SAMPLE_MIX)
+                   - np.uint64(1 << 63)).view(np.int64)
+        t = pa.table({"pri": pa.array(pri, pa.int64()),
+                      "value": b["value"]})
+        return t.sort_by("pri").slice(0, m)
+
+    sample_ds = (ds.map_batches(local_bottomm, batch_format="pyarrow",
+                                batch_size=None)
+                 .sort("pri").limit(m))
+    vals = np.sort(np.concatenate(
+        [b["value"].to_numpy(zero_copy_only=False)
+         for b in sample_ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=None)]))
+    est = {q: float(vals[min(len(vals) - 1, int(q * len(vals)))])
+           for q in qs}
+
+    if ds.count() <= SELF_CHECK_MAX_ROWS:
+        bracket_qs = sorted({max(0.0, q - 0.05) for q in qs}
+                            | {min(1.0, q + 0.05) for q in qs})
+        exact = quantiles_disc(ds, "value", bracket_qs)
+        ex = {round(float(a), 4): float(v) for a, v in
+              zip(exact["q"].to_pylist(), exact["value"].to_pylist())}
+        for q in qs:
+            lo = ex[round(max(0.0, q - 0.05), 4)]
+            hi = ex[round(min(1.0, q + 0.05), 4)]
+            assert lo <= est[q] <= hi, \
+                f"sketch q={q}: {est[q]} outside exact bracket [{lo}, {hi}]"
+
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value_est": pa.array([round(est[q], 6) for q in qs],
+                                           pa.float64())})
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
@@ -4494,6 +4641,12 @@ QUERIES = {
     "doc_tfidf_top3": doc_tfidf_top3,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
+    # round-5 additions sit PAST the driver's 50-entry window (their
+    # slots inside it are taken by the previously-unchecked backlog);
+    # they are oracle/self-check validated by the builder + pytest
+    "events_click_only_days": events_click_only_days,
+    "doc_sample_bottomk": doc_sample_bottomk,
+    "events_value_quantile_sketch": events_value_quantile_sketch,
 }
 
 ORACLES = {
@@ -4567,4 +4720,6 @@ ORACLES = {
     "lineitem_forecast_revenue": lineitem_forecast_revenue_sql(),
     "doc_bm25_topk": doc_bm25_topk_sql(),
     "customer_ltv_quantiles": customer_ltv_quantiles_sql(),
+    "events_click_only_days": events_click_only_days_sql(),
+    "doc_sample_bottomk": doc_sample_bottomk_sql(),
 }

@@ -214,3 +214,26 @@ def test_grouped_quantile_forced_multi_pass(ray_session):
                               collect_threshold=2)
     assert dict(zip(t["event_type"].to_pylist(),
                     t["value"].to_pylist())) == ora
+
+def test_sample_priority_shift_matches_unsigned_order():
+    """doc_sample_bottomk / events_value_quantile_sketch sort an int64
+    view of (id * odd64 − 2^63): that shift must reproduce the
+    oracle's UNSIGNED mod-2^64 priority order exactly, including ids
+    whose priority lands on both sides of the 2^63 wrap boundary."""
+    from kafka_delta_rs_ray.ops.queries import _SAMPLE_MIX
+
+    rng = np.random.default_rng(7)
+    ids = np.concatenate([
+        rng.integers(0, 1 << 62, 4096, dtype=np.uint64),
+        np.array([0, 1, 2, (1 << 64) - 1, 1 << 63], dtype=np.uint64),
+    ])
+    with np.errstate(over="ignore"):
+        pri_unsigned = ids * np.uint64(_SAMPLE_MIX)          # mod 2^64
+        pri_shifted = (pri_unsigned
+                       - np.uint64(1 << 63)).view(np.int64)  # int64 view
+    # the wrap boundary is actually exercised
+    assert (pri_unsigned >= np.uint64(1 << 63)).any()
+    assert (pri_unsigned < np.uint64(1 << 63)).any()
+    order_u = np.argsort(pri_unsigned, kind="stable")
+    order_s = np.argsort(pri_shifted, kind="stable")
+    assert (order_u == order_s).all()
