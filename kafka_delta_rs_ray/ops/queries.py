@@ -13,6 +13,8 @@ aggregation (D4 flush windows).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -4550,6 +4552,113 @@ def events_value_quantile_sketch(sf_dir: str, m: int = 4096):
                                            pa.float64())})
 
 
+def lineitem_qty_discount_corr(sf_dir: str):
+    """Pearson correlation with INTEGER-EXACT distributed moments —
+    the statistical-moments shape (corr/covariance) done so the
+    result is bit-identical to the oracle, not allclose-lucky: both
+    columns are exact small integers (l_quantity ∈ [1,50];
+    round(l_discount·100) ∈ [0,10]), so the per-batch partials
+    (n, Σx, Σy, Σx², Σy², Σxy) are exact int64 at any block size
+    (Σxy ≤ 500/row → safe past 10¹⁵ rows), the reduce is six numbers,
+    and the final combination runs in Python arbitrary-precision
+    integers on the driver — numerator and the two variance factors
+    never overflow, and the single float division/sqrt sees the SAME
+    integer inputs the oracle's HUGEINT arithmetic produces. One
+    streaming pass, zero shuffle, O(1) driver state."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.rint(b["l_discount"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(moments, batch_format="pyarrow",
+                          batch_size=None)
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]))
+    # exact integer combination (Python ints: no int64 overflow at any n)
+    n, sx, sy = int(agg["n"]), int(agg["sx"]), int(agg["sy"])
+    sxx, syy, sxy = int(agg["sxx"]), int(agg["syy"]), int(agg["sxy"])
+    num = n * sxy - sx * sy
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    corr = float(num) / math.sqrt(float(vx) * float(vy))
+    return pa.table({"corr_qty_discount": pa.array([round(corr, 9)],
+                                                   pa.float64())})
+
+
+def lineitem_qty_discount_corr_sql() -> str:
+    return """
+        WITH t AS (SELECT CAST(l_quantity AS HUGEINT) AS x,
+                          CAST(round(l_discount * 100) AS HUGEINT) AS y
+                   FROM lineitem),
+        s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+                     sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy,
+                     sum(x*y) AS sxy FROM t)
+        SELECT round(CAST(n*sxy - sx*sy AS DOUBLE)
+                     / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE)), 9)
+               AS corr_qty_discount
+        FROM s
+    """
+
+
+def part_mode_type_per_brand(sf_dir: str):
+    """Grouped MODE (plurality value) with deterministic ties — the
+    argmax-per-group shape: per-batch (brand, type) value_counts
+    partials bound the exchange at |brands|×|types| rows per block
+    regardless of corpus size, one composite-key groupby sums exact
+    counts, and a per-brand group stage picks the max-count type with
+    ties broken lexicographically (never DuckDB mode()'s arbitrary
+    tie). Output is O(#brands)."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (b.groupby(["p_brand", "p_type"], as_index=False)
+               .size().rename(columns={"size": "cnt"}))
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    from ray.data.aggregate import Sum
+
+    counts = (ds.map_batches(partial, batch_format="pandas",
+                             batch_size=None)
+              .groupby(["p_brand", "p_type"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "p_type"],
+                          ascending=[False, True], kind="stable")
+        top = g.iloc[0]
+        return pd.DataFrame({"p_brand": [top["p_brand"]],
+                             "mode_type": [top["p_type"]],
+                             "mode_count": [int(top["cnt"])]})
+
+    return counts.groupby("p_brand").map_groups(pick,
+                                                batch_format="pandas")
+
+
+def part_mode_type_per_brand_sql() -> str:
+    return """
+        WITH c AS (SELECT p_brand, p_type, count(*) AS cnt
+                   FROM part GROUP BY 1, 2),
+        m AS (SELECT p_brand, p_type, cnt,
+                     max(cnt) OVER (PARTITION BY p_brand) AS mc
+              FROM c)
+        SELECT p_brand, min(p_type) AS mode_type,
+               CAST(max(cnt) AS BIGINT) AS mode_count
+        FROM m WHERE cnt = mc GROUP BY p_brand
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
@@ -4647,6 +4756,8 @@ QUERIES = {
     "events_click_only_days": events_click_only_days,
     "doc_sample_bottomk": doc_sample_bottomk,
     "events_value_quantile_sketch": events_value_quantile_sketch,
+    "lineitem_qty_discount_corr": lineitem_qty_discount_corr,
+    "part_mode_type_per_brand": part_mode_type_per_brand,
 }
 
 ORACLES = {
@@ -4722,4 +4833,6 @@ ORACLES = {
     "customer_ltv_quantiles": customer_ltv_quantiles_sql(),
     "events_click_only_days": events_click_only_days_sql(),
     "doc_sample_bottomk": doc_sample_bottomk_sql(),
+    "lineitem_qty_discount_corr": lineitem_qty_discount_corr_sql(),
+    "part_mode_type_per_brand": part_mode_type_per_brand_sql(),
 }
