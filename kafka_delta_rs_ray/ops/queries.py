@@ -4646,6 +4646,85 @@ def part_mode_type_per_brand(sf_dir: str):
                                                 batch_format="pandas")
 
 
+# composite (seg_id·L + ts_offset) window keys must stay clear of
+# int64; above this the RANGE-frame kernel loops per user segment
+RANGE_WINDOW_KEY_MAX = 1 << 62
+
+
+def events_value_7d_sum(sf_dir: str):
+    """Time-INTERVAL RANGE window frame (7-day trailing sum per user)
+    — the window shape events_moving_avg's ROWS frame can't express:
+    the frame is bounded by a time span, so its row count varies per
+    row. One user-bucketed exchange; inside each bucket the kernel
+    sorts by (user, ts) once and answers every row's frame with two
+    vectorized searchsorted calls over a composite monotonic key
+    (seg_id·L + ts_offset, L > bucket ts-span + window), falling back
+    to a per-USER-segment loop (doc_pack_sequences' documented
+    entities-not-rows trade) if the composite key would overflow
+    int64. Values are quantized to micro-units with floor(v·1e6+0.5)
+    — the identical IEEE expression the oracle runs — so the trailing
+    sums are exact int64 arithmetic and hash-identical."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    nb = n_key_groups(ds.count())
+    W = 7 * 86_400 * 1_000_000  # 7 days in micros
+    key_max = RANGE_WINDOW_KEY_MAX  # captured driver-side (testable)
+
+    def slim(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(dtype=np.int64),
+            "user_id": b["user_id"].to_numpy(dtype=np.int64),
+            "ts": b["ts"],
+            "v_micro": np.floor(b["value"].to_numpy(dtype=np.float64)
+                                * 1e6 + 0.5).astype(np.int64)})
+        out["bucket"] = hash_bucket(out["user_id"].to_numpy(), nb)
+        return out
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").view(np.int64)
+        u = g["user_id"].to_numpy()
+        v = g["v_micro"].to_numpy()
+        new_seg = np.empty(len(g), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = u[1:] != u[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        cs = np.concatenate(([0], np.cumsum(v)))
+        span = int(ts.max() - ts.min()) if len(ts) else 0
+        L = span + W + 1
+        if int(seg_id[-1] + 1) * L < key_max:  # composite-key path
+            key = seg_id * L + (ts - ts.min())
+            lo = np.searchsorted(key, key - W, side="left")
+            hi = np.searchsorted(key, key, side="right")
+        else:  # per-segment fallback: loop over USERS, never rows
+            lo = np.empty(len(g), dtype=np.int64)
+            hi = np.empty(len(g), dtype=np.int64)
+            starts = np.flatnonzero(new_seg)
+            ends = np.append(starts[1:], len(g))
+            for s, e in zip(starts, ends):
+                seg_ts = ts[s:e]
+                lo[s:e] = s + np.searchsorted(seg_ts, seg_ts - W, "left")
+                hi[s:e] = s + np.searchsorted(seg_ts, seg_ts, "right")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": u,
+            "ts": g["ts"].to_numpy(),
+            "v7d_sum_micro": cs[hi] - cs[lo]})
+
+    return (ds.map_batches(slim, batch_format="pandas", batch_size=None)
+            .groupby("bucket").map_groups(win, batch_format="pandas"))
+
+
+def events_value_7d_sum_sql() -> str:
+    return """
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS v7d_sum_micro
+        FROM events
+    """
+
+
 def part_mode_type_per_brand_sql() -> str:
     return """
         WITH c AS (SELECT p_brand, p_type, count(*) AS cnt
@@ -4758,6 +4837,7 @@ QUERIES = {
     "events_value_quantile_sketch": events_value_quantile_sketch,
     "lineitem_qty_discount_corr": lineitem_qty_discount_corr,
     "part_mode_type_per_brand": part_mode_type_per_brand,
+    "events_value_7d_sum": events_value_7d_sum,
 }
 
 ORACLES = {
@@ -4835,4 +4915,5 @@ ORACLES = {
     "doc_sample_bottomk": doc_sample_bottomk_sql(),
     "lineitem_qty_discount_corr": lineitem_qty_discount_corr_sql(),
     "part_mode_type_per_brand": part_mode_type_per_brand_sql(),
+    "events_value_7d_sum": events_value_7d_sum_sql(),
 }

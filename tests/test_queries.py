@@ -237,3 +237,20 @@ def test_sample_priority_shift_matches_unsigned_order():
     order_u = np.argsort(pri_unsigned, kind="stable")
     order_s = np.argsort(pri_shifted, kind="stable")
     assert (order_u == order_s).all()
+
+def test_range_window_segment_loop_matches_composite(ray_session,
+                                                     monkeypatch):
+    """Force the RANGE-frame kernel's per-user-segment fallback
+    (key_max 0 → the composite seg_id·L key is 'too big') and pin
+    exact equality with the composite-key path."""
+    from kafka_delta_rs_ray.ops import queries as q
+
+    def run():
+        out = q.events_value_7d_sum(SF_DIR).to_pandas()
+        return (out.sort_values("event_id").reset_index(drop=True)
+                [["event_id", "user_id", "v7d_sum_micro"]])
+
+    composite = run()
+    monkeypatch.setattr(q, "RANGE_WINDOW_KEY_MAX", 0)
+    fallback = run()
+    pd.testing.assert_frame_equal(composite, fallback)
