@@ -4646,6 +4646,49 @@ def part_mode_type_per_brand(sf_dir: str):
                                                 batch_format="pandas")
 
 
+def embedding_knn_triangles(sf_dir: str):
+    """Triangle count over the exact kNN graph (k=5) — multi-stage
+    graph analytics beyond PageRank: the node-iterator++ plan in
+    ops/graph.py::triangle_count (degree-oriented wedge generation,
+    hub-safe: a node of ANY in-degree fans out only O(sqrt(m)) wedge
+    pairs) composed on the distributed kNN edges. Exact 3-way
+    self-join oracle over the same rounded-cosine top-5 edge set."""
+    from .graph import triangle_count
+    from .similarity import knn_graph
+
+    edges = (knn_graph(_read(sf_dir, "embeddings"), k=5)
+             .map_batches(lambda b: b.select(
+                 ["query_id", "neighbor_id"]).rename_columns(
+                 ["src", "dst"]), batch_format="pyarrow",
+                 batch_size=None))
+    return triangle_count(edges)
+
+
+def embedding_knn_triangles_sql() -> str:
+    return """
+        WITH s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                          round(list_cosine_similarity(a.embedding,
+                                                       b.embedding), 6)
+                              AS sim
+                   FROM embeddings a CROSS JOIN embeddings b
+                   WHERE a.vec_id <> b.vec_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id)
+                         AS rank
+              FROM s),
+        e AS (SELECT DISTINCT least(query_id, neighbor_id) AS u,
+                              greatest(query_id, neighbor_id) AS v
+              FROM r WHERE rank <= 5)
+        SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+               CAST((SELECT count(*)
+                     FROM e e1
+                     JOIN e e2 ON e2.u = e1.v
+                     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+                    AS BIGINT) AS n_triangles
+    """
+
+
 # composite (seg_id·L + ts_offset) window keys must stay clear of
 # int64; above this the RANGE-frame kernel loops per user segment
 RANGE_WINDOW_KEY_MAX = 1 << 62
@@ -4838,6 +4881,7 @@ QUERIES = {
     "lineitem_qty_discount_corr": lineitem_qty_discount_corr,
     "part_mode_type_per_brand": part_mode_type_per_brand,
     "events_value_7d_sum": events_value_7d_sum,
+    "embedding_knn_triangles": embedding_knn_triangles,
 }
 
 ORACLES = {
@@ -4916,4 +4960,5 @@ ORACLES = {
     "lineitem_qty_discount_corr": lineitem_qty_discount_corr_sql(),
     "part_mode_type_per_brand": part_mode_type_per_brand_sql(),
     "events_value_7d_sum": events_value_7d_sum_sql(),
+    "embedding_knn_triangles": embedding_knn_triangles_sql(),
 }

@@ -1122,3 +1122,34 @@ def test_pagerank_matches_local_reference(ray_session):
 
     out2 = pagerank(ds, iters=6).to_pandas().set_index("node")["rank"]
     assert (out.sort_index() == out2.sort_index()).all()
+
+
+def test_triangle_count_matches_local_reference(ray_session):
+    """Distributed node-iterator++ triangle count (degree-oriented
+    wedges, pair-key semi-join) equals the brute-force adjacency-set
+    reference on a graph with a HUB (high in-degree node — the shape
+    id-orientation would blow up on), duplicate directed edges in
+    both directions, self-loops, and negative ids."""
+    import random
+
+    import ray.data as rd
+
+    from kafka_delta_rs_ray.ops.graph import (triangle_count,
+                                              triangle_count_local)
+
+    rng = random.Random(23)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(300)]
+    edges += [(h, 999) for h in range(30)]        # hub: in-degree 30
+    edges += [(999, 0), (999, 1), (0, 1)]         # triangles via hub
+    edges += [(5, 5), (7, 7)]                     # self-loops dropped
+    edges += [(-3, 2), (2, -4), (-4, -3)]         # negative-id triangle
+    edges += [(d, s) for s, d in edges[:50]]      # reversed duplicates
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64())}))
+
+    out = triangle_count(ds).to_pandas()
+    n_edges, n_tri = triangle_count_local(edges)
+    assert int(out["n_edges"][0]) == n_edges
+    assert int(out["n_triangles"][0]) == n_tri
+    assert n_tri > 0  # the fixture actually contains triangles
