@@ -4646,6 +4646,115 @@ def part_mode_type_per_brand(sf_dir: str):
                                                 batch_format="pandas")
 
 
+def events_user_type_entropy(sf_dir: str):
+    """Per-user Shannon entropy of event-type mix — the behavioral-
+    diversity feature (curation twin of doc_repetition): exact
+    (user, type) counts from per-batch partials (exchange bounded at
+    |types| rows per user per block), then each user's entropy is
+    summed from per-TERM integer micro-nat floors
+    (floor(1e6·(−p·log2 p)) per type, the doc_tfidf_top3 quantization
+    trick) so float addition order can never flip the result — both
+    systems floor identical IEEE terms and sum exact int64."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    nb = n_key_groups(ds.count())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (b.groupby(["user_id", "event_type"], as_index=False)
+               .size().rename(columns={"size": "cnt"}))
+        out["cnt"] = out["cnt"].astype("int64")
+        out["bucket"] = hash_bucket(
+            out["user_id"].to_numpy(dtype=np.int64), nb)
+        return out
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["user_id", "event_type"], as_index=False)
+             ["cnt"].sum())
+        n = c.groupby("user_id")["cnt"].transform("sum").to_numpy(
+            dtype=np.float64)
+        p = c["cnt"].to_numpy(dtype=np.float64) / n
+        term = np.floor(-1e6 * p * np.log2(p)).astype(np.int64)
+        c["term"] = term
+        out = c.groupby("user_id", as_index=False)["term"].sum()
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(dtype=np.int64),
+            "entropy_micro": out["term"].to_numpy(dtype=np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None)
+            .groupby("bucket").map_groups(entropy,
+                                          batch_format="pandas"))
+
+
+def events_user_type_entropy_sql() -> str:
+    return """
+        WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+                   FROM events GROUP BY 1, 2),
+        n AS (SELECT user_id, event_type, cnt,
+                     sum(cnt) OVER (PARTITION BY user_id) AS total
+              FROM c)
+        SELECT user_id,
+               CAST(sum(CAST(floor(-1e6 * (CAST(cnt AS DOUBLE) / total)
+                                   * log2(CAST(cnt AS DOUBLE) / total))
+                             AS BIGINT)) AS BIGINT) AS entropy_micro
+        FROM n GROUP BY user_id
+    """
+
+
+def events_new_users_daily(sf_dir: str):
+    """New-user acquisition curve: users counted on their FIRST-seen
+    day, plus the running cumulative total — the argmin-per-entity →
+    small-timeline reduction shape. Per-batch (user, min day)
+    partials, one user-bucketed exchange for the exact global min,
+    per-day counts reduce to O(#days) rows, and the cumulative sum
+    runs on the driver over that tiny frame (the orders_yoy_growth
+    O(#years) precedent)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = n_key_groups(ds.count())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(dtype=np.int64),
+            "day": b["ts"].dt.floor("D")})
+        out = out.groupby("user_id", as_index=False)["day"].min()
+        out["bucket"] = hash_bucket(
+            out["user_id"].to_numpy(dtype=np.int64), nb)
+        return out
+
+    def first_day(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False)["day"].min()
+        cnt = (out.groupby("day", as_index=False)
+               .size().rename(columns={"size": "new_users"}))
+        cnt["new_users"] = cnt["new_users"].astype("int64")
+        return cnt
+
+    from ray.data.aggregate import Sum
+
+    daily = (ds.map_batches(partial, batch_format="pandas",
+                            batch_size=None)
+             .groupby("bucket").map_groups(first_day,
+                                           batch_format="pandas")
+             .groupby("day").aggregate(Sum("new_users",
+                                           alias_name="new_users"))
+             .to_pandas())  # O(#days) rows — driver-safe
+    daily = daily.sort_values("day").reset_index(drop=True)
+    daily["cum_users"] = daily["new_users"].cumsum().astype("int64")
+    daily["new_users"] = daily["new_users"].astype("int64")
+    return pa.Table.from_pandas(daily[["day", "new_users", "cum_users"]],
+                                preserve_index=False)
+
+
+def events_new_users_daily_sql() -> str:
+    return """
+        WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS day
+                   FROM events GROUP BY 1),
+        d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+        SELECT day, CAST(new_users AS BIGINT) AS new_users,
+               CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+                   AS cum_users
+        FROM d
+    """
+
+
 def embedding_knn_triangles(sf_dir: str):
     """Triangle count over the exact kNN graph (k=5) — multi-stage
     graph analytics beyond PageRank: the node-iterator++ plan in
@@ -4882,6 +4991,8 @@ QUERIES = {
     "part_mode_type_per_brand": part_mode_type_per_brand,
     "events_value_7d_sum": events_value_7d_sum,
     "embedding_knn_triangles": embedding_knn_triangles,
+    "events_user_type_entropy": events_user_type_entropy,
+    "events_new_users_daily": events_new_users_daily,
 }
 
 ORACLES = {
@@ -4961,4 +5072,6 @@ ORACLES = {
     "part_mode_type_per_brand": part_mode_type_per_brand_sql(),
     "events_value_7d_sum": events_value_7d_sum_sql(),
     "embedding_knn_triangles": embedding_knn_triangles_sql(),
+    "events_user_type_entropy": events_user_type_entropy_sql(),
+    "events_new_users_daily": events_new_users_daily_sql(),
 }
