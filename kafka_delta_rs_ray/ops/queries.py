@@ -4646,6 +4646,84 @@ def part_mode_type_per_brand(sf_dir: str):
                                                 batch_format="pandas")
 
 
+DUPSPAN_N = 13  # Lee et al. 2022's duplicated-substring gram length
+
+
+def doc_dup_ngram_spans(sf_dir: str):
+    """Cross-document duplicated n-gram detection — the substring-
+    dedup shape of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), hash-gram formulation: for every
+    doc, count the word 13-gram POSITIONS whose gram also occurs in
+    at least one OTHER document. Unlike doc_decontaminate the other
+    side is the whole corpus, so no broadcast exists: stage 1 buckets
+    per-batch (gram, doc, positions) partials by gram hash and each
+    bucket — holding ALL rows for its grams — decides duplication
+    (distinct-doc count ≥ 2) and emits per-doc dup-position partials;
+    stage 2 is one doc-bucketed sum. Exchange volume is O(total gram
+    positions), inherent to the operator (suffix arrays exist to beat
+    it; the hash-gram two-pass is the standard distributed form).
+    Gram hashing is the shared vectorized kernel
+    (_word_gram_hashes)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = n_key_groups(ds.count())
+
+    def gram_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g, didx = _word_gram_hashes(b["text"], DUPSPAN_N)
+        if not g.size:
+            return pd.DataFrame({
+                "bucket": pd.Series([], dtype="int64"),
+                "g": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64")})
+        doc = b["doc_id"].to_numpy(dtype=np.int64)[didx]
+        df = pd.DataFrame({"g": g.view(np.int64), "doc_id": doc})
+        out = df.groupby(["g", "doc_id"], as_index=False).size().rename(
+            columns={"size": "cnt"})
+        out["cnt"] = out["cnt"].astype("int64")
+        out["bucket"] = hash_bucket(out["g"].to_numpy(), nb)
+        return out
+
+    def dup_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["g", "doc_id"], as_index=False)["cnt"].sum()
+        nd = c.groupby("g")["doc_id"].transform("nunique")
+        c = c[nd >= 2]
+        out = c.groupby("doc_id", as_index=False)["cnt"].sum()
+        out["bucket"] = hash_bucket(
+            out["doc_id"].to_numpy(dtype=np.int64), nb)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False)["cnt"].sum()
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(dtype=np.int64),
+            "n_dup_grams": out["cnt"].to_numpy(dtype=np.int64)})
+
+    return (ds.map_batches(gram_partial, batch_format="pandas",
+                           batch_size=None)
+            .groupby("bucket").map_groups(dup_per_doc,
+                                          batch_format="pandas")
+            .groupby("bucket").map_groups(fold, batch_format="pandas"))
+
+
+def doc_dup_ngram_spans_sql() -> str:
+    n1 = DUPSPAN_N - 1
+    return f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        pos AS (SELECT doc_id, ws, i FROM w, LATERAL
+                (SELECT unnest(generate_series(1, len(ws) - {n1})) AS i) s),
+        grams AS (SELECT doc_id,
+                         array_to_string(ws[i:i+{n1}], ' ') AS g
+                  FROM pos),
+        dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+                               FROM grams GROUP BY g)
+                WHERE nd >= 2)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+        FROM grams JOIN dup USING (g)
+        GROUP BY doc_id
+    """
+
+
 def events_user_type_entropy(sf_dir: str):
     """Per-user Shannon entropy of event-type mix — the behavioral-
     diversity feature (curation twin of doc_repetition): exact
@@ -4993,6 +5071,7 @@ QUERIES = {
     "embedding_knn_triangles": embedding_knn_triangles,
     "events_user_type_entropy": events_user_type_entropy,
     "events_new_users_daily": events_new_users_daily,
+    "doc_dup_ngram_spans": doc_dup_ngram_spans,
 }
 
 ORACLES = {
@@ -5074,4 +5153,5 @@ ORACLES = {
     "embedding_knn_triangles": embedding_knn_triangles_sql(),
     "events_user_type_entropy": events_user_type_entropy_sql(),
     "events_new_users_daily": events_new_users_daily_sql(),
+    "doc_dup_ngram_spans": doc_dup_ngram_spans_sql(),
 }
