@@ -4646,6 +4646,64 @@ def part_mode_type_per_brand(sf_dir: str):
                                                 batch_format="pandas")
 
 
+def daily_events_vs_orders(sf_dir: str):
+    """FULL OUTER day-alignment of two fact tables — the outer-join
+    semantics no other registry entry exercises: daily event counts
+    vs daily order counts, keeping days present in EITHER table with
+    0 on the absent side (COALESCE'd on both sides so the value hash
+    is NULL-representation-agnostic, the orders_rollup sentinel
+    rule). Each side reduces map-side to O(#days) partials before one
+    tiny tagged union + day groupby — the join happens after both
+    sides are calendar-bounded, so there is no row-level exchange at
+    any corpus size."""
+    ev = _read(sf_dir, "events", ["ts"])
+    od = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def count_days(col: str, side: str):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            out = (pd.DataFrame({"day": b[col].dt.floor("D")})
+                   .groupby("day", as_index=False).size()
+                   .rename(columns={"size": "cnt"}))
+            out["cnt"] = out["cnt"].astype("int64")
+            out["side"] = side
+            return out
+        return f
+
+    from ray.data.aggregate import Sum
+
+    both = (ev.map_batches(count_days("ts", "e"), batch_format="pandas",
+                           batch_size=None)
+            .union(od.map_batches(count_days("o_orderdate", "o"),
+                                  batch_format="pandas",
+                                  batch_size=None))
+            .groupby(["day", "side"])
+            .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == "e"]["cnt"].sum()
+        o = g[g["side"] == "o"]["cnt"].sum()
+        return pd.DataFrame({"day": [g["day"].iloc[0]],
+                             "n_events": [int(e)],
+                             "n_orders": [int(o)]})
+
+    return both.groupby("day").map_groups(pivot, batch_format="pandas")
+
+
+def daily_events_vs_orders_sql() -> str:
+    return """
+        WITH e AS (SELECT date_trunc('day', ts) AS day,
+                          count(*) AS n_events
+                   FROM events GROUP BY 1),
+        o AS (SELECT date_trunc('day', o_orderdate) AS day,
+                     count(*) AS n_orders
+              FROM orders GROUP BY 1)
+        SELECT coalesce(e.day, o.day) AS day,
+               CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+               CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders
+        FROM e FULL OUTER JOIN o ON e.day = o.day
+    """
+
+
 DUPSPAN_N = 13  # Lee et al. 2022's duplicated-substring gram length
 
 
@@ -5072,6 +5130,7 @@ QUERIES = {
     "events_user_type_entropy": events_user_type_entropy,
     "events_new_users_daily": events_new_users_daily,
     "doc_dup_ngram_spans": doc_dup_ngram_spans,
+    "daily_events_vs_orders": daily_events_vs_orders,
 }
 
 ORACLES = {
@@ -5154,4 +5213,5 @@ ORACLES = {
     "events_user_type_entropy": events_user_type_entropy_sql(),
     "events_new_users_daily": events_new_users_daily_sql(),
     "doc_dup_ngram_spans": doc_dup_ngram_spans_sql(),
+    "daily_events_vs_orders": daily_events_vs_orders_sql(),
 }
