@@ -5026,6 +5026,362 @@ def part_mode_type_per_brand_sql() -> str:
     """
 
 
+def events_user_span_coverage(sf_dir: str):
+    """Interval-overlap timeline by difference array: for each day,
+    how many users' activity SPAN [first-seen day, last-seen day]
+    covers it — the sweep-line shape (reservation/occupancy counting)
+    no other entry exercises. Per-batch (user, min day, max day)
+    partials, one user-bucketed exchange for the exact global span,
+    then each user collapses to TWO deltas (+1 at span start, −1 the
+    day after span end); deltas reduce to O(#days) rows and the
+    running sum over that tiny frame runs on the driver (the
+    orders_yoy_growth / events_new_users_daily precedent). No
+    interval is ever joined against a calendar — the all-to-all
+    carries 2 rows per user at most, at any corpus size."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = n_key_groups(ds.count())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(dtype=np.int64),
+            "day": b["ts"].dt.floor("D")})
+        out = out.groupby("user_id", as_index=False).agg(
+            min=("day", "min"), max=("day", "max"))
+        out["bucket"] = hash_bucket(
+            out["user_id"].to_numpy(dtype=np.int64), nb)
+        return out
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        span = g.groupby("user_id").agg(
+            d0=("min", "min"), d1=("max", "max"))
+        return pd.DataFrame({
+            "day": pd.concat([span["d0"],
+                              span["d1"] + pd.Timedelta(days=1)]),
+            "delta": np.concatenate([
+                np.ones(len(span), dtype=np.int64),
+                -np.ones(len(span), dtype=np.int64)])})
+
+    from ray.data.aggregate import Sum
+
+    daily = (ds.map_batches(partial, batch_format="pandas",
+                            batch_size=None)
+             .groupby("bucket").map_groups(deltas, batch_format="pandas")
+             .groupby("day").aggregate(Sum("delta", alias_name="delta"))
+             .to_pandas())  # O(#days) rows — driver-safe
+    daily = daily.sort_values("day").reset_index(drop=True)
+    daily["covered_users"] = daily["delta"].cumsum().astype("int64")
+    return pa.Table.from_pandas(daily[["day", "covered_users"]],
+                                preserve_index=False)
+
+
+def events_user_span_coverage_sql() -> str:
+    return """
+        WITH s AS (SELECT user_id,
+                          min(date_trunc('day', ts)) AS d0,
+                          max(date_trunc('day', ts)) AS d1
+                   FROM events GROUP BY 1),
+        d AS (SELECT d0 AS day, count(*) AS delta FROM s GROUP BY 1
+              UNION ALL
+              SELECT d1 + INTERVAL 1 DAY AS day, -count(*) AS delta
+              FROM s GROUP BY 1),
+        g AS (SELECT day, sum(delta) AS delta FROM d GROUP BY 1)
+        SELECT day,
+               CAST(sum(delta) OVER (ORDER BY day) AS BIGINT)
+                   AS covered_users
+        FROM g
+    """
+
+
+def events_user_gap_median(sf_dir: str):
+    """Per-user EXACT median inter-event gap (microseconds) — a
+    grouped order statistic over a DERIVED lag sequence, composing
+    the window family's per-segment sort+diff with the median
+    family's exact selection in one co-located kernel (no other
+    entry takes a quantile of a windowed derivation). One
+    user-bucketed exchange; each user's events sort locally, gaps
+    come from a vectorized diff, and the even-count midpoint mean of
+    two int64 µs values is exact in float64 (≤ 2⁵³). Users with a
+    single event have no gap and drop out, as in the oracle."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = n_key_groups(ds.count())
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(dtype=np.int64),
+            "us": b["ts"].astype("int64"),
+            "bucket": hash_bucket(
+                b["user_id"].to_numpy(dtype=np.int64), nb)})
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us"], kind="mergesort")
+        gaps = g.groupby("user_id")["us"].diff().dropna()
+        out = (gaps.groupby(g.loc[gaps.index, "user_id"])
+               .median().rename("gap_median_us").reset_index())
+        out["gap_median_us"] = out["gap_median_us"].astype("float64")
+        return out
+
+    return (ds.map_batches(tag, batch_format="pandas", batch_size=None)
+            .groupby("bucket").map_groups(med, batch_format="pandas"))
+
+
+def events_user_gap_median_sql() -> str:
+    return """
+        WITH g AS (SELECT user_id,
+                          epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                              PARTITION BY user_id ORDER BY ts,
+                              event_id) AS gap
+                   FROM events)
+        SELECT user_id,
+               CAST(median(gap) AS DOUBLE) AS gap_median_us
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    """
+
+
+def part_price_size_slope_per_brand(sf_dir: str):
+    """Per-brand least-squares slope of retail price vs size — the
+    GROUPED bivariate-moments shape (regr_slope per key), extending
+    lineitem_qty_discount_corr's global integer-exact moments to a
+    keyed family. Price converts to exact integer cents; per-batch
+    partials carry five int64 sums per brand (bounded at
+    |brands| × 5 per block), one |brands|-row groupby reduce, and the
+    final slope combines on the driver in Python arbitrary-precision
+    — quantized as trunc(1e6·num/den) in EXACT integer arithmetic
+    (matching DuckDB HUGEINT //, which truncates toward zero), so
+    the result is bit-identical to the oracle, never
+    allclose-tolerant. Constant-size brands (den = 0) drop out."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["p_size"].to_numpy(dtype=np.int64)
+        y = np.round(b["p_retailprice"].to_numpy(dtype=np.float64)
+                     * 100).astype(np.int64)
+        d = pd.DataFrame({"p_brand": b["p_brand"], "n": 1,
+                          "sx": x, "sy": y, "sxx": x * x, "sxy": x * y})
+        return d.groupby("p_brand", as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    red = (ds.map_batches(partial, batch_format="pandas",
+                          batch_size=None)
+           .groupby("p_brand")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("sxy", alias_name="sxy"))
+           .to_pandas())  # |brands| rows — driver-safe
+
+    rows = []
+    for r in red.itertuples(index=False):
+        n, sx, sy, sxx, sxy = (int(r.n), int(r.sx), int(r.sy),
+                               int(r.sxx), int(r.sxy))
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        if den == 0:
+            continue
+        q = abs(1_000_000 * num) // den  # den > 0; trunc toward zero
+        rows.append({"p_brand": r.p_brand,
+                     "slope_micro": q if num >= 0 else -q})
+    out = pd.DataFrame(rows).sort_values("p_brand").reset_index(drop=True)
+    out["slope_micro"] = out["slope_micro"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def part_price_size_slope_per_brand_sql() -> str:
+    return """
+        WITH m AS (SELECT p_brand,
+                          CAST(count(*) AS HUGEINT) AS n,
+                          CAST(sum(CAST(p_size AS BIGINT)) AS HUGEINT)
+                              AS sx,
+                          CAST(sum(CAST(round(p_retailprice * 100)
+                                        AS BIGINT)) AS HUGEINT) AS sy,
+                          CAST(sum(CAST(p_size AS BIGINT)
+                                   * CAST(p_size AS BIGINT)) AS HUGEINT)
+                              AS sxx,
+                          CAST(sum(CAST(p_size AS BIGINT)
+                                   * CAST(round(p_retailprice * 100)
+                                          AS BIGINT)) AS HUGEINT) AS sxy
+                   FROM part GROUP BY p_brand)
+        SELECT p_brand,
+               CAST((1000000 * (n * sxy - sx * sy))
+                    // (n * sxx - sx * sx) AS BIGINT) AS slope_micro
+        FROM m WHERE n * sxx - sx * sx > 0
+        ORDER BY p_brand
+    """
+
+
+def embedding_mutual_knn_pairs(sf_dir: str):
+    """Mutual (reciprocal) kNN pairs — the symmetric-neighbor filter
+    used for high-precision near-duplicate mining and graph
+    sparsification: keep (a, b) only when b is in a's top-5 AND a is
+    in b's top-5. A directed-edge RECONCILIATION shape no other entry
+    has: the kNN edge list (N·k rows, output-sized) canonicalizes to
+    (u=min, v=max, dir) per edge, one pair-hash-bucketed exchange
+    co-locates both directions of every pair, and the kernel keeps
+    pairs observed in BOTH directions — nothing driver-side, nothing
+    quadratic; the all-to-all carries exactly the kNN edges."""
+    from .similarity import knn_graph
+
+    ds = _read(sf_dir, "embeddings")
+    nb = n_key_groups(ds.count() * 5)
+    edges = knn_graph(ds, k=5)
+
+    def canon(b: pa.Table) -> pd.DataFrame:
+        q = b["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["neighbor_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u = np.minimum(q, n)
+        v = np.maximum(q, n)
+        # pair-identity hash: mix u before combining so (u, v) and
+        # (v, u+Δ) collisions don't alias the bucket modulus
+        pair = (u.astype(np.uint64) * _MIX64) ^ v.astype(np.uint64)
+        return pd.DataFrame({
+            "u": u, "v": v,
+            "fwd": (q < n),
+            "bucket": (pair % np.uint64(nb)).astype(np.int32)})
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        got = g.groupby(["u", "v"])["fwd"].agg(["min", "max"])
+        both = got[got["min"] != got["max"]].reset_index()
+        return pd.DataFrame({
+            "vec_a": both["u"].astype("int64"),
+            "vec_b": both["v"].astype("int64")})
+
+    return (edges.map_batches(canon, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("bucket").map_groups(mutual, batch_format="pandas"))
+
+
+def embedding_mutual_knn_pairs_sql() -> str:
+    return """
+        WITH s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                          round(list_cosine_similarity(a.embedding,
+                                                       b.embedding), 6)
+                              AS sim
+                   FROM embeddings a CROSS JOIN embeddings b
+                   WHERE a.vec_id <> b.vec_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id)
+                         AS rank
+              FROM s),
+        e AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5)
+        SELECT e1.query_id AS vec_a, e1.neighbor_id AS vec_b
+        FROM e e1 JOIN e e2 ON e1.query_id = e2.neighbor_id
+                           AND e1.neighbor_id = e2.query_id
+        WHERE e1.query_id < e1.neighbor_id
+    """
+
+
+def doc_bigram_collocations(sf_dir: str, k: int = 100):
+    """Top-k adjacent-token bigrams by corpus frequency, each scored
+    with EXACT integer-quantized lift (pointwise-mutual-information
+    ratio): lift_micro = (10^6 · c_ab · N) // (c_a · c_b), Church &
+    Hanks' association measure with the transcendental log dropped —
+    monotone-equivalent, and exact under arbitrary-precision integer
+    division on both engines (DuckDB HUGEINT // vs Python int //).
+    The collocation shape (sequence-ADJACENCY statistics) exists in
+    no other entry: vocab/tfidf/BM25 treat docs as bags.
+
+    Scale shape: (1) per-batch bigram value_counts partials, bucketed
+    by pair hash — ALL partials of a bigram co-locate, so one
+    exchange yields global counts and per-bucket partial top-k;
+    final sort over ≤ k·n_buckets survivor rows. (2) unigram counts
+    are fetched ONLY for the ≤ 2k survivor tokens: the survivor set
+    broadcasts to a second pass whose per-batch partials filter
+    before the (≤ 2k+1)-row aggregate — the full vocabulary is never
+    exchanged or materialized. Lift combines on the driver over k
+    rows in Python arbitrary-precision (c_ab·N overflows int64 at
+    corpus scale; k-bounded driver work, never corpus-bounded)."""
+    import re as _re
+
+    from .textops import TOKEN_RE
+
+    ds = _read(sf_dir, "documents", ["text"])
+    nb = n_key_groups(ds.count() * 64)
+    tok_re = _re.compile(TOKEN_RE)
+
+    def bigram_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b["text"].str.lower().str.findall(tok_re).explode().dropna()
+        doc = ex.index.to_numpy()
+        tok = ex.to_numpy(dtype=object)
+        adj = doc[1:] == doc[:-1]  # consecutive tokens of the SAME doc
+        d = pd.DataFrame({"tok_a": tok[:-1][adj], "tok_b": tok[1:][adj]})
+        d = d.groupby(["tok_a", "tok_b"], as_index=False).size() \
+             .rename(columns={"size": "n_ab"})
+        key = (d["tok_a"] + "\x1f" + d["tok_b"]).to_numpy(dtype=object)
+        d["bucket"] = (pd.util.hash_array(key) % nb).astype("int32")
+        return d
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["tok_a", "tok_b"], as_index=False)["n_ab"].sum()
+        tot = tot.sort_values(["n_ab", "tok_a", "tok_b"],
+                              ascending=[False, True, True])
+        return tot.head(k)
+
+    top = (ds.map_batches(bigram_partial, batch_format="pandas",
+                          batch_size=None)
+           .groupby("bucket").map_groups(bucket_topk,
+                                         batch_format="pandas")
+           .sort(["n_ab", "tok_a", "tok_b"],
+                 descending=[True, False, False])
+           .limit(k)
+           .to_pandas())  # k rows — driver-safe
+
+    survivors = frozenset(top["tok_a"]) | frozenset(top["tok_b"])
+    TOTAL = "\x00total"  # cannot collide with [a-z0-9]+ tokens
+
+    def uni_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(tok_re).explode() \
+                        .dropna()
+        cnt = toks[toks.isin(survivors)].value_counts()
+        return pd.DataFrame({
+            "token": np.append(cnt.index.to_numpy(dtype=object), TOTAL),
+            "n": np.append(cnt.to_numpy(dtype=np.int64), len(toks))})
+
+    uni = (ds.map_batches(uni_partial, batch_format="pandas",
+                          batch_size=None)
+           .groupby("token").sum("n")
+           .to_pandas())  # ≤ 2k+1 rows — driver-safe
+    counts = dict(zip(uni["token"], uni["sum(n)"].astype("int64")))
+    n_total = int(counts.pop(TOTAL))
+
+    rows = []
+    for r in top.itertuples(index=False):
+        c_ab, c_a, c_b = (int(r.n_ab), int(counts[r.tok_a]),
+                          int(counts[r.tok_b]))
+        rows.append({
+            "tok_a": r.tok_a, "tok_b": r.tok_b, "n_ab": c_ab,
+            "lift_micro": (1_000_000 * c_ab * n_total) // (c_a * c_b)})
+    out = pd.DataFrame(rows)
+    out["n_ab"] = out["n_ab"].astype("int64")
+    out["lift_micro"] = out["lift_micro"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def doc_bigram_collocations_sql() -> str:
+    return """
+        WITH toks AS (SELECT regexp_extract_all(lower(text),
+                                                '[a-z0-9]+') AS ts
+                      FROM documents),
+        uni AS (SELECT unnest(ts) AS tok FROM toks),
+        ucnt AS (SELECT tok, CAST(count(*) AS HUGEINT) AS c
+                 FROM uni GROUP BY tok),
+        nt AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM uni),
+        bi AS (SELECT unnest(ts[:-2]) AS tok_a, unnest(ts[2:]) AS tok_b
+               FROM toks WHERE len(ts) >= 2),
+        bcnt AS (SELECT tok_a, tok_b, count(*) AS n_ab
+                 FROM bi GROUP BY tok_a, tok_b
+                 ORDER BY n_ab DESC, tok_a, tok_b LIMIT 100)
+        SELECT b.tok_a, b.tok_b, CAST(b.n_ab AS BIGINT) AS n_ab,
+               CAST((1000000 * CAST(b.n_ab AS HUGEINT) * nt.n)
+                    // (ua.c * ub.c) AS BIGINT) AS lift_micro
+        FROM bcnt b CROSS JOIN nt
+        JOIN ucnt ua ON ua.tok = b.tok_a
+        JOIN ucnt ub ON ub.tok = b.tok_b
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
@@ -5131,6 +5487,11 @@ QUERIES = {
     "events_new_users_daily": events_new_users_daily,
     "doc_dup_ngram_spans": doc_dup_ngram_spans,
     "daily_events_vs_orders": daily_events_vs_orders,
+    "events_user_span_coverage": events_user_span_coverage,
+    "events_user_gap_median": events_user_gap_median,
+    "part_price_size_slope_per_brand": part_price_size_slope_per_brand,
+    "embedding_mutual_knn_pairs": embedding_mutual_knn_pairs,
+    "doc_bigram_collocations": doc_bigram_collocations,
 }
 
 ORACLES = {
@@ -5214,4 +5575,10 @@ ORACLES = {
     "events_new_users_daily": events_new_users_daily_sql(),
     "doc_dup_ngram_spans": doc_dup_ngram_spans_sql(),
     "daily_events_vs_orders": daily_events_vs_orders_sql(),
+    "events_user_span_coverage": events_user_span_coverage_sql(),
+    "events_user_gap_median": events_user_gap_median_sql(),
+    "part_price_size_slope_per_brand":
+        part_price_size_slope_per_brand_sql(),
+    "embedding_mutual_knn_pairs": embedding_mutual_knn_pairs_sql(),
+    "doc_bigram_collocations": doc_bigram_collocations_sql(),
 }
