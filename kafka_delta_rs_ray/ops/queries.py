@@ -5382,6 +5382,307 @@ def doc_bigram_collocations_sql() -> str:
     """
 
 
+def events_type_transitions(sf_dir: str):
+    """Markov transition counts: for each user's event stream in
+    (ts, event_id) order, count (previous type -> current type) pairs
+    across all users — the next-action / session-flow shape behind
+    funnel diagnostics. Rides the LAG primitive's plan: one
+    user-bucketed exchange of slim rows, a vectorized sort +
+    groupby-shift kernel per bucket, and per-bucket pair counts that
+    reduce to at most |types|^2 rows before the final small groupby —
+    integer counts, so the oracle comparison is exact."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type"])
+    nb = n_key_groups(ds.count())
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "event_type": b["event_type"],
+            "bucket": pa.array(hash_bucket(uid, nb))})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        prev = g.groupby("user_id", sort=False)["event_type"].shift(1)
+        m = prev.notna()
+        out = (pd.DataFrame({"from_type": prev[m],
+                             "to_type": g["event_type"][m]})
+               .groupby(["from_type", "to_type"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+            .groupby("bucket").map_groups(kernel, batch_format="pandas")
+            .groupby(["from_type", "to_type"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def events_type_transitions_sql() -> str:
+    return """
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS from_type,
+                   event_type AS to_type
+            FROM events)
+        WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+
+def customers_pareto_80(sf_dir: str, pull_max: int = 65536):
+    """Pareto revenue concentration: the size of the smallest prefix of
+    customers — ordered by descending revenue, custkey-tiebroken —
+    whose summed revenue reaches 80% of the total, plus the cents
+    actually covered. The weighted-quantile / "how concentrated is the
+    tail" shape, computed WITHOUT a global sort: revenue reduces to
+    integer cents per customer (one bucketed exchange; per-row cent
+    rounding before summation keeps every arithmetic step
+    integer-exact), then the crossing customer is located by iterative
+    range-bucketing — each round bins the surviving value range into 64
+    linear bins and aggregates (count, sum) per bin (metadata-sized),
+    narrowing to the bin that contains the crossing. Rows reach the
+    driver only when the surviving bin holds <= PULL_MAX customers; a
+    single-valued bin resolves in closed form, so heavily tied
+    distributions never pull at all. The per-customer dataset is
+    materialized once (it is |customers|-sized, far below the fact
+    table) because the narrowing loop re-scans it ~log64(range) times.
+    Threshold test is 5*cum >= 4*total — pure integers, no float 0.8.
+
+    `pull_max` exists for tests: 0 forces the narrowing loop all the
+    way to the single-valued closed form; the default keeps driver
+    pulls bounded at 64k rows regardless of customer count."""
+    PULL_MAX = pull_max
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    nb = n_key_groups(orders.count())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(
+            b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        out = (pd.DataFrame({"c": b["o_custkey"].to_numpy(np.int64),
+                             "cents": cents})
+               .groupby("c", as_index=False)["cents"].sum())
+        out["bucket"] = hash_bucket(out["c"].to_numpy(np.int64), nb)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("c", as_index=False)["cents"].sum()
+        return pd.DataFrame({"c": out["c"].astype(np.int64),
+                             "cents": out["cents"].astype(np.int64)})
+
+    rev = (orders.map_batches(partial, batch_format="pandas",
+                              batch_size=None)
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .materialize())
+
+    total = int(rev.sum("cents"))
+    lo, hi = int(rev.min("cents")), int(rev.max("cents"))
+    cum0, n0 = 0, 0  # exact sum / count of all customers above `hi`
+
+    from ray.data.aggregate import Count, Sum
+
+    while True:
+        if lo == hi:  # single-valued bin: closed form, no pull
+            k = (4 * total - 5 * cum0 + 5 * lo - 1) // (5 * lo)
+            n, covered = n0 + k, cum0 + k * lo
+            break
+        in_range = rev.filter(
+            expr=f"cents >= {lo} and cents <= {hi}")
+        if int(in_range.count()) <= PULL_MAX:
+            df = in_range.to_pandas().sort_values(
+                ["cents", "c"], ascending=[False, True])
+            cs = df["cents"].cumsum().to_numpy()
+            idx = int(np.argmax(5 * (cum0 + cs) >= 4 * total))
+            n, covered = n0 + idx + 1, cum0 + int(cs[idx])
+            break
+        width = max(1, (hi - lo + 63) // 64)
+
+        def binit(b: pd.DataFrame, lo=lo, hi=hi, width=width):
+            v = b["cents"].to_numpy()
+            m = (v >= lo) & (v <= hi)
+            g = (pd.DataFrame({"bin": (v[m] - lo) // width,
+                               "cents": v[m]})
+                 .groupby("bin", as_index=False)
+                 .agg(cnt=("cents", "size"), sm=("cents", "sum")))
+            g["cnt"] = g["cnt"].astype("int64")
+            return g
+
+        bins = (rev.map_batches(binit, batch_format="pandas",
+                                batch_size=None)
+                .groupby("bin")
+                .aggregate(Sum("cnt", alias_name="cnt"),
+                           Sum("sm", alias_name="sm"))
+                .to_pandas()  # <= 64 rows: metadata-sized
+                .sort_values("bin", ascending=False))
+        for _, r in bins.iterrows():
+            if 5 * (cum0 + int(r["sm"])) >= 4 * total:
+                b = int(r["bin"])
+                lo, hi = lo + b * width, min(hi, lo + (b + 1) * width - 1)
+                break
+            cum0 += int(r["sm"])
+            n0 += int(r["cnt"])
+        else:  # pragma: no cover — total always crosses by construction
+            raise RuntimeError("pareto crossing not found")
+        # loop re-enters with the narrowed [lo, hi]
+
+    return pd.DataFrame({"n_customers": np.array([n], dtype=np.int64),
+                         "covered_cents": np.array([covered],
+                                                   dtype=np.int64)})
+
+
+def customers_pareto_80_sql() -> str:
+    return """
+        WITH rev AS (
+            SELECT o_custkey AS c,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1),
+        tot AS (SELECT sum(cents) AS t FROM rev),
+        r AS (SELECT c, cents,
+                     sum(cents) OVER (ORDER BY cents DESC, c) AS cum
+              FROM rev)
+        SELECT CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(max(cum) AS BIGINT) AS covered_cents
+        FROM r, tot
+        WHERE 5 * (cum - cents) < 4 * t
+    """
+
+
+def events_type_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence with lift: each (user, day) is a
+    basket of DISTINCT event types; count baskets containing each
+    unordered type pair and score lift = P(a,b) / (P(a) P(b)) against
+    per-type basket counts — the recommendations / affinity shape.
+    Distinct-within-batch partials shrink the first exchange; one
+    user-bucketed exchange makes the (user, day, type) triples globally
+    distinct (a user's rows land in exactly one bucket); the deduped
+    triple set — far smaller than events, reused three times — is
+    materialized once. Pairs come from a vectorized self-merge within
+    each basket (baskets hold at most |types| rows), and pair/type/
+    basket counts all reduce to at-most-|types|^2-sized frames. Lift is
+    reported as floor micro-units (the bigram-collocations convention),
+    so the oracle comparison is integer-exact."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    nb = n_key_groups(ds.count())
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "day": b["ts"].dt.floor("D"),
+            "event_type": b["event_type"]}).drop_duplicates()
+        out["bucket"] = hash_bucket(out["user_id"].to_numpy(np.int64), nb)
+        return out
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["user_id", "day", "event_type"])[
+            ["user_id", "day", "event_type"]]
+
+    ud = (ds.map_batches(prep, batch_format="pandas", batch_size=None)
+          .groupby("bucket").map_groups(dedup, batch_format="pandas")
+          .materialize())
+
+    from ray.data.aggregate import Sum
+
+    # Baskets containing each type: triples are globally distinct, so a
+    # per-batch value_counts partial + one small Sum is exact.
+    def type_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["event_type"].value_counts()
+        return pd.DataFrame({"event_type": vc.index.to_numpy(),
+                             "c": vc.to_numpy().astype(np.int64)})
+
+    tc = (ud.map_batches(type_partial, batch_format="pandas",
+                         batch_size=None)
+          .groupby("event_type").aggregate(Sum("c", alias_name="c"))
+          .to_pandas())  # |types| rows
+
+    # Total basket count: distinct (user, day); bucket by user so each
+    # basket is counted in exactly one group.
+    def basket_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["user_id", "day"]].drop_duplicates()
+        out = out.assign(bucket=hash_bucket(
+            out["user_id"].to_numpy(np.int64), nb))
+        return out
+
+    def basket_count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"nb_": np.array(
+            [len(g.drop_duplicates(["user_id", "day"]))],
+            dtype=np.int64)})
+
+    n_baskets = int((ud.map_batches(basket_partial,
+                                    batch_format="pandas",
+                                    batch_size=None)
+                     .groupby("bucket")
+                     .map_groups(basket_count, batch_format="pandas")
+                     .sum("nb_")))
+
+    # Pair counts: self-merge within basket, upper triangle only.
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["user_id", "day"])
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        out = (m.groupby(["event_type_x", "event_type_y"],
+                         as_index=False).size()
+               .rename(columns={"event_type_x": "type_a",
+                                "event_type_y": "type_b",
+                                "size": "n_ab"}))
+        out["n_ab"] = out["n_ab"].astype("int64")
+        return out
+
+    # re-bucket ud (map_groups output blocks may interleave groups, but
+    # a user's triples still share a bucket value, so grouping again is
+    # exact)
+    def rebucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=hash_bucket(
+            b["user_id"].to_numpy(np.int64), nb))
+
+    pairs = (ud.map_batches(rebucket, batch_format="pandas",
+                            batch_size=None)
+             .groupby("bucket").map_groups(pair_partial,
+                                           batch_format="pandas")
+             .groupby(["type_a", "type_b"])
+             .aggregate(Sum("n_ab", alias_name="n_ab"))
+             .to_pandas())  # <= |types|^2 rows
+
+    cmap = dict(zip(tc["event_type"], tc["c"].astype(int)))
+    lift = [
+        (int(nab) * n_baskets * 1_000_000)
+        // (cmap[a] * cmap[b])
+        for a, b, nab in zip(pairs["type_a"], pairs["type_b"],
+                             pairs["n_ab"])]
+    pairs["n_ab"] = pairs["n_ab"].astype("int64")
+    pairs["lift_micro"] = np.array(lift, dtype=np.int64)
+    return pairs[["type_a", "type_b", "n_ab", "lift_micro"]]
+
+
+def events_type_cooccurrence_sql() -> str:
+    return """
+        WITH ud AS (SELECT DISTINCT user_id,
+                           date_trunc('day', ts) AS day, event_type
+                    FROM events),
+        nb AS (SELECT count(*) AS n FROM
+                   (SELECT DISTINCT user_id, day FROM ud)),
+        tc AS (SELECT event_type, count(*) AS c FROM ud GROUP BY 1),
+        pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      count(*) AS n_ab
+               FROM ud a JOIN ud b
+                 ON a.user_id = b.user_id AND a.day = b.day
+                AND a.event_type < b.event_type
+               GROUP BY 1, 2)
+        SELECT p.type_a, p.type_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+               CAST((1000000 * CAST(p.n_ab AS HUGEINT) * nb.n)
+                    // (ta.c * tb.c) AS BIGINT) AS lift_micro
+        FROM pr p CROSS JOIN nb
+        JOIN tc ta ON ta.event_type = p.type_a
+        JOIN tc tb ON tb.event_type = p.type_b
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
@@ -5492,6 +5793,9 @@ QUERIES = {
     "part_price_size_slope_per_brand": part_price_size_slope_per_brand,
     "embedding_mutual_knn_pairs": embedding_mutual_knn_pairs,
     "doc_bigram_collocations": doc_bigram_collocations,
+    "events_type_transitions": events_type_transitions,
+    "customers_pareto_80": customers_pareto_80,
+    "events_type_cooccurrence": events_type_cooccurrence,
 }
 
 ORACLES = {
@@ -5581,4 +5885,7 @@ ORACLES = {
         part_price_size_slope_per_brand_sql(),
     "embedding_mutual_knn_pairs": embedding_mutual_knn_pairs_sql(),
     "doc_bigram_collocations": doc_bigram_collocations_sql(),
+    "events_type_transitions": events_type_transitions_sql(),
+    "customers_pareto_80": customers_pareto_80_sql(),
+    "events_type_cooccurrence": events_type_cooccurrence_sql(),
 }

@@ -254,3 +254,18 @@ def test_range_window_segment_loop_matches_composite(ray_session,
     monkeypatch.setattr(q, "RANGE_WINDOW_KEY_MAX", 0)
     fallback = run()
     pd.testing.assert_frame_equal(composite, fallback)
+
+
+def test_pareto_narrowing_paths_match_pull_path(ray_session):
+    """customers_pareto_80's three termination regimes must agree: the
+    default bounded driver pull (sf0.001 customer count sits under
+    pull_max), the range-bucket narrowing forced to a small pull, and
+    pull_max=0 which narrows all the way to the single-valued
+    closed-form crossing."""
+    from kafka_delta_rs_ray.ops.queries import customers_pareto_80
+
+    base = customers_pareto_80(SF_DIR)
+    narrowed = customers_pareto_80(SF_DIR, pull_max=4)
+    closed = customers_pareto_80(SF_DIR, pull_max=0)
+    pd.testing.assert_frame_equal(base, narrowed)
+    pd.testing.assert_frame_equal(base, closed)
