@@ -5683,6 +5683,103 @@ def events_type_cooccurrence_sql() -> str:
     """
 
 
+def events_daily_gap_filled(sf_dir: str):
+    """Calendar gap-filling: daily event counts with every missing day
+    between the global min and max day zero-filled — the time-series
+    densification shape dashboards and forecast inputs need (a model
+    fed only observed days silently drops the zeros). Per-batch day
+    partials reduce through one O(#days) groupby; the calendar spine is
+    generated on the driver (a date range is #days rows at ANY corpus
+    scale — two bounded scalars define it) and left-joined against the
+    tiny observed frame. Integer counts — exact generate_series
+    oracle."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["ts"].dt.floor("D").value_counts()
+        return pd.DataFrame({"day": vc.index,
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    daily = (ds.map_batches(partial, batch_format="pandas",
+                            batch_size=None)
+             .groupby("day").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())  # O(#days) rows — driver-safe
+    spine = pd.DataFrame({"day": pd.date_range(
+        daily["day"].min(), daily["day"].max(), freq="D")})
+    out = spine.merge(daily, on="day", how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return out
+
+
+def events_daily_gap_filled_sql() -> str:
+    return """
+        WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+                   FROM events GROUP BY 1),
+        bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+        spine AS (SELECT unnest(generate_series(lo, hi,
+                      INTERVAL 1 DAY)) AS day FROM bounds)
+        SELECT s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+        FROM spine s LEFT JOIN d USING (day)
+    """
+
+
+def orders_priority_revenue_share(sf_dir: str):
+    """Ratio-to-report window shape: each (order year, priority)
+    cell's revenue as a floor-micro share of its year's total — the
+    mix-shift report behind "did expedited orders grow as a fraction
+    of revenue". Per-batch integer-cents partials reduce through one
+    (year, priority)-keyed groupby to a years×priorities frame; the
+    per-year window division happens on the driver over that tiny
+    frame in Python-int arithmetic (cents·10^6 overflows int64 at
+    100 TB revenue). Integer-exact HUGEINT `//` oracle."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(
+            b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        out = (pd.DataFrame({
+            "yr": b["o_orderdate"].dt.year.to_numpy(np.int64),
+            "priority": b["o_orderpriority"],
+            "cents": cents})
+            .groupby(["yr", "priority"], as_index=False)["cents"].sum())
+        return out
+
+    from ray.data.aggregate import Sum
+
+    cells = (orders.map_batches(partial, batch_format="pandas",
+                                batch_size=None)
+             .groupby(["yr", "priority"])
+             .aggregate(Sum("cents", alias_name="cents"))
+             .to_pandas())  # years × priorities rows — driver-safe
+    totals = {int(y): int(t) for y, t in
+              cells.groupby("yr")["cents"].sum().items()}
+    share = [(int(c) * 1_000_000) // totals[int(y)]
+             for y, c in zip(cells["yr"], cells["cents"])]
+    cells["cents"] = cells["cents"].astype("int64")
+    cells["yr"] = cells["yr"].astype("int64")
+    cells["share_micro"] = np.array(share, dtype=np.int64)
+    return cells[["yr", "priority", "cents", "share_micro"]]
+
+
+def orders_priority_revenue_share_sql() -> str:
+    return """
+        WITH cells AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   o_orderpriority AS priority,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS cents
+            FROM orders GROUP BY 1, 2)
+        SELECT yr, priority, CAST(cents AS BIGINT) AS cents,
+               CAST((CAST(cents AS HUGEINT) * 1000000)
+                    // sum(cents) OVER (PARTITION BY yr) AS BIGINT)
+                   AS share_micro
+        FROM cells
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
@@ -5796,6 +5893,8 @@ QUERIES = {
     "events_type_transitions": events_type_transitions,
     "customers_pareto_80": customers_pareto_80,
     "events_type_cooccurrence": events_type_cooccurrence,
+    "events_daily_gap_filled": events_daily_gap_filled,
+    "orders_priority_revenue_share": orders_priority_revenue_share,
 }
 
 ORACLES = {
@@ -5888,4 +5987,6 @@ ORACLES = {
     "events_type_transitions": events_type_transitions_sql(),
     "customers_pareto_80": customers_pareto_80_sql(),
     "events_type_cooccurrence": events_type_cooccurrence_sql(),
+    "events_daily_gap_filled": events_daily_gap_filled_sql(),
+    "orders_priority_revenue_share": orders_priority_revenue_share_sql(),
 }

@@ -5,6 +5,7 @@ order-insensitive value comparison)."""
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from kafka_delta_rs_ray.ops.queries import ORACLES, QUERIES
@@ -269,3 +270,39 @@ def test_pareto_narrowing_paths_match_pull_path(ray_session):
     closed = customers_pareto_80(SF_DIR, pull_max=0)
     pd.testing.assert_frame_equal(base, narrowed)
     pd.testing.assert_frame_equal(base, closed)
+
+
+def test_gap_fill_zero_fills_missing_days(tmp_path, ray_session):
+    """sf0.01 has every calendar day populated, so the zero-fill path
+    never fires there — pin it on a synthetic sparse table: events on
+    Jan 1/4/9 only must yield a 9-row spine with six zero days, and
+    match the DuckDB generate_series oracle exactly."""
+    import pyarrow.parquet as pq
+
+    from kafka_delta_rs_ray.ops.queries import (
+        events_daily_gap_filled, events_daily_gap_filled_sql)
+
+    days = ["2024-01-01", "2024-01-04", "2024-01-04", "2024-01-09"]
+    tbl = pa.table({
+        "ts": pa.array([pd.Timestamp(d) for d in days],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "event_type": ["click"] * 4,
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "value": pa.array([0.0] * 4),
+        "props": ["{}"] * 4})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    out = events_daily_gap_filled(str(tmp_path))
+    assert len(out) == 9
+    assert out["n"].tolist() == [1, 0, 0, 2, 0, 0, 0, 0, 1]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    oracle = con.execute(events_daily_gap_filled_sql()).df()
+    got = _canon(out)
+    want = _canon(oracle)
+    assert got["n"].astype(int).tolist() == want["n"].astype(int).tolist()
+    assert (got["day"].astype(str).tolist()
+            == want["day"].astype(str).tolist())
