@@ -5780,6 +5780,129 @@ def orders_priority_revenue_share_sql() -> str:
     """
 
 
+def lineitem_bloom_semijoin(sf_dir: str):
+    """Bloom-filtered distributed SEMI-join — the classic 100 TB
+    shuffle-pruning pattern next to the hash/broadcast/anti/band
+    joins: lineitem revenue per return flag restricted to URGENT-
+    priority orders. The build side (qualifying orderkeys) reduces to
+    a FIXED-SIZE bloom filter via per-batch partial filters and a
+    two-level OR (bucketed map_groups union → ≤64 partials → driver
+    OR — driver state is 64 × m/8 bytes no matter how many build rows
+    exist); the filter is ray.put ONCE and every probe batch tests
+    membership locally, so only probable matches (true hits + ~6e-4
+    false positives at 16 bits/key) enter the join exchange — at 100 TB
+    the all-to-all carries ~⅕ of lineitem's slim rows instead of all
+    of them. Survivors are verified EXACTLY per bucket (bloom FPs
+    dropped by an isin against the real keys), so results are
+    bit-exact: revenue in cents×(100−disc) integer units, HUGEINT
+    oracle."""
+    import ray
+
+    from ..functions.bloom import bloom_bits, bloom_insert, bloom_test
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+
+    build = orders.map_batches(
+        lambda b: b.loc[b["o_orderpriority"] == "1-URGENT",
+                        ["o_orderkey"]],
+        batch_format="pandas", batch_size=None)
+    n_keys = build.count()
+    words_len = bloom_bits(n_keys) // 64
+
+    def partial_filter(b: pd.DataFrame) -> pd.DataFrame:
+        w = np.zeros(words_len, dtype=np.uint64)
+        k = b["o_orderkey"].to_numpy()
+        bloom_insert(w, k)
+        # OR-tree fan-in bucket: any deterministic spread works — the
+        # bucket only balances the union step, never affects bits
+        return pd.DataFrame({"obucket": [int(k[0]) % 64 if len(k) else 0],
+                             "words": [w.tobytes()]})
+
+    def or_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(words_len, dtype=np.uint64)
+        for buf in g["words"]:
+            acc |= np.frombuffer(buf, dtype=np.uint64)
+        return pd.DataFrame({"words": [acc.tobytes()]})
+
+    level1 = (build.map_batches(partial_filter, batch_format="pandas",
+                                batch_size=None)
+              .groupby("obucket").map_groups(or_group,
+                                             batch_format="pandas")
+              .take_all())  # ≤64 rows × m/8 bytes — driver-safe
+    words = np.zeros(words_len, dtype=np.uint64)
+    for row in level1:
+        words |= np.frombuffer(row["words"], dtype=np.uint64)
+    words_ref = ray.put(words)
+
+    nb = n_key_groups(max(n_keys, 1))
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(words_ref)  # zero-copy view from the object store
+        keep = bloom_test(w, b["l_orderkey"].to_numpy())
+        b = b[keep]
+        # pre-aggregate the survivors BEFORE the exchange: integer
+        # cents×(100−disc) units, one row per (orderkey, shipmode)
+        rev = (np.rint(b["l_extendedprice"].to_numpy() * 100)
+               .astype(np.int64)
+               * (100 - np.rint(b["l_discount"].to_numpy() * 100)
+                  .astype(np.int64)))
+        g = (pd.DataFrame({"orderkey": b["l_orderkey"],
+                           "l_returnflag": b["l_returnflag"], "rev_c4": rev,
+                           "n_items": np.int64(1)})
+             .groupby(["orderkey", "l_returnflag"], as_index=False)
+             .agg(rev_c4=("rev_c4", "sum"), n_items=("n_items", "sum")))
+        g["bucket"] = hash_bucket(g["orderkey"].to_numpy(), nb)
+        return g
+
+    def build_slim(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy()
+        return pd.DataFrame({
+            "orderkey": k,
+            "l_returnflag": pd.Series([None] * len(k), dtype="object"),
+            "rev_c4": np.int64(0), "n_items": np.int64(0),
+            "bucket": hash_bucket(k, nb)})
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["l_returnflag"].isna(), "orderkey"].to_numpy()
+        hits = g[g["l_returnflag"].notna() & g["orderkey"].isin(have)]
+        return (hits.groupby("l_returnflag", as_index=False)
+                .agg(rev_c4=("rev_c4", "sum"), n_items=("n_items", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    tagged = (li.map_batches(probe, batch_format="pandas",
+                             batch_size=None)
+              .union(build.map_batches(build_slim, batch_format="pandas",
+                                       batch_size=None)))
+    out = (tagged.groupby("bucket")
+           .map_groups(verify_bucket, batch_format="pandas")
+           .groupby("l_returnflag")
+           .aggregate(Sum("rev_c4", alias_name="rev_c4"),
+                      Sum("n_items", alias_name="n_items"))
+           .to_pandas())  # |returnflags| rows
+    out["rev_c4"] = out["rev_c4"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def lineitem_bloom_semijoin_sql() -> str:
+    return """
+        SELECT l_returnflag,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                        * (100 - CAST(round(l_discount * 100)
+                                      AS HUGEINT))) AS BIGINT) AS rev_c4,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_orderkey = l_orderkey
+                        AND o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
@@ -5895,6 +6018,7 @@ QUERIES = {
     "events_type_cooccurrence": events_type_cooccurrence,
     "events_daily_gap_filled": events_daily_gap_filled,
     "orders_priority_revenue_share": orders_priority_revenue_share,
+    "lineitem_bloom_semijoin": lineitem_bloom_semijoin,
 }
 
 ORACLES = {
@@ -5989,4 +6113,5 @@ ORACLES = {
     "events_type_cooccurrence": events_type_cooccurrence_sql(),
     "events_daily_gap_filled": events_daily_gap_filled_sql(),
     "orders_priority_revenue_share": orders_priority_revenue_share_sql(),
+    "lineitem_bloom_semijoin": lineitem_bloom_semijoin_sql(),
 }

@@ -306,3 +306,33 @@ def test_gap_fill_zero_fills_missing_days(tmp_path, ray_session):
     assert got["n"].astype(int).tolist() == want["n"].astype(int).tolist()
     assert (got["day"].astype(str).tolist()
             == want["day"].astype(str).tolist())
+
+
+def test_bloom_filter_properties():
+    """The semi-join's pruning sidecar: zero false negatives ever,
+    false-positive rate within ~4x of the (1-e^(-kn/m))^k design point
+    at 16 bits/key, and per-batch partial unions bit-identical to a
+    single bulk insert (the property the distributed OR-tree relies
+    on)."""
+    from kafka_delta_rs_ray.functions.bloom import (bloom_bits,
+                                                    bloom_insert,
+                                                    bloom_test)
+
+    rng = np.random.default_rng(7)
+    keys = rng.choice(2**62, size=20_000, replace=False)
+    members, outside = keys[:10_000], keys[10_000:]
+
+    words = np.zeros(bloom_bits(len(members)) // 64, dtype=np.uint64)
+    bloom_insert(words, members)
+    assert bloom_test(words, members).all()  # no false negatives
+
+    fp = bloom_test(words, outside).mean()
+    assert fp < 4 * 6e-4, fp
+
+    # partial-union == bulk-insert, any split
+    merged = np.zeros_like(words)
+    for chunk in np.array_split(members, 13):
+        part = np.zeros_like(words)
+        bloom_insert(part, chunk)
+        merged |= part
+    assert np.array_equal(merged, words)
