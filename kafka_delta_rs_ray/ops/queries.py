@@ -5888,6 +5888,70 @@ def lineitem_bloom_semijoin(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def orders_cube(sf_dir: str):
+    """GROUP BY CUBE — the full cross-subtotal lattice the ROLLUP
+    query (orders_rollup) can't produce: all FOUR levels of
+    (status, priority), including the (ALL, priority) slice a
+    hierarchy skips. Same scale shape as rollup: per-batch partial
+    aggregation bounds the exchange to n_blocks × |status×priority|
+    rows, one tiny composite-key groupby is the only shuffle, and
+    every coarser level re-folds the FINEST frame on the driver
+    (dimension-cardinality-bounded, never fact-table-sized — at
+    100 TB the driver still sees ≤ |status|×|priority| rows)."""
+    od = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["o_orderstatus", "o_orderpriority"],
+                       as_index=False)
+             .agg(n_orders=("o_totalprice", "size"),
+                  sum_price=("o_totalprice", "sum")))
+        g["key"] = g["o_orderstatus"] + "|" + g["o_orderpriority"]
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderstatus": [g["o_orderstatus"].iloc[0]],
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "n_orders": [int(g["n_orders"].sum())],
+            "sum_price": [g["sum_price"].sum()]})
+
+    finest = (od.map_batches(partial, batch_format="pandas",
+                             batch_size=None)
+              .groupby("key").map_groups(fold, batch_format="pandas"))
+    f = finest.to_pandas()  # ≤ |status|×|priority| rows by construction
+    cols = ["o_orderstatus", "o_orderpriority", "n_orders", "sum_price"]
+
+    def roll(dim_keep: list) -> pd.DataFrame:
+        g = (f.groupby(dim_keep, as_index=False)
+             .agg(n_orders=("n_orders", "sum"),
+                  sum_price=("sum_price", "sum"))
+             if dim_keep else
+             pd.DataFrame({"n_orders": [int(f["n_orders"].sum())],
+                           "sum_price": [f["sum_price"].sum()]}))
+        for d in ("o_orderstatus", "o_orderpriority"):
+            if d not in dim_keep:
+                g[d] = "ALL"
+        return g[cols]
+
+    out = pd.concat(
+        [f[cols], roll(["o_orderstatus"]), roll(["o_orderpriority"]),
+         roll([])], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_price"] = out["sum_price"].round(2)
+    return out
+
+
+def orders_cube_sql() -> str:
+    return """
+        SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+
+
 def lineitem_bloom_semijoin_sql() -> str:
     return """
         SELECT l_returnflag,
@@ -6019,6 +6083,7 @@ QUERIES = {
     "events_daily_gap_filled": events_daily_gap_filled,
     "orders_priority_revenue_share": orders_priority_revenue_share,
     "lineitem_bloom_semijoin": lineitem_bloom_semijoin,
+    "orders_cube": orders_cube,
 }
 
 ORACLES = {
@@ -6114,4 +6179,5 @@ ORACLES = {
     "events_daily_gap_filled": events_daily_gap_filled_sql(),
     "orders_priority_revenue_share": orders_priority_revenue_share_sql(),
     "lineitem_bloom_semijoin": lineitem_bloom_semijoin_sql(),
+    "orders_cube": orders_cube_sql(),
 }
