@@ -5952,6 +5952,86 @@ def orders_cube_sql() -> str:
     """
 
 
+FREQUENT_PART_MIN = 40
+
+
+def lineitem_frequent_parts_cms(sf_dir: str,
+                                threshold: int = FREQUENT_PART_MIN):
+    """Count-min-sketch-pruned frequency threshold — the frequency
+    twin of the bloom semi-join (functions/cms.py): partkeys with ≥
+    ``threshold`` lineitems, with their EXACT counts. The exact
+    plan's groupby shuffles every distinct key; here pass 1 reduces
+    the table to a FIXED-SIZE mergeable sketch (per-batch partial
+    sketches, element-wise-sum two-level reduce tree — ≤64 × d·w·8
+    bytes ever reach the driver), pass 2 broadcasts it once and each
+    batch drops keys whose estimate is under the threshold BEFORE the
+    exchange. CMS only overcounts (est ≥ true), so qualifying keys
+    are never dropped — all rows of a key survive or none — and the
+    per-key counts of the survivors stay exact; a final HAVING
+    removes the sketch's false positives. At 100 TB the groupby
+    carries near-qualifying keys only. Exact GROUP BY/HAVING
+    oracle."""
+    import ray
+
+    from ..functions.cms import D_ROWS, cms_insert, cms_query, cms_width
+
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+    n_rows = li.count()
+    w = cms_width(n_rows, threshold)
+
+    def partial_sketch(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.zeros((D_ROWS, w), dtype=np.int64)
+        k = b["l_partkey"].to_numpy()
+        cms_insert(c, k)
+        return pd.DataFrame({"sbucket": [int(k[0]) % 64 if len(k) else 0],
+                             "sketch": [c.tobytes()]})
+
+    def sum_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros((D_ROWS, w), dtype=np.int64)
+        for buf in g["sketch"]:
+            acc += np.frombuffer(buf, dtype=np.int64).reshape(D_ROWS, w)
+        return pd.DataFrame({"sketch": [acc.tobytes()]})
+
+    level1 = (li.map_batches(partial_sketch, batch_format="pandas",
+                             batch_size=None)
+              .groupby("sbucket").map_groups(sum_group,
+                                             batch_format="pandas")
+              .take_all())  # ≤64 rows × d·w·8 bytes — driver-safe
+    counts = np.zeros((D_ROWS, w), dtype=np.int64)
+    for row in level1:
+        counts += np.frombuffer(row["sketch"],
+                                dtype=np.int64).reshape(D_ROWS, w)
+    cms_ref = ray.put(counts)
+
+    def prune_and_count(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cms_ref)  # zero-copy view from the object store
+        k = b["l_partkey"].to_numpy()
+        k = k[cms_query(c, k) >= threshold]
+        kk, n = np.unique(k, return_counts=True)
+        return pd.DataFrame({"l_partkey": kk,
+                             "n": n.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    out = (li.map_batches(prune_and_count, batch_format="pandas",
+                          batch_size=None)
+           .groupby("l_partkey").aggregate(Sum("n", alias_name="n"))
+           .map_batches(lambda b: b[b["n"] >= threshold],
+                        batch_format="pandas", batch_size=None)
+           .to_pandas())  # qualifying keys only
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+def lineitem_frequent_parts_cms_sql() -> str:
+    return f"""
+        SELECT l_partkey, count(*) AS n
+        FROM lineitem GROUP BY l_partkey
+        HAVING count(*) >= {FREQUENT_PART_MIN}
+        ORDER BY l_partkey
+    """
+
+
 def lineitem_bloom_semijoin_sql() -> str:
     return """
         SELECT l_returnflag,
@@ -6084,6 +6164,7 @@ QUERIES = {
     "orders_priority_revenue_share": orders_priority_revenue_share,
     "lineitem_bloom_semijoin": lineitem_bloom_semijoin,
     "orders_cube": orders_cube,
+    "lineitem_frequent_parts_cms": lineitem_frequent_parts_cms,
 }
 
 ORACLES = {
@@ -6180,4 +6261,5 @@ ORACLES = {
     "orders_priority_revenue_share": orders_priority_revenue_share_sql(),
     "lineitem_bloom_semijoin": lineitem_bloom_semijoin_sql(),
     "orders_cube": orders_cube_sql(),
+    "lineitem_frequent_parts_cms": lineitem_frequent_parts_cms_sql(),
 }

@@ -336,3 +336,40 @@ def test_bloom_filter_properties():
         bloom_insert(part, chunk)
         merged |= part
     assert np.array_equal(merged, words)
+
+
+def test_cms_sketch_properties():
+    """The frequency-prune sidecar: estimates never undercount (the
+    property the threshold prune's zero-false-negative claim rests
+    on), overcounts stay within the e·N/w design bound, and summed
+    per-chunk partial sketches are bit-identical to one bulk insert
+    (the distributed reduce-tree's correctness property)."""
+    from kafka_delta_rs_ray.functions.cms import (D_ROWS, cms_insert,
+                                                  cms_query, cms_width)
+
+    rng = np.random.default_rng(11)
+    # zipf-ish: few hot keys, long tail
+    keys = np.concatenate([
+        np.repeat(rng.choice(2**62, size=20, replace=False), 500),
+        rng.choice(2**62, size=50_000)])
+    rng.shuffle(keys)
+
+    w = cms_width(len(keys), 100)
+    counts = np.zeros((D_ROWS, w), dtype=np.int64)
+    cms_insert(counts, keys)
+
+    uniq, true = np.unique(keys, return_counts=True)
+    est = cms_query(counts, uniq)
+    assert (est >= true).all()  # never undercounts
+    over = est - true
+    assert over.mean() <= np.e * len(keys) / w  # design bound
+    # hot-key estimates are near-exact (small additive noise) at this width
+    hot = true >= 400
+    assert (over[hot] <= 0.05 * true[hot]).all()
+
+    merged = np.zeros_like(counts)
+    for chunk in np.array_split(keys, 17):
+        part = np.zeros_like(counts)
+        cms_insert(part, chunk)
+        merged += part
+    assert np.array_equal(merged, counts)
