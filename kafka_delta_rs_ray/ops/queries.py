@@ -6023,6 +6023,107 @@ def lineitem_frequent_parts_cms(sf_dir: str,
     return out.sort_values("l_partkey").reset_index(drop=True)
 
 
+def events_unpivot_weekly(sf_dir: str):
+    """UNPIVOT (wide→long melt) — the reshape twin of events_pivot:
+    the weekly per-type count matrix back to one (week, event_type,
+    n) row per cell, RETAINING the zero cells the pivot densified
+    (a plain groupby long form lacks them — the difference is
+    exactly what makes melt its own operator). Scale shape: melting
+    is embarrassingly parallel — every wide batch melts ITSELF with
+    one vectorized tile/repeat, so the stage adds zero exchanges on
+    top of the pivot's single week-keyed groupby; output is
+    #weeks × |types| rows at any corpus size. Exact UNPIVOT
+    oracle."""
+    wide = events_pivot(sf_dir)
+
+    def melt(b: pa.Table) -> pa.Table:
+        wk = b["week"].to_numpy()
+        n = len(wk)
+        return pa.table({
+            "week": pa.array(np.repeat(wk, len(_EVENT_TYPES)),
+                             pa.int64()),
+            "event_type": pa.array(
+                np.tile(np.array(_EVENT_TYPES, dtype=object), n)),
+            "n": pa.array(np.stack(
+                [b[f"n_{t}"].to_numpy() for t in _EVENT_TYPES],
+                axis=1).ravel(), pa.int64())})
+
+    return wide.map_batches(melt, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def events_unpivot_weekly_sql() -> str:
+    conds = ",\n               ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+        for t in _EVENT_TYPES)
+    return f"""
+        SELECT week, substr(event_type, 3) AS event_type, n
+        FROM (UNPIVOT (SELECT epoch_us(ts) // 604800000000 AS week,
+                              {conds}
+                       FROM events GROUP BY 1)
+              ON {", ".join(f"n_{t}" for t in _EVENT_TYPES)}
+              INTO NAME event_type VALUE n)
+    """
+
+
+JOURNEY_HEAD = 20
+
+
+def events_user_journey(sf_dir: str, head: int = JOURNEY_HEAD):
+    """Sequence assembly (string_agg ... ORDER BY) — the journey-path
+    shape behind funnel mining and session-path reports: per user,
+    the '->'-joined sequence of their first ``head`` event types in
+    (ts, event_id) order, plus their total event count. Scale shape:
+    the exchange carries slim (user, ts, id, type) rows into
+    input-scaled user buckets (equal users co-locate; kernels
+    sub-group internally), each bucket sorts ONCE and assembles paths
+    vectorized (grouped cumcount + head-mask + per-user join — no
+    Python loop over users); the ``head`` cap bounds every output
+    string no matter how active a user is. Deterministic total order
+    ⇒ exact string_agg oracle."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    nb = n_key_groups(ds.count())
+
+    def slim(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "ts": b["ts"], "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "bucket": hash_bucket(b["user_id"].to_numpy(), nb)})
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        rank = g.groupby("user_id", sort=False).cumcount()
+        h = g[rank < head]
+        path = (h.groupby("user_id", sort=False)["event_type"]
+                .agg("->".join))
+        total = g.groupby("user_id", sort=False)["event_id"].size()
+        return pd.DataFrame({
+            "user_id": path.index.to_numpy(np.int64),
+            "n_events": total.loc[path.index].to_numpy(np.int64),
+            "journey": path.to_numpy()})
+
+    return (ds.map_batches(slim, batch_format="pandas", batch_size=None)
+            .groupby("bucket").map_groups(assemble,
+                                          batch_format="pandas"))
+
+
+def events_user_journey_sql() -> str:
+    return f"""
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS r,
+                   count(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events)
+        SELECT user_id, n_events,
+               string_agg(event_type, '->' ORDER BY r) AS journey
+        FROM ranked WHERE r <= {JOURNEY_HEAD}
+        GROUP BY user_id, n_events
+    """
+
+
 def lineitem_frequent_parts_cms_sql() -> str:
     return f"""
         SELECT l_partkey, count(*) AS n
@@ -6165,6 +6266,8 @@ QUERIES = {
     "lineitem_bloom_semijoin": lineitem_bloom_semijoin,
     "orders_cube": orders_cube,
     "lineitem_frequent_parts_cms": lineitem_frequent_parts_cms,
+    "events_user_journey": events_user_journey,
+    "events_unpivot_weekly": events_unpivot_weekly,
 }
 
 ORACLES = {
@@ -6262,4 +6365,6 @@ ORACLES = {
     "lineitem_bloom_semijoin": lineitem_bloom_semijoin_sql(),
     "orders_cube": orders_cube_sql(),
     "lineitem_frequent_parts_cms": lineitem_frequent_parts_cms_sql(),
+    "events_user_journey": events_user_journey_sql(),
+    "events_unpivot_weekly": events_unpivot_weekly_sql(),
 }
