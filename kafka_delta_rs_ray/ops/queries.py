@@ -6023,6 +6023,47 @@ def lineitem_frequent_parts_cms(sf_dir: str,
     return out.sort_values("l_partkey").reset_index(drop=True)
 
 
+def events_user_argmax_type(sf_dir: str):
+    """ARG_MAX — the "attribute of the extreme row" aggregate (SELECT
+    the event_type of each user's highest-value event), which unlike
+    sum/count needs its PAYLOAD carried through the reduction. The
+    shape's point at scale: argmax is partially aggregable — each
+    batch keeps ONE candidate row per user (the map-side combiner),
+    so the exchange carries n_blocks × users-per-block rows, never
+    events, and one user-keyed groupby finishes the reduction with
+    the same vectorized kernel. Ties broken by (value, event_id)
+    descending so the total order is deterministic ⇒ exact
+    top-1-per-key oracle."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value",
+                                  "event_id"])
+
+    def best_per_user(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["value", "event_id"], ascending=False)
+        return (b.drop_duplicates("user_id")
+                [["user_id", "event_type", "value", "event_id"]])
+
+    partials = ds.map_batches(best_per_user, batch_format="pandas",
+                              batch_size=None)
+    out = (partials.groupby("user_id")
+           .map_groups(best_per_user, batch_format="pandas")
+           .to_pandas())  # one row per user
+    return (out.rename(columns={"event_type": "top_type",
+                                "value": "top_value"})
+            [["user_id", "top_type", "top_value"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def events_user_argmax_type_sql() -> str:
+    return """
+        SELECT user_id, event_type AS top_type, value AS top_value
+        FROM (SELECT user_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                         ORDER BY value DESC, event_id DESC) AS r
+              FROM events)
+        WHERE r = 1 ORDER BY user_id
+    """
+
+
 def events_unpivot_weekly(sf_dir: str):
     """UNPIVOT (wide→long melt) — the reshape twin of events_pivot:
     the weekly per-type count matrix back to one (week, event_type,
@@ -6268,6 +6309,7 @@ QUERIES = {
     "lineitem_frequent_parts_cms": lineitem_frequent_parts_cms,
     "events_user_journey": events_user_journey,
     "events_unpivot_weekly": events_unpivot_weekly,
+    "events_user_argmax_type": events_user_argmax_type,
 }
 
 ORACLES = {
@@ -6367,4 +6409,5 @@ ORACLES = {
     "lineitem_frequent_parts_cms": lineitem_frequent_parts_cms_sql(),
     "events_user_journey": events_user_journey_sql(),
     "events_unpivot_weekly": events_unpivot_weekly_sql(),
+    "events_user_argmax_type": events_user_argmax_type_sql(),
 }
