@@ -6023,6 +6023,77 @@ def lineitem_frequent_parts_cms(sf_dir: str,
     return out.sort_values("l_partkey").reset_index(drop=True)
 
 
+def orders_running_revenue(sf_dir: str):
+    """Distributed PREFIX SCAN — the global running total
+    (sum() OVER (ORDER BY ...)) no single node can compute by
+    sorting the table locally: cumulative revenue over every order
+    in (o_orderdate, o_orderkey) order. Classic two-pass scan: the
+    ordered axis is range-bucketed by month (the bucket key IS the
+    sort prefix, so bucket order = global order), a metadata-sized
+    first pass reduces each bucket to its total (per-batch partials →
+    one tiny groupby → #months rows on the driver), the driver
+    computes the EXCLUSIVE prefix of bucket totals (O(#months) ints),
+    and pass 2 sorts/cumsums each bucket locally and adds its
+    broadcast offset — no global sort, one bucketed exchange, output
+    streamed. Integer cents throughout ⇒ exact window oracle."""
+    import ray
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def slim(b: pd.DataFrame) -> pd.DataFrame:
+        ym = (b["o_orderdate"].dt.year * 12
+              + b["o_orderdate"].dt.month).to_numpy(np.int64)
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"],
+            "o_orderdate": b["o_orderdate"],
+            "cents": np.round(b["o_totalprice"].to_numpy()
+                              * 100).astype(np.int64),
+            "ym": ym})
+
+    slimmed = orders.map_batches(slim, batch_format="pandas",
+                                 batch_size=None)
+
+    def month_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("ym", as_index=False)["cents"].sum()
+        return g.rename(columns={"cents": "tot"})
+
+    from ray.data.aggregate import Sum
+
+    totals = (slimmed.map_batches(month_partial, batch_format="pandas",
+                                  batch_size=None)
+              .groupby("ym").aggregate(Sum("tot", alias_name="tot"))
+              .to_pandas())  # #months rows — driver-safe at any scale
+    totals = totals.sort_values("ym")
+    offsets = dict(zip(
+        totals["ym"].astype(int),
+        np.concatenate([[0], np.cumsum(totals["tot"].to_numpy())[:-1]])
+        .astype(np.int64)))
+    off_ref = ray.put(offsets)
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(g["ym"].iloc[0])]
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        run = np.cumsum(g["cents"].to_numpy()) + off
+        return pd.DataFrame({"o_orderkey": g["o_orderkey"].to_numpy(),
+                             "cents": g["cents"].to_numpy(),
+                             "running_cents": run.astype(np.int64)})
+
+    return (slimmed.groupby("ym").map_groups(scan_bucket,
+                                             batch_format="pandas"))
+
+
+def orders_running_revenue_sql() -> str:
+    return """
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                    OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+                   AS running_cents
+        FROM orders
+    """
+
+
 def events_user_argmax_type(sf_dir: str):
     """ARG_MAX — the "attribute of the extreme row" aggregate (SELECT
     the event_type of each user's highest-value event), which unlike
@@ -6310,6 +6381,7 @@ QUERIES = {
     "events_user_journey": events_user_journey,
     "events_unpivot_weekly": events_unpivot_weekly,
     "events_user_argmax_type": events_user_argmax_type,
+    "orders_running_revenue": orders_running_revenue,
 }
 
 ORACLES = {
@@ -6410,4 +6482,5 @@ ORACLES = {
     "events_user_journey": events_user_journey_sql(),
     "events_unpivot_weekly": events_unpivot_weekly_sql(),
     "events_user_argmax_type": events_user_argmax_type_sql(),
+    "orders_running_revenue": orders_running_revenue_sql(),
 }
