@@ -6023,6 +6023,75 @@ def lineitem_frequent_parts_cms(sf_dir: str,
     return out.sort_values("l_partkey").reset_index(drop=True)
 
 
+def events_user_islands(sf_dir: str):
+    """Gaps-and-islands — the classic "maximal consecutive runs"
+    pattern: per user, how many distinct activity islands
+    (runs of consecutive active days) they have, plus their longest
+    island. Scale shape: each batch shrinks to its distinct
+    (user, day) pairs (map-side combiner), one input-scaled
+    user-bucketed exchange co-locates each user's days, and the
+    per-bucket kernel is fully vectorized — sort once, islands are
+    day-diff > 1 boundaries counted per user, the longest island via
+    a grouped segment-max over the same diff array. Output is
+    user-count-sized. Exact oracle via the day − row_number()
+    constant-group trick."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = n_key_groups(ds.count())
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "user_id": b["user_id"],
+            "day": (b["ts"].dt.floor("D").astype("int64")
+                    // 86_400_000_000)}).drop_duplicates()
+        return d.assign(bucket=hash_bucket(d["user_id"].to_numpy(), nb))
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["user_id", "day"])
+             .sort_values(["user_id", "day"]))
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy()
+        # new island where the user changes or the day gap exceeds 1
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > 1)
+        island_id = np.cumsum(new) - 1
+        # island lengths, then per-user island count and max length
+        lens = np.bincount(island_id)
+        iu = u[new]  # one owner per island
+        df = pd.DataFrame({"user_id": iu, "len": lens})
+        out = (df.groupby("user_id", as_index=False)
+               .agg(n_islands=("len", "size"),
+                    longest_island=("len", "max")))
+        out["n_islands"] = out["n_islands"].astype("int64")
+        out["longest_island"] = out["longest_island"].astype("int64")
+        return out
+
+    out = (ds.map_batches(pairs, batch_format="pandas", batch_size=None)
+           .groupby("bucket").map_groups(islands, batch_format="pandas")
+           .to_pandas())  # one row per user
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_user_islands_sql() -> str:
+    return """
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(date_trunc('day', ts)) // 86400000000 AS day
+            FROM events),
+        grp AS (
+            SELECT user_id, day,
+                   day - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS g
+            FROM days),
+        isl AS (
+            SELECT user_id, count(*) AS len
+            FROM grp GROUP BY user_id, g)
+        SELECT user_id, count(*) AS n_islands,
+               max(len) AS longest_island
+        FROM isl GROUP BY user_id ORDER BY user_id
+    """
+
+
 def orders_running_revenue(sf_dir: str):
     """Distributed PREFIX SCAN — the global running total
     (sum() OVER (ORDER BY ...)) no single node can compute by
@@ -6382,6 +6451,7 @@ QUERIES = {
     "events_unpivot_weekly": events_unpivot_weekly,
     "events_user_argmax_type": events_user_argmax_type,
     "orders_running_revenue": orders_running_revenue,
+    "events_user_islands": events_user_islands,
 }
 
 ORACLES = {
@@ -6483,4 +6553,5 @@ ORACLES = {
     "events_unpivot_weekly": events_unpivot_weekly_sql(),
     "events_user_argmax_type": events_user_argmax_type_sql(),
     "orders_running_revenue": orders_running_revenue_sql(),
+    "events_user_islands": events_user_islands_sql(),
 }
