@@ -6023,6 +6023,119 @@ def lineitem_frequent_parts_cms(sf_dir: str,
     return out.sort_values("l_partkey").reset_index(drop=True)
 
 
+def _lev_is_1(a: str, b: str) -> bool:
+    """Exact edit-distance == 1 check (the verify step after SymSpell
+    deletion blocking)."""
+    la, lb = len(a), len(b)
+    if a == b or abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def doc_fuzzy_token_match(sf_dir: str, dict_k: int = 50,
+                          min_len: int = 4):
+    """FUZZY JOIN (edit distance = 1) via SymSpell deletion blocking
+    — the typo-normalization / record-linkage shape a naive plan
+    computes as dict × vocab cross-join with a Levenshtein filter:
+    every corpus token one edit away from a top-``dict_k`` dictionary
+    term, with its frequency. Scale shape: token counts reduce through
+    the vocab-bucketed exchange (Zipf-bounded, never corpus-sized);
+    the dictionary's 1-deletion neighborhood (≤ dict_k × (max_len+1)
+    strings) is built once and ray.put-broadcast; each counts batch
+    probes the index with ITS OWN deletion forms — candidates share a
+    common deletion iff edit distance ≤ 1, so blocking is complete —
+    and survivors are verified with the exact distance check. The
+    per-token Python loop runs over VOCABULARY entries (bounded by
+    Zipf at any corpus size), not corpus rows. Exact levenshtein
+    cross-join oracle."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .textops import VocabPartial
+
+    ds = _read(sf_dir, "documents", ["text"])
+    counts = (ds.map_batches(VocabPartial(), batch_format="pandas")
+              .groupby("token").sum("n"))
+
+    def _norm(b: pa.Table) -> pa.Table:
+        return pa.table({"token": b["token"],
+                         "n": b["sum(n)"].combine_chunks()
+                         if "sum(n)" in b.column_names else b["n"]})
+
+    counts = counts.map_batches(_norm, batch_format="pyarrow",
+                                batch_size=None)
+
+    def _block_topk(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(
+            pc.utf8_length(b["token"]), min_len))
+        idx = pc.sort_indices(b, sort_keys=[("n", "descending"),
+                                            ("token", "ascending")])
+        return b.take(idx[:dict_k])
+
+    terms = [r["token"] for r in
+             (counts.map_batches(_block_topk, batch_format="pyarrow",
+                                 batch_size=None)
+              .sort(["n", "token"], descending=[True, False])
+              .limit(dict_k).take_all())]
+    index: dict = {}
+    for t in terms:
+        for v in {t} | {t[:i] + t[i + 1:] for i in range(len(t))}:
+            index.setdefault(v, []).append(t)
+    idx_ref = ray.put(index)
+
+    def match(b: pd.DataFrame) -> pd.DataFrame:
+        idx = ray.get(idx_ref)
+        out_t, out_v, out_n = [], [], []
+        for tok, n in zip(b["token"], b["n"]):
+            forms = {tok} | {tok[:i] + tok[i + 1:]
+                             for i in range(len(tok))}
+            cands = set()
+            for f in forms:
+                if f in idx:
+                    cands.update(idx[f])
+            for c in cands:
+                if _lev_is_1(c, tok):
+                    out_t.append(c)
+                    out_v.append(tok)
+                    out_n.append(int(n))
+        return pd.DataFrame({"term": out_t, "variant": out_v,
+                             "n": np.array(out_n, dtype=np.int64)})
+
+    out = (counts.map_batches(match, batch_format="pandas",
+                              batch_size=None)
+           .to_pandas())  # ≤ dict_k × near-variants rows
+    if out.empty:
+        # schema-stable empty frame (all-empty blocks drop columns)
+        out = pd.DataFrame({"term": pd.Series(dtype="object"),
+                            "variant": pd.Series(dtype="object"),
+                            "n": pd.Series(dtype="int64")})
+    return (out.sort_values(["term", "variant"])
+            .reset_index(drop=True))
+
+
+def doc_fuzzy_token_match_sql() -> str:
+    return """
+        WITH toks AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                AS token
+            FROM documents),
+        counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+        dict AS (SELECT token AS term FROM counts
+                 WHERE length(token) >= 4
+                 ORDER BY n DESC, token ASC LIMIT 50)
+        SELECT d.term, c.token AS variant, c.n
+        FROM dict d JOIN counts c ON levenshtein(d.term, c.token) = 1
+        ORDER BY d.term, c.token
+    """
+
+
 def events_user_islands(sf_dir: str):
     """Gaps-and-islands — the classic "maximal consecutive runs"
     pattern: per user, how many distinct activity islands
@@ -6452,6 +6565,7 @@ QUERIES = {
     "events_user_argmax_type": events_user_argmax_type,
     "orders_running_revenue": orders_running_revenue,
     "events_user_islands": events_user_islands,
+    "doc_fuzzy_token_match": doc_fuzzy_token_match,
 }
 
 ORACLES = {
@@ -6554,4 +6668,5 @@ ORACLES = {
     "events_user_argmax_type": events_user_argmax_type_sql(),
     "orders_running_revenue": orders_running_revenue_sql(),
     "events_user_islands": events_user_islands_sql(),
+    "doc_fuzzy_token_match": doc_fuzzy_token_match_sql(),
 }

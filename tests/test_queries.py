@@ -373,3 +373,51 @@ def test_cms_sketch_properties():
         cms_insert(part, chunk)
         merged += part
     assert np.array_equal(merged, counts)
+
+
+def test_fuzzy_token_match_on_typo_corpus(tmp_path, ray_session):
+    """The testdata vocabulary has no edit-distance-1 pairs (the
+    registry entry is legitimately empty there), so pin the SymSpell
+    blocking + exact-verify path on a corpus WITH typos: planted
+    variants of dictionary words must surface with their exact
+    frequencies and match the DuckDB levenshtein cross-join oracle,
+    and the _lev_is_1 verify must agree with true edit distance on
+    adversarial cases."""
+    import pyarrow.parquet as pq
+
+    from kafka_delta_rs_ray.ops.queries import (_lev_is_1,
+                                                doc_fuzzy_token_match,
+                                                doc_fuzzy_token_match_sql)
+
+    # substitution, deletion, insertion variants + unrelated tokens
+    texts = (["database systems scale horizontally"] * 30
+             + ["databse systems", "databases scale", "scal out",
+                "horizontally databaze", "sustems vertical",
+                "unrelated zebra quokka"] * 2)
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": texts,
+        "source": ["s"] * len(texts),
+        "lang": ["en"] * len(texts)})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    out = doc_fuzzy_token_match(str(tmp_path), dict_k=5)
+    assert len(out) > 0
+    pairs = set(zip(out["term"], out["variant"]))
+    assert ("database", "databse") in pairs      # deletion typo
+    assert ("database", "databaze") in pairs     # substitution typo
+    assert ("database", "databases") in pairs    # insertion
+    assert ("systems", "sustems") in pairs
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    oracle = con.execute(
+        doc_fuzzy_token_match_sql().replace("LIMIT 50", "LIMIT 5")).df()
+    pd.testing.assert_frame_equal(_canon(out), _canon(oracle),
+                                  check_dtype=False)
+
+    # exact-verify unit pins
+    assert _lev_is_1("cat", "cut") and _lev_is_1("cat", "cats")
+    assert _lev_is_1("cat", "at") and not _lev_is_1("cat", "cat")
+    assert not _lev_is_1("cat", "dog") and not _lev_is_1("ab", "abcd")
