@@ -6023,6 +6023,86 @@ def lineitem_frequent_parts_cms(sf_dir: str,
     return out.sort_values("l_partkey").reset_index(drop=True)
 
 
+def events_rolling_7d_users(sf_dir: str):
+    """Rolling 7-day DISTINCT user count per day (the rolling-WAU
+    metric) — distinct-within-sliding-window, which neither the
+    span-coverage sweep (whole spans) nor the 7d-sum window frame
+    (additive values) covers: a user active 5 times inside one window
+    must count ONCE. Decomposition: distinct (user, day) pairs (map
+    combiner) → one user-bucketed exchange → each user's activity
+    days MERGE into maximal intervals wherever gaps ≤ 6 days (a
+    window sees the user iff it starts ≤ 6 days after an activity
+    day), each merged interval collapsing to ±1 boundary deltas —
+    the exchange out of the kernel is O(intervals), never O(user ×
+    window) — → one O(#days) delta groupby and a driver cumsum over
+    the calendar spine (two bounded scalars define it). Exact
+    range-join COUNT(DISTINCT) oracle."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = n_key_groups(ds.count())
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "user_id": b["user_id"],
+            "day": (b["ts"].dt.floor("D").astype("int64")
+                    // 86_400_000_000)}).drop_duplicates()
+        return d.assign(bucket=hash_bucket(d["user_id"].to_numpy(), nb))
+
+    pair_ds = ds.map_batches(pairs, batch_format="pandas",
+                             batch_size=None)
+    bounds = pair_ds.aggregate(Min("day", alias_name="lo"),
+                               Max("day", alias_name="hi"))
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["user_id", "day"])
+             .sort_values(["user_id", "day"]))
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > 6)
+        run_id = np.cumsum(new) - 1
+        starts = d[new]
+        last = np.zeros(int(run_id[-1]) + 1, dtype=np.int64)
+        np.maximum.at(last, run_id, d)
+        ends = last + 7  # exclusive: window starting past last+6 misses
+        out = pd.DataFrame({
+            "day": np.concatenate([starts, ends]),
+            "delta": np.concatenate([
+                np.ones(len(starts), np.int64),
+                -np.ones(len(ends), np.int64)])})
+        return out.groupby("day", as_index=False)["delta"].sum()
+
+    dsum = (pair_ds.groupby("bucket").map_groups(deltas,
+                                                 batch_format="pandas")
+            .groupby("day").aggregate(Sum("delta", alias_name="delta"))
+            .to_pandas())  # O(#days) rows — driver-safe
+    arr = np.zeros(hi - lo + 1, dtype=np.int64)
+    m = (dsum["day"] >= lo) & (dsum["day"] <= hi)
+    np.add.at(arr, dsum.loc[m, "day"].to_numpy(np.int64) - lo,
+              dsum.loc[m, "delta"].to_numpy(np.int64))
+    return pd.DataFrame({
+        "day": pd.to_datetime((np.arange(lo, hi + 1))
+                              * 86_400_000_000_000),
+        "n_users": np.cumsum(arr)})
+
+
+def events_rolling_7d_users_sql() -> str:
+    return """
+        WITH days AS (SELECT DISTINCT user_id,
+                             date_trunc('day', ts) AS day FROM events),
+        bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+        spine AS (SELECT unnest(generate_series(lo, hi,
+                      INTERVAL 1 DAY)) AS day FROM bounds)
+        SELECT s.day, count(DISTINCT d.user_id) AS n_users
+        FROM spine s LEFT JOIN days d
+          ON d.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+        GROUP BY s.day ORDER BY s.day
+    """
+
+
 def _lev_is_1(a: str, b: str) -> bool:
     """Exact edit-distance == 1 check (the verify step after SymSpell
     deletion blocking)."""
@@ -6566,6 +6646,7 @@ QUERIES = {
     "orders_running_revenue": orders_running_revenue,
     "events_user_islands": events_user_islands,
     "doc_fuzzy_token_match": doc_fuzzy_token_match,
+    "events_rolling_7d_users": events_rolling_7d_users,
 }
 
 ORACLES = {
@@ -6669,4 +6750,5 @@ ORACLES = {
     "orders_running_revenue": orders_running_revenue_sql(),
     "events_user_islands": events_user_islands_sql(),
     "doc_fuzzy_token_match": doc_fuzzy_token_match_sql(),
+    "events_rolling_7d_users": events_rolling_7d_users_sql(),
 }

@@ -421,3 +421,42 @@ def test_fuzzy_token_match_on_typo_corpus(tmp_path, ray_session):
     assert _lev_is_1("cat", "cut") and _lev_is_1("cat", "cats")
     assert _lev_is_1("cat", "at") and not _lev_is_1("cat", "cat")
     assert not _lev_is_1("cat", "dog") and not _lev_is_1("ab", "abcd")
+
+
+def test_rolling_7d_users_interval_split(tmp_path, ray_session):
+    """sf events are dense (~30 consecutive days), so the >6-day-gap
+    interval SPLIT path never fires there — pin it on a sparse
+    corpus: one user active on Jan 1 and Jan 20 (two merged
+    intervals), one on Jan 3+5 (one merged interval), then match the
+    exact COUNT(DISTINCT) range-join oracle."""
+    import pyarrow.parquet as pq
+
+    from kafka_delta_rs_ray.ops.queries import (
+        events_rolling_7d_users, events_rolling_7d_users_sql)
+
+    rows = [(1, "2024-01-01"), (1, "2024-01-20"),
+            (2, "2024-01-03"), (2, "2024-01-05")]
+    tbl = pa.table({
+        "ts": pa.array([pd.Timestamp(d) for _, d in rows],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+        "event_type": ["click"] * len(rows),
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "value": pa.array([0.0] * len(rows)),
+        "props": ["{}"] * len(rows)})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    out = events_rolling_7d_users(str(tmp_path))
+    assert len(out) == 20  # Jan 1..20 spine
+    # user 1 covers windows 1-7 and 20; user 2 covers 3-11
+    want = [1, 1, 2, 2, 2, 2, 2, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 1]
+    assert out["n_users"].tolist() == want
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    oracle = con.execute(events_rolling_7d_users_sql()).df()
+    assert out["n_users"].astype(int).tolist() == \
+        oracle["n_users"].astype(int).tolist()
+    assert (out["day"].astype(str).tolist()
+            == oracle["day"].astype(str).tolist())
