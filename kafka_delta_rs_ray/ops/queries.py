@@ -6023,6 +6023,118 @@ def lineitem_frequent_parts_cms(sf_dir: str,
     return out.sort_values("l_partkey").reset_index(drop=True)
 
 
+def customers_returned_revenue_top20(sf_dir: str):
+    """TPC-H Q10 shape — the returned-item report: top-20 customers
+    by revenue from RETURNED lineitems, with nation name. The full
+    multi-join composition at scale: the return-flag predicate is
+    pushed into the parquet scan; lineitem pre-aggregates per
+    orderkey per batch (integer cents×(100−disc) units); the
+    lineitem⋈orders exchange is the first bucketed cogroup (both
+    sides fact-sized — broadcast can't cover it); per-custkey
+    revenue reduces BEFORE the second cogroup against the customer
+    table (the exchange carries one row per customer, never per
+    order); nation (25 rows by schema) is the only broadcast side;
+    and top-20 is per-bucket partial top-k + a final sort over
+    ≤ 20 × n_buckets survivors — no corpus-sized sort. Deterministic
+    (rev DESC, custkey ASC) tie order ⇒ exact integer oracle."""
+    import pyarrow.dataset as pads
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"],
+               filter=pads.field("l_returnflag") == "R")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey"])
+    nation = {int(r["n_nationkey"]): r["n_name"]
+              for r in _read(sf_dir, "nation",
+                             ["n_nationkey", "n_name"]).take_all()}
+    nb = n_key_groups(li.count())
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = (np.rint(b["l_extendedprice"].to_numpy() * 100)
+               .astype(np.int64)
+               * (100 - np.rint(b["l_discount"].to_numpy() * 100)
+                  .astype(np.int64)))
+        g = (pd.DataFrame({"orderkey": b["l_orderkey"], "rev_c4": rev})
+             .groupby("orderkey", as_index=False)["rev_c4"].sum())
+        g["custkey"] = np.int64(-1)
+        g["bucket"] = hash_bucket(g["orderkey"].to_numpy(), nb)
+        return g
+
+    def od_slim(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "orderkey": b["o_orderkey"], "rev_c4": np.int64(0),
+            "custkey": b["o_custkey"],
+            "bucket": hash_bucket(b["o_orderkey"].to_numpy(), nb)})
+
+    def join_orders(g: pd.DataFrame) -> pd.DataFrame:
+        left = (g[g["custkey"] < 0]
+                .groupby("orderkey", as_index=False)["rev_c4"].sum())
+        right = g.loc[g["custkey"] >= 0, ["orderkey", "custkey"]]
+        j = left.merge(right, on="orderkey", how="inner")
+        out = j.groupby("custkey", as_index=False)["rev_c4"].sum()
+        out["bucket2"] = hash_bucket(out["custkey"].to_numpy(), nb)
+        out["c_name"] = None
+        out["c_nationkey"] = np.int64(-1)
+        return out
+
+    per_cust = (li.map_batches(li_partial, batch_format="pandas",
+                               batch_size=None)
+                .union(orders.map_batches(od_slim,
+                                          batch_format="pandas",
+                                          batch_size=None))
+                .groupby("bucket").map_groups(join_orders,
+                                              batch_format="pandas"))
+
+    def cu_slim(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "custkey": b["c_custkey"], "rev_c4": np.int64(0),
+            "bucket2": hash_bucket(b["c_custkey"].to_numpy(), nb),
+            "c_name": b["c_name"],
+            "c_nationkey": b["c_nationkey"]})
+
+    def join_cust(g: pd.DataFrame) -> pd.DataFrame:
+        left = (g[g["c_name"].isna()]
+                .groupby("custkey", as_index=False)["rev_c4"].sum())
+        right = g.loc[g["c_name"].notna(),
+                      ["custkey", "c_name", "c_nationkey"]]
+        j = left.merge(right, on="custkey", how="inner")
+        # per-bucket partial top-k: only 20 candidates survive
+        j = j.sort_values(["rev_c4", "custkey"],
+                          ascending=[False, True]).head(20)
+        j["n_name"] = j["c_nationkey"].map(nation)
+        return pd.DataFrame({
+            "c_custkey": j["custkey"].astype("int64"),
+            "c_name": j["c_name"], "n_name": j["n_name"],
+            "rev_c4": j["rev_c4"].astype("int64")})
+
+    out = (per_cust.union(cust.map_batches(cu_slim,
+                                           batch_format="pandas",
+                                           batch_size=None))
+           .groupby("bucket2").map_groups(join_cust,
+                                          batch_format="pandas")
+           .to_pandas())  # ≤ 20 × n_buckets rows
+    return (out.sort_values(["rev_c4", "c_custkey"],
+                            ascending=[False, True])
+            .head(20).reset_index(drop=True))
+
+
+def customers_returned_revenue_top20_sql() -> str:
+    return """
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                        * (100 - CAST(round(l_discount * 100)
+                                      AS HUGEINT))) AS BIGINT) AS rev_c4
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY rev_c4 DESC, c_custkey LIMIT 20
+    """
+
+
 def events_rolling_7d_users(sf_dir: str):
     """Rolling 7-day DISTINCT user count per day (the rolling-WAU
     metric) — distinct-within-sliding-window, which neither the
@@ -6647,6 +6759,7 @@ QUERIES = {
     "events_user_islands": events_user_islands,
     "doc_fuzzy_token_match": doc_fuzzy_token_match,
     "events_rolling_7d_users": events_rolling_7d_users,
+    "customers_returned_revenue_top20": customers_returned_revenue_top20,
 }
 
 ORACLES = {
@@ -6751,4 +6864,5 @@ ORACLES = {
     "events_user_islands": events_user_islands_sql(),
     "doc_fuzzy_token_match": doc_fuzzy_token_match_sql(),
     "events_rolling_7d_users": events_rolling_7d_users_sql(),
+    "customers_returned_revenue_top20": customers_returned_revenue_top20_sql(),
 }
