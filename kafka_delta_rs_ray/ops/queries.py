@@ -1202,6 +1202,63 @@ def events_distinct_users_hll(sf_dir: str):
     return pa.table({"n_users_approx": pa.array([est], pa.int64())})
 
 
+def events_daily_distinct_users_hll(sf_dir: str):
+    """Per-GROUP HyperLogLog — approximate distinct users per day,
+    the sketch-per-key shape (the global-HLL entry proves the
+    single-sketch reduce; this one carries ONE 4 KB register array
+    per (day, block) through a day-keyed groupby whose per-group
+    kernel merges by element-wise max). The exact per-day distinct
+    needs the full (user, day) pair shuffle; the sketch exchange is
+    #days × n_blocks × 4 KB regardless of row count — the shape that
+    makes daily-uniques dashboards affordable at 10^12 rows. Rows-only
+    by design (approximate); below SELF_CHECK_MAX_ROWS the callable
+    recomputes the exact per-day counts and asserts EVERY day lands
+    within 5 % (≈3σ at p=12; small days sit in the near-exact
+    linear-counting regime), so a rows-only pass implies per-group
+    sketch accuracy."""
+    from ..functions import hll
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sketch(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].dt.floor("D").astype("int64")
+               // 86_400_000_000).to_numpy()
+        uid = b["user_id"].to_numpy()
+        days, regs = [], []
+        for d in np.unique(day):
+            r = hll.empty_registers(12)
+            hll.add_hashed(r, uid[day == d], 12)
+            days.append(int(d))
+            regs.append(r.tobytes())
+        return pd.DataFrame({"day": np.array(days, np.int64),
+                             "regs": regs})
+
+    def merge_day(g: pd.DataFrame) -> pd.DataFrame:
+        acc = hll.empty_registers(12)
+        for buf in g["regs"]:
+            acc = hll.merge(acc, np.frombuffer(buf, np.uint8))
+        return pd.DataFrame({
+            "day": [int(g["day"].iloc[0])],
+            "n_users_approx": [int(round(hll.estimate(acc)))]})
+
+    out = (ds.map_batches(sketch, batch_format="pandas",
+                          batch_size=None)
+           .groupby("day").map_groups(merge_day, batch_format="pandas")
+           .to_pandas())  # O(#days) rows
+    out = out.sort_values("day").reset_index(drop=True)
+    out["day"] = pd.to_datetime(out["day"] * 86_400_000_000_000)
+    out["n_users_approx"] = out["n_users_approx"].astype("int64")
+    if ds.count() <= SELF_CHECK_MAX_ROWS:
+        exact = (ds.to_pandas()
+                 .assign(day=lambda d: d["ts"].dt.floor("D"))
+                 .groupby("day")["user_id"].nunique())
+        for day, est in zip(out["day"], out["n_users_approx"]):
+            ex = int(exact.loc[day])
+            assert abs(est - ex) <= max(1, 0.05 * ex), \
+                f"per-day HLL {day}: {est} vs exact {ex} outside 5%"
+    return out
+
+
 def doc_stratified_sample(sf_dir: str):
     """Deterministic stratified sampling — a training-data staple:
     per-language keep rates (1-in-4 for 'en', 1-in-8 otherwise) applied
@@ -6760,6 +6817,7 @@ QUERIES = {
     "doc_fuzzy_token_match": doc_fuzzy_token_match,
     "events_rolling_7d_users": events_rolling_7d_users,
     "customers_returned_revenue_top20": customers_returned_revenue_top20,
+    "events_daily_distinct_users_hll": events_daily_distinct_users_hll,
 }
 
 ORACLES = {
