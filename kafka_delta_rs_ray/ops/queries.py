@@ -6080,6 +6080,63 @@ def lineitem_frequent_parts_cms(sf_dir: str,
     return out.sort_values("l_partkey").reset_index(drop=True)
 
 
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def lineitem_column_profile(sf_dir: str):
+    """Column profiling — the data-quality audit every ingest gate
+    runs (the engine's quarantine/constraint layer consumes exactly
+    these numbers): per numeric column min / max / null count / row
+    count in ONE streaming pass. Scale shape: each batch folds every
+    column into a 4-number partial (long form: one row per column per
+    batch), the reduce is a |columns|-keyed groupby over
+    n_blocks × |columns| rows, and nothing wider than the profile
+    frame ever exists — at 100 TB this is a metadata-sized exchange.
+    min/max on the raw float64 bits are exact (no arithmetic), so the
+    oracle matches bit-for-bit."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "lineitem", list(_PROFILE_COLS))
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols, mins, maxs, nulls, rows = [], [], [], [], []
+        for c in _PROFILE_COLS:
+            arr = b[c]
+            v = arr.to_numpy(zero_copy_only=False)
+            ok = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+            cols.append(c)
+            mins.append(float(ok.min()) if len(ok) else np.inf)
+            maxs.append(float(ok.max()) if len(ok) else -np.inf)
+            nulls.append(int(arr.null_count))
+            rows.append(len(v))
+        return pa.table({"column": pa.array(cols),
+                         "min_v": pa.array(mins, pa.float64()),
+                         "max_v": pa.array(maxs, pa.float64()),
+                         "n_nulls": pa.array(nulls, pa.int64()),
+                         "n_rows": pa.array(rows, pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("column")
+           .aggregate(Min("min_v", alias_name="min_v"),
+                      Max("max_v", alias_name="max_v"),
+                      Sum("n_nulls", alias_name="n_nulls"),
+                      Sum("n_rows", alias_name="n_rows"))
+           .to_pandas())  # |columns| rows
+    out["n_nulls"] = out["n_nulls"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values("column").reset_index(drop=True)
+
+
+def lineitem_column_profile_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS "column", min({c}) AS min_v, max({c}) AS max_v,
+                   count(*) - count({c}) AS n_nulls,
+                   count(*) AS n_rows FROM lineitem"""
+        for c in _PROFILE_COLS]
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
 def customers_returned_revenue_top20(sf_dir: str):
     """TPC-H Q10 shape — the returned-item report: top-20 customers
     by revenue from RETURNED lineitems, with nation name. The full
@@ -6818,6 +6875,7 @@ QUERIES = {
     "events_rolling_7d_users": events_rolling_7d_users,
     "customers_returned_revenue_top20": customers_returned_revenue_top20,
     "events_daily_distinct_users_hll": events_daily_distinct_users_hll,
+    "lineitem_column_profile": lineitem_column_profile,
 }
 
 ORACLES = {
@@ -6923,4 +6981,5 @@ ORACLES = {
     "doc_fuzzy_token_match": doc_fuzzy_token_match_sql(),
     "events_rolling_7d_users": events_rolling_7d_users_sql(),
     "customers_returned_revenue_top20": customers_returned_revenue_top20_sql(),
+    "lineitem_column_profile": lineitem_column_profile_sql(),
 }
