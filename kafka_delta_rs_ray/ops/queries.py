@@ -6080,6 +6080,119 @@ def lineitem_frequent_parts_cms(sf_dir: str,
     return out.sort_values("l_partkey").reset_index(drop=True)
 
 
+LARGE_ORDER_QTY = 200
+
+
+def orders_large_volume(sf_dir: str, min_qty: int = LARGE_ORDER_QTY):
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    lineitem quantity exceeds ``min_qty``, with customer name, top
+    100 by price. The HAVING-on-a-join composition: lineitem
+    pre-aggregates quantity per orderkey per batch (the HAVING
+    predicate evaluates on the REDUCED value, so nothing can filter
+    early — the decomposition's point is that only the slim
+    (orderkey, qty) partials cross the wire), the first bucketed
+    cogroup finishes the per-order sum, applies the threshold, and
+    joins order attributes — output shrinks to the qualifying few —
+    and the second cogroup attaches customer names with per-bucket
+    partial top-100 so the final sort sees ≤ 100 × n_buckets rows.
+    Integer quantities and cents ⇒ exact oracle."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    nb = n_key_groups(li.count())
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "orderkey": b["l_orderkey"],
+            "qty": b["l_quantity"].to_numpy().astype(np.int64)})
+            .groupby("orderkey", as_index=False)["qty"].sum())
+        g["custkey"] = np.int64(-1)
+        g["o_orderdate"] = pd.NaT
+        g["cents"] = np.int64(0)
+        g["bucket"] = hash_bucket(g["orderkey"].to_numpy(), nb)
+        return g
+
+    def od_slim(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "orderkey": b["o_orderkey"], "qty": np.int64(0),
+            "custkey": b["o_custkey"],
+            "o_orderdate": b["o_orderdate"],
+            "cents": np.round(b["o_totalprice"].to_numpy()
+                              * 100).astype(np.int64),
+            "bucket": hash_bucket(b["o_orderkey"].to_numpy(), nb)})
+
+    def having_join(g: pd.DataFrame) -> pd.DataFrame:
+        qty = (g[g["custkey"] < 0]
+               .groupby("orderkey", as_index=False)["qty"].sum())
+        qty = qty[qty["qty"] > min_qty]
+        right = g.loc[g["custkey"] >= 0,
+                      ["orderkey", "custkey", "o_orderdate", "cents"]]
+        j = qty.merge(right, on="orderkey", how="inner")
+        j["bucket2"] = hash_bucket(j["custkey"].to_numpy(), nb)
+        j["c_name"] = pd.Series([None] * len(j), dtype="object")
+        return j[["custkey", "orderkey", "o_orderdate", "cents", "qty",
+                  "bucket2", "c_name"]]
+
+    qualified = (li.map_batches(li_partial, batch_format="pandas",
+                                batch_size=None)
+                 .union(orders.map_batches(od_slim,
+                                           batch_format="pandas",
+                                           batch_size=None))
+                 .groupby("bucket").map_groups(having_join,
+                                               batch_format="pandas"))
+
+    def cu_slim(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame({
+            "custkey": b["c_custkey"],
+            "orderkey": np.int64(-1),
+            "o_orderdate": pd.Series([pd.NaT] * n),
+            "cents": np.int64(0), "qty": np.int64(0),
+            "bucket2": hash_bucket(b["c_custkey"].to_numpy(), nb),
+            "c_name": b["c_name"]})
+
+    def name_join(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["orderkey"] >= 0].drop(columns=["c_name"])
+        right = g.loc[g["orderkey"] < 0, ["custkey", "c_name"]]
+        j = left.merge(right, on="custkey", how="inner")
+        j = j.sort_values(["cents", "orderkey"],
+                          ascending=[False, True]).head(100)
+        return pd.DataFrame({
+            "c_name": j["c_name"],
+            "c_custkey": j["custkey"].astype("int64"),
+            "o_orderkey": j["orderkey"].astype("int64"),
+            "o_orderdate": j["o_orderdate"],
+            "cents": j["cents"].astype("int64"),
+            "sum_qty": j["qty"].astype("int64")})
+
+    out = (qualified.union(cust.map_batches(cu_slim,
+                                            batch_format="pandas",
+                                            batch_size=None))
+           .groupby("bucket2").map_groups(name_join,
+                                          batch_format="pandas")
+           .to_pandas())  # ≤ 100 × n_buckets rows
+    return (out.sort_values(["cents", "o_orderkey"],
+                            ascending=[False, True])
+            .head(100).reset_index(drop=True))
+
+
+def orders_large_volume_sql() -> str:
+    return f"""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+                 o_totalprice
+        HAVING sum(l_quantity) > {LARGE_ORDER_QTY}
+        ORDER BY cents DESC, o_orderkey LIMIT 100
+    """
+
+
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
@@ -6876,6 +6989,7 @@ QUERIES = {
     "customers_returned_revenue_top20": customers_returned_revenue_top20,
     "events_daily_distinct_users_hll": events_daily_distinct_users_hll,
     "lineitem_column_profile": lineitem_column_profile,
+    "orders_large_volume": orders_large_volume,
 }
 
 ORACLES = {
@@ -6982,4 +7096,5 @@ ORACLES = {
     "events_rolling_7d_users": events_rolling_7d_users_sql(),
     "customers_returned_revenue_top20": customers_returned_revenue_top20_sql(),
     "lineitem_column_profile": lineitem_column_profile_sql(),
+    "orders_large_volume": orders_large_volume_sql(),
 }
