@@ -1259,6 +1259,61 @@ def events_daily_distinct_users_hll(sf_dir: str):
     return out
 
 
+def events_purchase_error_overlap_hll(sf_dir: str):
+    """HLL SET ALGEBRA — sketch composition, not just estimation:
+    |users who purchased ∩ users who errored| by inclusion–exclusion
+    (est(A) + est(B) − est(A∪B), where the union sketch is the
+    element-wise max of the two register arrays — the property that
+    makes HLLs composable). The exact intersection
+    (events_returning_users shape) shuffles every key; this exchanges
+    TWO 4 KB arrays per block under a reader-pushed type filter, at
+    any row count. Rows-only by design; below SELF_CHECK_MAX_ROWS the
+    callable recomputes the exact overlap and asserts within 10 %
+    (inclusion–exclusion compounds the two sketches' error), so a
+    rows-only pass implies composed-sketch accuracy."""
+    import pyarrow.dataset as pads
+
+    from ..functions import hll
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"],
+               filter=pads.field("event_type").isin(["purchase",
+                                                     "error"]))
+
+    def sketch(b: pd.DataFrame) -> pd.DataFrame:
+        ra = hll.empty_registers(12)
+        rb = hll.empty_registers(12)
+        uid = b["user_id"].to_numpy()
+        is_p = (b["event_type"] == "purchase").to_numpy()
+        hll.add_hashed(ra, uid[is_p], 12)
+        hll.add_hashed(rb, uid[~is_p], 12)
+        return pd.DataFrame({"ra": [ra.tobytes()], "rb": [rb.tobytes()]})
+
+    ra = hll.empty_registers(12)
+    rb = hll.empty_registers(12)
+    for b in (ds.map_batches(sketch, batch_format="pandas",
+                             batch_size=None)
+              .iter_batches(batch_format="pandas", batch_size=None)):
+        for buf in b["ra"]:
+            ra = hll.merge(ra, np.frombuffer(buf, np.uint8))
+        for buf in b["rb"]:
+            rb = hll.merge(rb, np.frombuffer(buf, np.uint8))
+    est_a = int(round(hll.estimate(ra)))
+    est_b = int(round(hll.estimate(rb)))
+    est_union = int(round(hll.estimate(hll.merge(ra, rb))))
+    est_both = max(0, est_a + est_b - est_union)
+    if ds.count() <= SELF_CHECK_MAX_ROWS:
+        df = ds.to_pandas()
+        a = set(df.loc[df["event_type"] == "purchase", "user_id"])
+        b_ = set(df.loc[df["event_type"] == "error", "user_id"])
+        exact = len(a & b_)
+        assert abs(est_both - exact) <= max(2, 0.10 * exact), \
+            f"HLL overlap {est_both} vs exact {exact}: outside 10%"
+    return pa.table({
+        "n_purchasers_approx": pa.array([est_a], pa.int64()),
+        "n_errorers_approx": pa.array([est_b], pa.int64()),
+        "n_both_approx": pa.array([est_both], pa.int64())})
+
+
 def doc_stratified_sample(sf_dir: str):
     """Deterministic stratified sampling — a training-data staple:
     per-language keep rates (1-in-4 for 'en', 1-in-8 otherwise) applied
@@ -6990,6 +7045,7 @@ QUERIES = {
     "events_daily_distinct_users_hll": events_daily_distinct_users_hll,
     "lineitem_column_profile": lineitem_column_profile,
     "orders_large_volume": orders_large_volume,
+    "events_purchase_error_overlap_hll": events_purchase_error_overlap_hll,
 }
 
 ORACLES = {

@@ -460,3 +460,35 @@ def test_rolling_7d_users_interval_split(tmp_path, ray_session):
         oracle["n_users"].astype(int).tolist()
     assert (out["day"].astype(str).tolist()
             == oracle["day"].astype(str).tolist())
+
+
+def test_hll_overlap_partial_intersection(tmp_path, ray_session):
+    """The sf events have total purchase/error overlap (every user
+    does both), so pin the inclusion-exclusion path on a PARTIAL
+    overlap: 600 purchase-only, 400 error-only, 300 both — the
+    composed estimate must land within 10% of 300 and the in-callable
+    self-check must hold."""
+    import pyarrow.parquet as pq
+
+    from kafka_delta_rs_ray.ops.queries import (
+        events_purchase_error_overlap_hll)
+
+    rows = ([(u, "purchase") for u in range(600)]
+            + [(u, "error") for u in range(1000, 1400)]
+            + [(u, t) for u in range(5000, 5300)
+               for t in ("purchase", "error")])
+    tbl = pa.table({
+        "ts": pa.array([pd.Timestamp("2024-01-01")] * len(rows),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+        "event_type": [t for _, t in rows],
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "value": pa.array([0.0] * len(rows)),
+        "props": ["{}"] * len(rows)})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    out = events_purchase_error_overlap_hll(str(tmp_path))
+    est = out["n_both_approx"][0].as_py()
+    assert abs(est - 300) <= 30, est
+    assert abs(out["n_purchasers_approx"][0].as_py() - 900) <= 45
+    assert abs(out["n_errorers_approx"][0].as_py() - 700) <= 35
