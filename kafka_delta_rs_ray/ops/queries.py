@@ -4610,6 +4610,53 @@ def doc_sample_bottomk_sql() -> str:
     """
 
 
+STRATUM_K = 20
+
+
+def doc_bottomk_per_lang(sf_dir: str, k: int = STRATUM_K):
+    """Per-STRATUM exact-k sample — the balanced-evaluation-set draw
+    (k docs per language, exactly, reproducibly) that rate-based
+    stratified sampling can't deliver: bottom-k under the fixed
+    priority permutation, PER GROUP. Coordination-free at scale: each
+    block keeps its local bottom-k per lang it sees (grouped
+    vectorized sort+head — k × langs-per-block rows out), one
+    lang-keyed groupby finishes each stratum with the same kernel;
+    the exchange is ≤ k × |langs| × n_blocks slim rows, no global
+    sort, no RNG state. Same multiply-mod priority as
+    doc_sample_bottomk ⇒ exact QUALIFY row_number() oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def local_bottomk(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pri = (ids * np.uint64(_SAMPLE_MIX)
+                   - np.uint64(1 << 63)).view(np.int64)
+        d = pd.DataFrame({"doc_id": b["doc_id"], "lang": b["lang"],
+                          "pri": pri})
+        return (d.sort_values(["lang", "pri", "doc_id"])
+                .groupby("lang", sort=False).head(k))
+
+    out = (ds.map_batches(local_bottomk, batch_format="pandas",
+                          batch_size=None)
+           .groupby("lang").map_groups(local_bottomk,
+                                       batch_format="pandas")
+           .to_pandas())  # ≤ k × |langs| rows
+    return (out.sort_values(["lang", "pri", "doc_id"])
+            [["doc_id", "lang"]].reset_index(drop=True))
+
+
+def doc_bottomk_per_lang_sql() -> str:
+    return f"""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY (CAST(doc_id AS HUGEINT) * {{mix}})
+                                % 18446744073709551616, doc_id) AS r
+            FROM documents)
+        WHERE r <= {STRATUM_K}
+    """.replace("{mix}", str(_SAMPLE_MIX))
+
+
 def events_value_quantile_sketch(sf_dir: str, m: int = 4096):
     """Streaming quantile ESTIMATE via a mergeable deterministic
     uniform sample (bottom-m by hashed event_id priority): each block
@@ -7046,6 +7093,7 @@ QUERIES = {
     "lineitem_column_profile": lineitem_column_profile,
     "orders_large_volume": orders_large_volume,
     "events_purchase_error_overlap_hll": events_purchase_error_overlap_hll,
+    "doc_bottomk_per_lang": doc_bottomk_per_lang,
 }
 
 ORACLES = {
@@ -7153,4 +7201,5 @@ ORACLES = {
     "customers_returned_revenue_top20": customers_returned_revenue_top20_sql(),
     "lineitem_column_profile": lineitem_column_profile_sql(),
     "orders_large_volume": orders_large_volume_sql(),
+    "doc_bottomk_per_lang": doc_bottomk_per_lang_sql(),
 }
