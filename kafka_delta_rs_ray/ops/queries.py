@@ -6948,6 +6948,64 @@ def lineitem_frequent_parts_cms_sql() -> str:
     """
 
 
+def lineitem_partkey_joinsize_cms(sf_dir: str):
+    """CMS JOIN-SIZE ESTIMATION (AGMS/count-min inner product) — the
+    cardinality-estimation primitive query planners run before
+    choosing a join strategy: the self-join size of lineitem on
+    l_partkey (Σ_k f(k)², the number of same-part row pairs),
+    estimated as min_i Σ_j counts[i][j]² over the sketch rows. Exact
+    computation needs the full key-frequency shuffle; the sketch is
+    one fixed d×w array through the same sum-reduce tree as the
+    frequency op — at 10^12 rows the estimate costs a metadata-sized
+    exchange. Overestimates only (colliding keys add cross terms), by
+    ≤ ~N²/w per row in expectation. Rows-only by design; below
+    SELF_CHECK_MAX_ROWS the callable computes the exact Σ f(k)² and
+    asserts the estimate is ≥ exact and within 5 % — so a rows-only
+    pass implies estimator accuracy, not just execution."""
+    import ray
+
+    from ..functions.cms import D_ROWS, cms_insert, cms_width
+
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+    n_rows = li.count()
+    # self-join estimation wants a wider sketch than thresholding:
+    # E[overcount per row] = (N/w)·N cross terms → w ≳ 64·N keeps the
+    # relative error of Σf² under ~2% for Zipf-free key spreads
+    w = cms_width(n_rows, 1, slack=64)
+
+    def partial_sketch(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.zeros((D_ROWS, w), dtype=np.int64)
+        k = b["l_partkey"].to_numpy()
+        cms_insert(c, k)
+        return pd.DataFrame({"sbucket": [int(k[0]) % 64 if len(k) else 0],
+                             "sketch": [c.tobytes()]})
+
+    def sum_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros((D_ROWS, w), dtype=np.int64)
+        for buf in g["sketch"]:
+            acc += np.frombuffer(buf, dtype=np.int64).reshape(D_ROWS, w)
+        return pd.DataFrame({"sketch": [acc.tobytes()]})
+
+    level1 = (li.map_batches(partial_sketch, batch_format="pandas",
+                             batch_size=None)
+              .groupby("sbucket").map_groups(sum_group,
+                                             batch_format="pandas")
+              .take_all())  # ≤64 rows × d·w·8 bytes — driver-safe
+    counts = np.zeros((D_ROWS, w), dtype=np.int64)
+    for row in level1:
+        counts += np.frombuffer(row["sketch"],
+                                dtype=np.int64).reshape(D_ROWS, w)
+    est = int(min(int((c.astype(object) ** 2).sum()) for c in counts))
+    if n_rows <= SELF_CHECK_MAX_ROWS:
+        vc = (li.to_pandas()["l_partkey"].value_counts()
+              .to_numpy(np.int64))
+        exact = int((vc.astype(object) ** 2).sum())
+        assert exact <= est <= 1.05 * exact, \
+            f"CMS join size {est} vs exact {exact}: outside [1x, 1.05x]"
+    return pa.table({"selfjoin_pairs_approx": pa.array([est],
+                                                       pa.int64())})
+
+
 def lineitem_bloom_semijoin_sql() -> str:
     return """
         SELECT l_returnflag,
@@ -7094,6 +7152,7 @@ QUERIES = {
     "orders_large_volume": orders_large_volume,
     "events_purchase_error_overlap_hll": events_purchase_error_overlap_hll,
     "doc_bottomk_per_lang": doc_bottomk_per_lang,
+    "lineitem_partkey_joinsize_cms": lineitem_partkey_joinsize_cms,
 }
 
 ORACLES = {
