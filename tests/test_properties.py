@@ -111,3 +111,116 @@ def test_prefix64_order_matches_byte_prefix_order(strs):
     # equal prefixes may order arbitrarily; compare the keys, not ids
     assert [strs[i].encode()[:8] for i in by_prefix] == \
            sorted([strs[i].encode()[:8] for i in by_v])
+
+
+keys64 = st.lists(st.integers(0, 2**62), min_size=1, max_size=400)
+
+
+@settings(max_examples=30, deadline=None)
+@given(members=keys64, probes=keys64, nsplit=st.integers(1, 7))
+def test_bloom_properties_random(members, probes, nsplit):
+    """No false negatives for ANY key set; chunked partial unions
+    bit-identical to one bulk insert (the OR-tree contract)."""
+    from kafka_delta_rs_ray.functions.bloom import (bloom_bits,
+                                                    bloom_insert,
+                                                    bloom_test)
+
+    m = np.array(members, dtype=np.int64)
+    words = np.zeros(bloom_bits(len(m)) // 64, dtype=np.uint64)
+    bloom_insert(words, m)
+    assert bloom_test(words, m).all()
+
+    merged = np.zeros_like(words)
+    for chunk in np.array_split(m, nsplit):
+        part = np.zeros_like(words)
+        bloom_insert(part, chunk)
+        merged |= part
+    assert np.array_equal(merged, words)
+
+    hits = bloom_test(words, np.array(probes, dtype=np.int64))
+    truth = np.isin(np.array(probes, dtype=np.int64), m)
+    assert (hits | ~truth).all()  # member probes always hit
+
+
+@settings(max_examples=30, deadline=None)
+@given(keys=keys64, nsplit=st.integers(1, 7))
+def test_cms_never_undercounts_random(keys, nsplit):
+    """est >= true for EVERY key under any data; chunked partial
+    sums equal one bulk insert (the sum-reduce-tree contract)."""
+    from kafka_delta_rs_ray.functions.cms import (D_ROWS, cms_insert,
+                                                  cms_query, cms_width)
+
+    k = np.array(keys, dtype=np.int64)
+    w = cms_width(len(k), 8)
+    counts = np.zeros((D_ROWS, w), dtype=np.int64)
+    cms_insert(counts, k)
+    uniq, true = np.unique(k, return_counts=True)
+    assert (cms_query(counts, uniq) >= true).all()
+
+    merged = np.zeros_like(counts)
+    for chunk in np.array_split(k, nsplit):
+        part = np.zeros_like(counts)
+        cms_insert(part, chunk)
+        merged += part
+    assert np.array_equal(merged, counts)
+
+
+def _lev_ref(a: str, b: str) -> int:
+    """Reference DP Levenshtein for the property check."""
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+short = st.text(alphabet="abcd", min_size=0, max_size=6)
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=short, b=short)
+def test_lev_is_1_matches_reference(a, b):
+    """The fuzzy join's fast distance==1 verify must agree with full
+    DP Levenshtein on every string pair (tiny alphabet maximizes
+    boundary collisions: equal strings, prefixes, transposition-like
+    cases)."""
+    from kafka_delta_rs_ray.ops.queries import _lev_is_1
+
+    assert _lev_is_1(a, b) == (_lev_ref(a, b) == 1)
+
+
+@settings(max_examples=50, deadline=None)
+@given(days=st.lists(st.integers(0, 60), min_size=1, max_size=60))
+def test_islands_kernel_matches_bruteforce(days):
+    """The gaps-and-islands vectorized kernel (single user) must agree
+    with the obvious O(n) scan for any activity-day multiset."""
+    import pandas as pd
+
+    uniq = sorted(set(days))
+    runs, cur = [], 1
+    for i in range(1, len(uniq)):
+        if uniq[i] - uniq[i - 1] == 1:
+            cur += 1
+        else:
+            runs.append(cur)
+            cur = 1
+    runs.append(cur)
+
+    # the kernel is a map_groups closure; replicate its exact
+    # dedupe + sort + boundary-scan steps on a single-user frame
+    g = pd.DataFrame({"user_id": np.int64(7),
+                      "day": np.array(days, np.int64),
+                      "bucket": np.int64(0)})
+    gg = (g.drop_duplicates(["user_id", "day"])
+          .sort_values(["user_id", "day"]))
+    u, d = gg["user_id"].to_numpy(), gg["day"].to_numpy()
+    new = np.ones(len(gg), dtype=bool)
+    if len(gg) > 1:
+        new[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > 1)
+    lens = np.bincount(np.cumsum(new) - 1)
+    assert len(lens) == len(runs)
+    assert lens.tolist() == runs
