@@ -6948,6 +6948,105 @@ def lineitem_frequent_parts_cms_sql() -> str:
     """
 
 
+def lineitem_qty_weighted_price_median(sf_dir: str,
+                                       pull_max: int = 65536):
+    """WEIGHTED median (weighted quantile): the price below which half
+    the total QUANTITY was sold — the weighted-threshold shape corpus
+    curation runs constantly (quality cutoffs weighted by token mass,
+    not doc count), which rank-based percentile_disc cannot express.
+    Exact by iterative histogram NARROWING on the weight axis: each
+    round is ONE streaming pass summing in-range weights into 4096
+    value buckets (searchsorted, int64 weights), the crossing bucket
+    (first with 2·cumweight ≥ W, all-integer comparisons) becomes the
+    next range, and the terminal paths are a bounded pull
+    (≤ ``pull_max`` rows) or a single-distinct-value range — so
+    10^12 rows resolve in ~3 metadata-sized rounds with no global
+    sort. Exact integer-crossing window oracle."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    B = 4096
+    li = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+
+    def base(b: pa.Table) -> pa.Table:
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "w": pa.array([int(q.astype(np.int64).sum())], pa.int64()),
+            "pmin": pa.array([float(p.min())], pa.float64()),
+            "pmax": pa.array([float(p.max())], pa.float64()),
+            "n": pa.array([len(p)], pa.int64())})
+
+    agg = (li.map_batches(base, batch_format="pyarrow",
+                          batch_size=None)
+           .aggregate(Sum("w", alias_name="w"),
+                      Min("pmin", alias_name="pmin"),
+                      Max("pmax", alias_name="pmax"),
+                      Sum("n", alias_name="n")))
+    W = int(agg["w"])
+    lo, hi = float(agg["pmin"]), float(agg["pmax"])
+    n_in, w_below = int(agg["n"]), 0
+
+    for _ in range(12):  # 4096^12 shrink — never binding
+        if n_in <= pull_max:
+            def pull(b: pd.DataFrame, _lo=lo, _hi=hi) -> pd.DataFrame:
+                m = ((b["l_extendedprice"] >= _lo)
+                     & (b["l_extendedprice"] <= _hi))
+                return b[m]
+
+            rows = (li.map_batches(pull, batch_format="pandas",
+                                   batch_size=None)
+                    .to_pandas().sort_values("l_extendedprice"))
+            cw = (w_below
+                  + rows["l_quantity"].to_numpy(np.int64).cumsum())
+            idx = int(np.searchsorted(2 * cw, W))
+            price = float(rows["l_extendedprice"].iloc[idx])
+            return pa.table({"wmedian_price": pa.array([price],
+                                                       pa.float64())})
+        if lo == hi:  # single distinct value carries the crossing
+            return pa.table({"wmedian_price": pa.array([lo],
+                                                       pa.float64())})
+        edges = np.linspace(lo, hi, B + 1)
+
+        def hist(b: pd.DataFrame, _e=edges, _lo=lo,
+                 _hi=hi) -> pd.DataFrame:
+            p = b["l_extendedprice"].to_numpy()
+            q = b["l_quantity"].to_numpy().astype(np.int64)
+            m = (p >= _lo) & (p <= _hi)
+            p, q = p[m], q[m]
+            idx = np.clip(np.searchsorted(_e[1:-1], p, side="right"),
+                          0, B - 1)
+            wsum = np.bincount(idx, weights=q, minlength=B)
+            cnt = np.bincount(idx, minlength=B)
+            return pd.DataFrame({"bucket": np.arange(B, dtype=np.int64),
+                                 "wsum": wsum.astype(np.int64),
+                                 "cnt": cnt.astype(np.int64)})
+
+        h = (li.map_batches(hist, batch_format="pandas",
+                            batch_size=None)
+             .groupby("bucket")
+             .aggregate(Sum("wsum", alias_name="wsum"),
+                        Sum("cnt", alias_name="cnt"))
+             .to_pandas().sort_values("bucket"))  # 4096 rows
+        cum = w_below + h["wsum"].to_numpy(np.int64).cumsum()
+        j = int(np.searchsorted(2 * cum, W))
+        w_below = int(cum[j - 1]) if j else w_below
+        n_in = int(h["cnt"].iloc[j])
+        lo, hi = float(edges[j]), float(edges[j + 1])
+    raise RuntimeError("weighted-median narrowing did not converge")
+
+
+def lineitem_qty_weighted_price_median_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT l_extendedprice AS p,
+                   sum(CAST(l_quantity AS HUGEINT))
+                       OVER (ORDER BY l_extendedprice) AS cw,
+                   sum(CAST(l_quantity AS HUGEINT)) OVER () AS tw
+            FROM lineitem)
+        SELECT min(p) AS wmedian_price FROM c WHERE 2 * cw >= tw
+    """
+
+
 def lineitem_partkey_joinsize_cms(sf_dir: str):
     """CMS JOIN-SIZE ESTIMATION (AGMS/count-min inner product) — the
     cardinality-estimation primitive query planners run before
@@ -7153,6 +7252,7 @@ QUERIES = {
     "events_purchase_error_overlap_hll": events_purchase_error_overlap_hll,
     "doc_bottomk_per_lang": doc_bottomk_per_lang,
     "lineitem_partkey_joinsize_cms": lineitem_partkey_joinsize_cms,
+    "lineitem_qty_weighted_price_median": lineitem_qty_weighted_price_median,
 }
 
 ORACLES = {
@@ -7261,4 +7361,5 @@ ORACLES = {
     "lineitem_column_profile": lineitem_column_profile_sql(),
     "orders_large_volume": orders_large_volume_sql(),
     "doc_bottomk_per_lang": doc_bottomk_per_lang_sql(),
+    "lineitem_qty_weighted_price_median": lineitem_qty_weighted_price_median_sql(),
 }

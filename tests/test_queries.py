@@ -492,3 +492,24 @@ def test_hll_overlap_partial_intersection(tmp_path, ray_session):
     assert abs(est - 300) <= 30, est
     assert abs(out["n_purchasers_approx"][0].as_py() - 900) <= 45
     assert abs(out["n_errorers_approx"][0].as_py() - 700) <= 35
+
+
+def test_weighted_median_narrowing_matches_pull(ray_session):
+    """The weighted median's two termination regimes must agree: the
+    default bounded pull (sf0.001 lineitem sits under pull_max) and
+    the 4096-bucket weight-narrowing path forced by pull_max=2 —
+    and both must equal the DuckDB integer-crossing window oracle."""
+    from kafka_delta_rs_ray.ops.queries import (
+        lineitem_qty_weighted_price_median,
+        lineitem_qty_weighted_price_median_sql)
+
+    base = lineitem_qty_weighted_price_median(SF_DIR).to_pandas()
+    narrowed = lineitem_qty_weighted_price_median(
+        SF_DIR, pull_max=2).to_pandas()
+    pd.testing.assert_frame_equal(base, narrowed)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/lineitem.parquet')")
+    oracle = con.execute(lineitem_qty_weighted_price_median_sql()).df()
+    assert base.iloc[0, 0] == oracle.iloc[0, 0]
