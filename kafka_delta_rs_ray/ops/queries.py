@@ -986,6 +986,52 @@ def events_value_median_by_type_sql() -> str:
     """
 
 
+def events_value_mad_by_type(sf_dir: str):
+    """Median absolute deviation per group — the ROBUST dispersion
+    statistic (outlier-immune, unlike the z-score op's stddev),
+    computed as a two-level composition of the exact grouped
+    quantile engine: pass 1 selects each type's exact median (no
+    sort, histogram refinement), the |group|-sized median frame
+    broadcasts into a deviation transform, and pass 2 runs the SAME
+    engine over |value − median| — 2× the engine's metadata-sized
+    rounds, still no corpus sort at 10^12 rows. Both engines pick
+    actual data-derived values and the deviation arithmetic is the
+    same IEEE subtraction on both sides ⇒ exact bit-equal oracle."""
+    from .quantiles import grouped_quantile_disc
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    med = grouped_quantile_disc(ds, "event_type", "value",
+                                0.5).to_pandas()
+    m = dict(zip(med["event_type"], med["value"]))
+
+    def dev(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "adev": (b["value"]
+                     - b["event_type"].map(m).astype(float)).abs()})
+
+    devs = ds.map_batches(dev, batch_format="pandas", batch_size=None)
+    out = grouped_quantile_disc(devs, "event_type", "adev",
+                                0.5).to_pandas()
+    # the engine standardizes its output column name to "value"
+    out = out.rename(columns={out.columns[-1]: "mad"})
+    med = med.rename(columns={"value": "median_value"})
+    out = med.merge(out, on="event_type")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_value_mad_by_type_sql() -> str:
+    return """
+        WITH med AS (SELECT event_type,
+                            quantile_disc(value, 0.5) AS median_value
+                     FROM events GROUP BY event_type)
+        SELECT e.event_type, any_value(m.median_value) AS median_value,
+               quantile_disc(abs(e.value - m.median_value), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type
+    """
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -7257,6 +7303,7 @@ QUERIES = {
     "events_daily_distinct_users_hll": events_daily_distinct_users_hll,
     "events_purchase_error_overlap_hll": events_purchase_error_overlap_hll,
     "lineitem_partkey_joinsize_cms": lineitem_partkey_joinsize_cms,
+    "events_value_mad_by_type": events_value_mad_by_type,
 }
 
 ORACLES = {
@@ -7366,4 +7413,5 @@ ORACLES = {
     "orders_large_volume": orders_large_volume_sql(),
     "doc_bottomk_per_lang": doc_bottomk_per_lang_sql(),
     "lineitem_qty_weighted_price_median": lineitem_qty_weighted_price_median_sql(),
+    "events_value_mad_by_type": events_value_mad_by_type_sql(),
 }
