@@ -4406,7 +4406,7 @@ def doc_bm25_topk_sql() -> str:
                    )) AS BIGINT) AS part
             FROM tf JOIN d USING (doc_id), df, g
             WHERE df.term = tf.term)
-        SELECT doc_id, sum(part) AS score_u FROM scored
+        SELECT doc_id, CAST(sum(part) AS BIGINT) AS score_u FROM scored
         GROUP BY doc_id HAVING sum(part) > 0
         ORDER BY score_u DESC, doc_id LIMIT {_BM25_K}
     """
@@ -7166,6 +7166,684 @@ def lineitem_bloom_semijoin_sql() -> str:
     """
 
 
+# --------------------------------------- round-5 bonus-session operators
+def part_skyline(sf_dir: str):
+    """Pareto-dominance SKYLINE over parts (minimize price, maximize
+    size) — the multi-objective frontier shape no single ORDER BY can
+    express. Classic distributed skyline: each batch reduces to its
+    LOCAL skyline (removing a locally dominated row can never remove a
+    globally non-dominated one, so the union of local skylines is a
+    superset of the answer), then one exact pass over that union. For
+    independent dimensions the expected frontier is O(log n) rows, so
+    the final single-group pass is metadata-sized; the worst case
+    (perfectly anti-correlated price/size) degenerates to the full
+    table, which no skyline algorithm avoids — documented assumption.
+    The per-group kernel is fully vectorized: sort by (cents, -size),
+    keep rows whose size equals their price-group max AND strictly
+    exceeds the running max over all strictly cheaper groups (ties on
+    both axes are mutually non-dominating and all kept). Prices are
+    integer cents so the oracle compare is exact."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def _skyline(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "p_partkey": b["p_partkey"].to_numpy(np.int64),
+            "price_cents": np.round(
+                b["p_retailprice"].to_numpy() * 100).astype(np.int64)
+            if "p_retailprice" in b.columns
+            else b["price_cents"].to_numpy(np.int64),
+            "p_size": b["p_size"].to_numpy(np.int64),
+        }).sort_values(["price_cents", "p_size"],
+                       ascending=[True, False])
+        gmax = df.groupby("price_cents")["p_size"].transform("max")
+        # running max of group maxima over STRICTLY cheaper groups
+        grp = df.drop_duplicates("price_cents")[["price_cents"]].assign(
+            gm=gmax[~df["price_cents"].duplicated()].to_numpy())
+        grp["prev"] = grp["gm"].cummax().shift(1, fill_value=np.iinfo(
+            np.int64).min)
+        prev = df["price_cents"].map(
+            grp.set_index("price_cents")["prev"])
+        keep = (df["p_size"].to_numpy() == gmax.to_numpy()) & (
+            df["p_size"].to_numpy() > prev.to_numpy())
+        out = df[keep].copy()
+        out["bucket"] = 0  # frontier union is tiny: one exact group
+        return out
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return _skyline(g).drop(columns=["bucket"]).sort_values(
+            "p_partkey")
+
+    return (ds.map_batches(_skyline, batch_format="pandas",
+                           batch_size=None)
+            .groupby("bucket").map_groups(_final, batch_format="pandas"))
+
+
+def part_skyline_sql() -> str:
+    return """
+        WITH p AS (SELECT p_partkey,
+                          CAST(round(p_retailprice * 100) AS BIGINT)
+                              AS price_cents,
+                          CAST(p_size AS BIGINT) AS p_size
+                   FROM part)
+        SELECT p_partkey, price_cents, p_size FROM p a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p b
+            WHERE b.price_cents <= a.price_cents
+              AND b.p_size >= a.p_size
+              AND (b.price_cents < a.price_cents
+                   OR b.p_size > a.p_size))
+    """
+
+
+def parts_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2's correlated-min shape: for every part that shipped,
+    the cheapest supplier (min acctbal, suppkey-tiebroken) among the
+    suppliers that actually shipped it. ARGMIN ACROSS A JOIN without
+    a window sort: lineitem reduces to within-batch-distinct
+    (partkey, suppkey) pairs, one suppkey-bucketed cogroup attaches
+    acctbal cents (supplier is a dim table but is joined by hash
+    bucket, not broadcast, so the pattern holds even when the "small"
+    side is table-sized), then one partkey-bucketed exchange takes the
+    per-part argmin with a vectorized sort + drop_duplicates. Both
+    exchanges carry 3-column integer rows; acctbal in cents keeps the
+    compare exact."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    nb = n_key_groups(li.count())
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "suppkey": b["l_suppkey"].to_numpy(np.int64),
+            "partkey": b["l_partkey"].to_numpy(np.int64),
+        }).drop_duplicates()
+        out["cents"] = np.nan
+        out["bucket"] = hash_bucket(out["suppkey"].to_numpy(np.int64), nb)
+        return out
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+
+    def sup_slim(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "suppkey": b["s_suppkey"].to_numpy(np.int64),
+            "partkey": np.int64(-1),
+            "cents": np.round(b["s_acctbal"].to_numpy() * 100),
+            "bucket": hash_bucket(b["s_suppkey"].to_numpy(np.int64), nb),
+        })
+
+    tagged = (li.map_batches(pairs, batch_format="pandas",
+                             batch_size=None)
+              .union(sup.map_batches(sup_slim, batch_format="pandas",
+                                     batch_size=None)))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["partkey"] >= 0][["partkey", "suppkey"]].drop_duplicates()
+        right = g[g["partkey"] < 0][["suppkey", "cents"]]
+        j = left.merge(right, on="suppkey", how="inner")
+        j["bucket2"] = hash_bucket(j["partkey"].to_numpy(np.int64), nb)
+        return j
+
+    def argmin(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values(["partkey", "cents", "suppkey"])
+               .drop_duplicates("partkey", keep="first"))
+        return pd.DataFrame({
+            "p_partkey": out["partkey"].to_numpy(np.int64),
+            "s_suppkey": out["suppkey"].to_numpy(np.int64),
+            "acctbal_cents": out["cents"].to_numpy().astype(np.int64)})
+
+    return (tagged.groupby("bucket").map_groups(attach,
+                                                batch_format="pandas")
+            .groupby("bucket2").map_groups(argmin, batch_format="pandas"))
+
+
+def parts_min_cost_supplier_sql() -> str:
+    return """
+        WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey
+                       FROM lineitem),
+        j AS (SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                     CAST(round(s_acctbal * 100) AS BIGINT)
+                         AS acctbal_cents
+              FROM pairs JOIN supplier ON l_suppkey = s_suppkey)
+        SELECT p_partkey, s_suppkey, acctbal_cents FROM j
+        QUALIFY row_number() OVER (PARTITION BY p_partkey
+                                   ORDER BY acctbal_cents, s_suppkey) = 1
+    """
+
+
+def lineitem_promo_share_monthly(sf_dir: str):
+    """TPC-H Q14's conditional-aggregate-over-join shape: per ship
+    month, the share of revenue from PROMO parts. Lineitem reduces to
+    per-batch (partkey, month, revenue-unit) partials in exact 1e-4
+    units (price has 2 decimals, discount 2 ⇒ price*(1-disc) has
+    exactly 4), one partkey-bucketed cogroup attaches the promo flag,
+    per-bucket month partials collapse the exchange to O(#months)
+    rows per bucket, and the final per-month share is computed on the
+    driver over the #months-sized frame with PYTHON ints (1e6 *
+    promo_units overflows int64 at full scale; arbitrary-precision
+    floor division keeps it exact at any sf)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+    nb = n_key_groups(li.count())
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        units = np.round(b["l_extendedprice"].to_numpy()
+                         * (1.0 - b["l_discount"].to_numpy())
+                         * 10000).astype(np.int64)
+        out = pd.DataFrame({
+            "partkey": b["l_partkey"].to_numpy(np.int64),
+            "month": b["l_shipdate"].dt.to_period("M").dt.to_timestamp(),
+            "units": units})
+        out = out.groupby(["partkey", "month"], as_index=False)[
+            "units"].sum()
+        out["promo"] = np.int8(-1)
+        out["bucket"] = hash_bucket(out["partkey"].to_numpy(np.int64), nb)
+        return out
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def part_slim(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "partkey": b["p_partkey"].to_numpy(np.int64),
+            "month": pd.NaT,
+            "units": np.int64(0),
+            "promo": (b["p_type"].to_numpy() == "PROMO").astype(np.int8),
+            "bucket": hash_bucket(b["p_partkey"].to_numpy(np.int64), nb),
+        })
+
+    tagged = (li.map_batches(li_partial, batch_format="pandas",
+                             batch_size=None)
+              .union(part.map_batches(part_slim, batch_format="pandas",
+                                      batch_size=None)))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        facts = g[g["promo"] < 0][["partkey", "month", "units"]]
+        flags = g[g["promo"] >= 0][["partkey", "promo"]]
+        j = facts.merge(flags, on="partkey", how="inner")
+        j["promo_units"] = j["units"] * j["promo"].astype(np.int64)
+        out = (j.groupby("month", as_index=False)
+               .agg(promo_units=("promo_units", "sum"),
+                    total_units=("units", "sum")))
+        return out
+
+    from ray.data.aggregate import Sum
+
+    monthly = (tagged.groupby("bucket")
+               .map_groups(join_bucket, batch_format="pandas")
+               .groupby("month")
+               .aggregate(Sum("promo_units", alias_name="promo_units"),
+                          Sum("total_units", alias_name="total_units"))
+               .to_pandas())  # O(#months) rows — driver-safe
+    monthly = monthly.sort_values("month").reset_index(drop=True)
+    monthly["promo_micro"] = [
+        (1_000_000 * int(p)) // int(t)  # Python ints: no int64 overflow
+        for p, t in zip(monthly["promo_units"], monthly["total_units"])]
+    for c in ("promo_units", "total_units", "promo_micro"):
+        monthly[c] = monthly[c].astype("int64")
+    return pa.Table.from_pandas(
+        monthly[["month", "promo_units", "total_units", "promo_micro"]],
+        preserve_index=False)
+
+
+def lineitem_promo_share_monthly_sql() -> str:
+    return """
+        WITH f AS (SELECT date_trunc('month', l_shipdate) AS month,
+                          CAST(round(l_extendedprice
+                                     * (1 - l_discount) * 10000)
+                               AS BIGINT) AS units,
+                          p_type
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+        m AS (SELECT month,
+                     CAST(sum(CASE WHEN p_type = 'PROMO' THEN units
+                              ELSE 0 END) AS BIGINT) AS promo_units,
+                     CAST(sum(units) AS BIGINT) AS total_units
+              FROM f GROUP BY month)
+        SELECT month, promo_units, total_units,
+               CAST((1000000 * CAST(promo_units AS HUGEINT))
+                    // CAST(total_units AS HUGEINT) AS BIGINT)
+                   AS promo_micro
+        FROM m
+    """
+
+
+def customers_inactive_high_balance(sf_dir: str):
+    """TPC-H Q22's shape: per nation, customers with above-average
+    positive account balance and NO urgent orders (the URGENT slice
+    keeps the anti-join non-degenerate on the synthetic data, where
+    every customer has SOME order; the priority filter is pushed into
+    the parquet scan so non-urgent orders never decode). The global
+    scalar subquery reduces to two numbers (count and cent-sum of
+    positive balances), the anti-join is one custkey-bucketed cogroup
+    against per-batch DISTINCT urgent-order custkeys, and the
+    threshold test is the cross-multiplied integer form
+    cents * n_pos > sum_pos (no float average), so the oracle compare
+    is exact."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    nb = n_key_groups(cust.count())
+
+    from ray.data.aggregate import Count, Sum
+
+    def pos_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        pos = cents[cents > 0]
+        return pd.DataFrame({"n_pos": [len(pos)],
+                             "sum_pos": [int(pos.sum())]})
+
+    scal = (cust.map_batches(pos_partial, batch_format="pandas",
+                             batch_size=None)
+            .sum(["n_pos", "sum_pos"]))
+    n_pos, sum_pos = int(scal["sum(n_pos)"]), int(scal["sum(sum_pos)"])
+
+    def cust_slim(b: pd.DataFrame, n_pos=n_pos, sum_pos=sum_pos
+                  ) -> pd.DataFrame:
+        cents = np.round(b["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        keep = cents * n_pos > sum_pos  # c_acctbal > avg(positive)
+        out = pd.DataFrame({
+            "custkey": b["c_custkey"].to_numpy(np.int64)[keep],
+            "nationkey": b["c_nationkey"].to_numpy(np.int64)[keep],
+            "cents": cents[keep]})
+        out["bucket"] = hash_bucket(out["custkey"].to_numpy(np.int64), nb)
+        return out
+
+    import pyarrow.dataset as pads
+
+    orders = _read(sf_dir, "orders", ["o_custkey"],
+                   filter=(pads.field("o_orderpriority") == "1-URGENT"))
+
+    def ord_slim(b: pd.DataFrame) -> pd.DataFrame:
+        ck = np.unique(b["o_custkey"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "custkey": ck, "nationkey": np.int64(-1),
+            "cents": np.int64(0),
+            "bucket": hash_bucket(ck, nb)})
+
+    tagged = (cust.map_batches(cust_slim, batch_format="pandas",
+                               batch_size=None)
+              .union(orders.map_batches(ord_slim, batch_format="pandas",
+                                        batch_size=None)))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        have = set(g.loc[g["nationkey"] < 0, "custkey"].tolist())
+        c = g[g["nationkey"] >= 0]
+        c = c[~c["custkey"].isin(have)]
+        return (c.groupby("nationkey", as_index=False)
+                .agg(numcust=("custkey", "size"),
+                     totacctbal_cents=("cents", "sum")))
+
+    out = (tagged.groupby("bucket").map_groups(anti,
+                                               batch_format="pandas")
+           .groupby("nationkey")
+           .aggregate(Sum("numcust", alias_name="numcust"),
+                      Sum("totacctbal_cents",
+                          alias_name="totacctbal_cents")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("nationkey", "numcust", "totacctbal_cents"):
+            b[c] = b[c].astype("int64")
+        return b.rename(columns={"nationkey": "c_nationkey"})
+
+    return out.map_batches(finish, batch_format="pandas",
+                           batch_size=None)
+
+
+def customers_inactive_high_balance_sql() -> str:
+    return """
+        WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT)
+                              AS c_nationkey,
+                          CAST(round(c_acctbal * 100) AS BIGINT)
+                              AS cents
+                   FROM customer),
+        s AS (SELECT count(*) AS n_pos, sum(cents) AS sum_pos
+              FROM c WHERE cents > 0)
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+        FROM c, s
+        WHERE cents * n_pos > sum_pos
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+    """
+
+
+# expected Benford first-digit frequencies, floor(1e6*log10(1+1/d)) —
+# hardcoded so Ray and the oracle share one constant table (no libm
+# double-rounding disagreement can flip a floor)
+_BENFORD_PPM = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+                6: 66946, 7: 57991, 8: 51152, 9: 45757}
+
+
+def lineitem_benford_audit(sf_dir: str):
+    """Benford's-law data-quality audit: the distribution of first
+    significant digits of l_extendedprice vs the log-law expectation —
+    the fraud/synthetic-data screening shape. Per-batch digit counts
+    (first digit taken from the INTEGER cents string: exact, no
+    log10-of-float boundary risk at powers of ten) reduce through one
+    9-row Sum; observed ppm uses integer floor division. The output is
+    9 rows at any corpus size."""
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def digits(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["l_extendedprice"].to_numpy()
+                         * 100).astype(np.int64)
+        first = pd.Series(cents.astype("U")).str[0].astype(np.int64)
+        vc = first.value_counts()
+        return pd.DataFrame({"digit": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    counts = (li.map_batches(digits, batch_format="pandas",
+                             batch_size=None)
+              .groupby("digit").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())  # <= 9 rows
+    total = int(counts["n"].sum())
+    counts = counts.set_index("digit")["n"].to_dict()
+    rows = []
+    for d in range(1, 10):
+        n = int(counts.get(d, 0))
+        obs = (1_000_000 * n) // total
+        rows.append({"digit": d, "n": n, "obs_ppm": obs,
+                     "exp_ppm": _BENFORD_PPM[d],
+                     "dev_ppm": obs - _BENFORD_PPM[d]})
+    df = pd.DataFrame(rows)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def lineitem_benford_audit_sql() -> str:
+    exp = ", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())
+    return f"""
+        WITH e(digit, exp_ppm) AS (VALUES {exp}),
+        d AS (SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+                                           AS BIGINT) AS VARCHAR), 1, 1)
+                          AS BIGINT) AS digit
+              FROM lineitem),
+        c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        SELECT CAST(e.digit AS BIGINT) AS digit,
+               CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+               CAST((1000000 * coalesce(c.n, 0)) // t.total
+                    AS BIGINT) AS obs_ppm,
+               CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+               CAST((1000000 * coalesce(c.n, 0)) // t.total - e.exp_ppm
+                    AS BIGINT) AS dev_ppm
+        FROM e LEFT JOIN c ON e.digit = c.digit, t
+    """
+
+
+PCA_SELF_CHECK_MAX_ROWS = 200_000
+
+
+def embedding_pca_top_component(sf_dir: str):
+    """Top principal component of the embedding table — the
+    dimensionality-reduction primitive (whitening, dedup projections,
+    spectral probes) no SQL engine expresses. ONE-PASS DISTRIBUTED
+    COVARIANCE: each batch folds to the (d x d sum of outer products,
+    d-sum, count) moment triple — d is the embedding width (64 here;
+    the d^2 partial is 32 KB, still metadata-sized at d ~ 2000), so
+    the whole corpus reduces through a single Sum tree with NO second
+    data pass, and the exact eigendecomposition runs on the driver's
+    d x d matrix. (An iterated power method was measured first and
+    rejected: the synthetic spectrum is nearly flat — lambda2/lambda1
+    = 0.93 — so matvec iteration converges hopelessly slowly AND
+    costs one full corpus pass per step; the moment-matrix form is
+    one pass at any spectrum.) Deterministic: eigh on a deterministic
+    matrix, sign fixed by the largest-|loading| component. Rows-only
+    entry with an in-callable self-check below
+    PCA_SELF_CHECK_MAX_ROWS: the distributed moments must reproduce
+    numpy's direct eigendecomposition to |cos| >= 0.999999 — a moment
+    -assembly regression fails the driver run, not just pytest."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    n = int(ds.count())
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v) for v in b["embedding"]]).astype(
+            np.float64)
+        return pd.DataFrame({
+            "k": [0], "n": [m.shape[0]],
+            "xsum": [m.sum(axis=0).tolist()],
+            "xxt": [(m.T @ m).ravel().tolist()]})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": [0], "n": [int(g["n"].sum())],
+            "xsum": [np.sum(np.stack([np.asarray(x) for x in g["xsum"]]),
+                            axis=0).tolist()],
+            "xxt": [np.sum(np.stack([np.asarray(x) for x in g["xxt"]]),
+                           axis=0).tolist()]})
+
+    row = (ds.map_batches(moments, batch_format="pandas",
+                          batch_size=None)
+           .groupby("k").map_groups(fold, batch_format="pandas")
+           .take_all())[0]  # one (d + d^2)-sized row
+    mu = np.asarray(row["xsum"]) / n
+    d = mu.shape[0]
+    cov = np.asarray(row["xxt"]).reshape(d, d) / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    v, eigval = vecs[:, -1], float(vals[-1])
+    if v[np.argmax(np.abs(v))] < 0:  # canonical sign
+        v = -v
+
+    if n <= PCA_SELF_CHECK_MAX_ROWS:
+        x = np.stack([np.asarray(r["embedding"]) for r in
+                      ds.take_all()]).astype(np.float64)
+        xc = x - x.mean(axis=0)
+        exact = np.linalg.eigh(xc.T @ xc / n)[1][:, -1]
+        cos = abs(float(exact @ v))
+        assert cos >= 0.999999, \
+            f"distributed moments diverged from direct eig: |cos|={cos}"
+
+    return pa.table({
+        "dim": pa.array(np.arange(d, dtype=np.int64)),
+        "loading_micro": pa.array(
+            np.floor(v * 1_000_000).astype(np.int64)),
+        "eigval_micro": pa.array(
+            np.full(d, int(math.floor(eigval * 1_000_000)),
+                    dtype=np.int64)),
+    })
+
+
+def customers_order_count_hist(sf_dir: str):
+    """TPC-H Q13's shape: the distribution of orders-per-customer
+    INCLUDING zero-order customers — the left-outer + histogram
+    composition a plain groupby can't produce (absent keys vanish).
+    Orders fold to per-batch custkey count partials; one
+    custkey-bucketed cogroup against the customer roster sums the
+    partials and emits 0 for roster rows with no order partial; the
+    per-bucket histogram partial collapses each bucket to O(#distinct
+    counts) rows before the final tiny Sum. Wire: one slim exchange
+    of (custkey, partial-count) pairs."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    nb = n_key_groups(cust.count())
+
+    def ord_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["o_custkey"].value_counts()
+        out = pd.DataFrame({"custkey": vc.index.to_numpy(np.int64),
+                            "n": vc.to_numpy(np.int64),
+                            "is_cust": np.int8(0)})
+        out["bucket"] = hash_bucket(out["custkey"].to_numpy(np.int64), nb)
+        return out
+
+    def cust_slim(b: pd.DataFrame) -> pd.DataFrame:
+        ck = b["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({"custkey": ck, "n": np.int64(0),
+                             "is_cust": np.int8(1),
+                             "bucket": hash_bucket(ck, nb)})
+
+    tagged = (orders.map_batches(ord_partial, batch_format="pandas",
+                                 batch_size=None)
+              .union(cust.map_batches(cust_slim, batch_format="pandas",
+                                      batch_size=None)))
+
+    def hist_partial(g: pd.DataFrame) -> pd.DataFrame:
+        roster = g.loc[g["is_cust"] == 1, ["custkey"]]
+        per = (g[g["is_cust"] == 0]
+               .groupby("custkey", as_index=False)["n"].sum())
+        j = roster.merge(per, on="custkey", how="left").fillna(
+            {"n": 0})
+        vc = j["n"].astype(np.int64).value_counts()
+        return pd.DataFrame({"n_orders": vc.index.to_numpy(np.int64),
+                             "n_customers": vc.to_numpy(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    out = (tagged.groupby("bucket")
+           .map_groups(hist_partial, batch_format="pandas")
+           .groupby("n_orders")
+           .aggregate(Sum("n_customers", alias_name="n_customers")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_customers"] = b["n_customers"].astype("int64")
+        return b
+
+    return out.map_batches(finish, batch_format="pandas",
+                           batch_size=None)
+
+
+def customers_order_count_hist_sql() -> str:
+    return """
+        WITH cnt AS (SELECT c_custkey, count(o_orderkey) AS n_orders
+                     FROM customer LEFT JOIN orders
+                       ON o_custkey = c_custkey
+                     GROUP BY c_custkey)
+        SELECT n_orders, count(*) AS n_customers
+        FROM cnt GROUP BY n_orders
+    """
+
+
+def nation_trade_matrix(sf_dir: str):
+    """TPC-H Q7's shape generalized: the revenue matrix between
+    supplier nation and customer nation — the longest join chain in
+    the registry (lineitem ⋈ orders ⋈ customer ⋈ supplier), executed
+    as THREE slim bucketed cogroups with partial aggregation between
+    every hop so each exchange carries strictly less than the one
+    before: (1) per-batch (orderkey, suppkey) revenue partials join
+    orders on orderkey → (custkey, suppkey) partials, (2) join
+    customer on custkey → (c_nation, suppkey) partials (at most
+    #nations × #suppliers rows), (3) join supplier on suppkey →
+    (supp_nation, cust_nation) partials, folded by one final 25x25
+    Sum. Revenue in exact 1e-4 units; int64 partials hold to ~9e14
+    currency units per (pair, bucket) partial — the final fold uses
+    Python ints so the emitted totals are exact at any scale."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+    nb = n_key_groups(li.count())
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        units = np.round(b["l_extendedprice"].to_numpy()
+                         * (1.0 - b["l_discount"].to_numpy())
+                         * 10000).astype(np.int64)
+        out = (pd.DataFrame({"k": b["l_orderkey"].to_numpy(np.int64),
+                             "suppkey": b["l_suppkey"].to_numpy(np.int64),
+                             "units": units})
+               .groupby(["k", "suppkey"], as_index=False)["units"].sum())
+        out["aux"] = np.int64(-1)
+        out["bucket"] = hash_bucket(out["k"].to_numpy(np.int64), nb)
+        return out
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def ord_slim(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": b["o_orderkey"].to_numpy(np.int64),
+            "suppkey": np.int64(0), "units": np.int64(0),
+            "aux": b["o_custkey"].to_numpy(np.int64),
+            "bucket": hash_bucket(b["o_orderkey"].to_numpy(np.int64),
+                                  nb)})
+
+    def hop1(g: pd.DataFrame) -> pd.DataFrame:
+        facts = g[g["aux"] < 0][["k", "suppkey", "units"]]
+        dim = g[g["aux"] >= 0][["k", "aux"]]
+        j = facts.merge(dim, on="k", how="inner")
+        out = (j.groupby(["aux", "suppkey"], as_index=False)["units"]
+               .sum().rename(columns={"aux": "k"}))  # k = custkey now
+        out["aux"] = np.int64(-1)
+        out["bucket"] = hash_bucket(out["k"].to_numpy(np.int64), nb)
+        return out
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_slim(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": b["c_custkey"].to_numpy(np.int64),
+            "suppkey": np.int64(0), "units": np.int64(0),
+            "aux": b["c_nationkey"].to_numpy(np.int64),
+            "bucket": hash_bucket(b["c_custkey"].to_numpy(np.int64),
+                                  nb)})
+
+    def hop2(g: pd.DataFrame) -> pd.DataFrame:
+        facts = g[g["aux"] < 0][["k", "suppkey", "units"]]
+        dim = g[g["aux"] >= 0][["k", "aux"]]
+        j = facts.merge(dim, on="k", how="inner")
+        # aux = cust nation; re-key on suppkey for the last hop
+        out = (j.groupby(["suppkey", "aux"], as_index=False)["units"]
+               .sum().rename(columns={"suppkey": "k",
+                                      "aux": "cust_nation"}))
+        out["aux"] = np.int64(-1)
+        out["bucket"] = hash_bucket(out["k"].to_numpy(np.int64), nb)
+        return out
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def sup_slim(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": b["s_suppkey"].to_numpy(np.int64),
+            "cust_nation": np.int64(0), "units": np.int64(0),
+            "aux": b["s_nationkey"].to_numpy(np.int64),
+            "bucket": hash_bucket(b["s_suppkey"].to_numpy(np.int64),
+                                  nb)})
+
+    def hop3(g: pd.DataFrame) -> pd.DataFrame:
+        facts = g[g["aux"] < 0][["k", "cust_nation", "units"]]
+        dim = g[g["aux"] >= 0][["k", "aux"]]
+        j = facts.merge(dim, on="k", how="inner")
+        return (j.groupby(["aux", "cust_nation"], as_index=False)[
+            "units"].sum().rename(columns={"aux": "supp_nation"}))
+
+    stage1 = (li.map_batches(li_partial, batch_format="pandas",
+                             batch_size=None)
+              .union(orders.map_batches(ord_slim, batch_format="pandas",
+                                        batch_size=None))
+              .groupby("bucket").map_groups(hop1, batch_format="pandas"))
+    stage2 = (stage1.union(cust.map_batches(cust_slim,
+                                            batch_format="pandas",
+                                            batch_size=None))
+              .groupby("bucket").map_groups(hop2, batch_format="pandas"))
+    cells = (stage2.union(sup.map_batches(sup_slim,
+                                          batch_format="pandas",
+                                          batch_size=None))
+             .groupby("bucket").map_groups(hop3, batch_format="pandas")
+             .to_pandas())  # <= #nations^2 x #buckets partials
+    out = {}
+    for sn, cn, u in zip(cells["supp_nation"], cells["cust_nation"],
+                         cells["units"]):
+        out[(int(sn), int(cn))] = out.get((int(sn), int(cn)), 0) + int(u)
+    rows = sorted(out.items())
+    return pa.table({
+        "supp_nation": pa.array([k[0] for k, _ in rows], pa.int64()),
+        "cust_nation": pa.array([k[1] for k, _ in rows], pa.int64()),
+        "rev_units": pa.array([v for _, v in rows], pa.int64()),
+    })
+
+
+def nation_trade_matrix_sql() -> str:
+    return """
+        SELECT CAST(s_nationkey AS BIGINT) AS supp_nation,
+               CAST(c_nationkey AS BIGINT) AS cust_nation,
+               CAST(sum(CAST(round(l_extendedprice
+                                   * (1 - l_discount) * 10000)
+                             AS HUGEINT)) AS BIGINT) AS rev_units
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
@@ -7304,6 +7982,14 @@ QUERIES = {
     "events_purchase_error_overlap_hll": events_purchase_error_overlap_hll,
     "lineitem_partkey_joinsize_cms": lineitem_partkey_joinsize_cms,
     "events_value_mad_by_type": events_value_mad_by_type,
+    "part_skyline": part_skyline,
+    "parts_min_cost_supplier": parts_min_cost_supplier,
+    "lineitem_promo_share_monthly": lineitem_promo_share_monthly,
+    "customers_inactive_high_balance": customers_inactive_high_balance,
+    "lineitem_benford_audit": lineitem_benford_audit,
+    "embedding_pca_top_component": embedding_pca_top_component,
+    "customers_order_count_hist": customers_order_count_hist,
+    "nation_trade_matrix": nation_trade_matrix,
 }
 
 ORACLES = {
@@ -7414,4 +8100,12 @@ ORACLES = {
     "doc_bottomk_per_lang": doc_bottomk_per_lang_sql(),
     "lineitem_qty_weighted_price_median": lineitem_qty_weighted_price_median_sql(),
     "events_value_mad_by_type": events_value_mad_by_type_sql(),
+    "part_skyline": part_skyline_sql(),
+    "parts_min_cost_supplier": parts_min_cost_supplier_sql(),
+    "lineitem_promo_share_monthly": lineitem_promo_share_monthly_sql(),
+    "customers_inactive_high_balance":
+        customers_inactive_high_balance_sql(),
+    "lineitem_benford_audit": lineitem_benford_audit_sql(),
+    "customers_order_count_hist": customers_order_count_hist_sql(),
+    "nation_trade_matrix": nation_trade_matrix_sql(),
 }
