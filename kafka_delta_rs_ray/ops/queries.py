@@ -7844,6 +7844,210 @@ def nation_trade_matrix_sql() -> str:
     """
 
 
+def lineitem_price_iqr_outliers(sf_dir: str):
+    """Tukey-fence outlier counts per return flag — the grouped
+    ROBUST-outlier shape (quality screens on heavy-tailed numeric
+    columns, where the z-score op's mean±k·σ is itself dragged by the
+    outliers it hunts): exact per-group p25/p75 from the histogram-
+    refinement quantile engine (no global sort), fences broadcast as
+    a #groups-sized dict, and one counting pass. The 1.5·IQR test is
+    kept integer-exact by scaling: 4c < 10·p25 − 6·p75 (below) /
+    4c > 10·p75 − 6·p25 (above), so the oracle compare is exact."""
+    from ray.data.aggregate import Sum
+
+    from .quantiles import quantiles_disc
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def add_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "cents": np.round(b["l_extendedprice"].to_numpy()
+                              * 100).astype(np.int64)})
+
+    cds = ds.map_batches(add_cents, batch_format="pandas",
+                         batch_size=None)
+    qt = quantiles_disc(cds, "cents", [0.25, 0.75],
+                        group_col="l_returnflag").to_pandas()
+    fences = {}
+    for flag, grp in qt.groupby("l_returnflag"):
+        p25 = int(grp.loc[grp["q"] == 0.25, "value"].iloc[0])
+        p75 = int(grp.loc[grp["q"] == 0.75, "value"].iloc[0])
+        fences[flag] = (p25, p75)
+
+    def count_out(b: pd.DataFrame, fences=fences) -> pd.DataFrame:
+        rows = []
+        for flag, grp in b.groupby("l_returnflag"):
+            p25, p75 = fences[flag]
+            c4 = 4 * grp["cents"].to_numpy()
+            n = int(((c4 < 10 * p25 - 6 * p75)
+                     | (c4 > 10 * p75 - 6 * p25)).sum())
+            rows.append({"l_returnflag": flag, "n_outliers": n})
+        return pd.DataFrame(rows)
+
+    out = (cds.map_batches(count_out, batch_format="pandas",
+                           batch_size=None)
+           .groupby("l_returnflag")
+           .aggregate(Sum("n_outliers", alias_name="n_outliers"))
+           .to_pandas())  # #groups rows
+    out["p25_cents"] = out["l_returnflag"].map(
+        lambda f: fences[f][0]).astype("int64")
+    out["p75_cents"] = out["l_returnflag"].map(
+        lambda f: fences[f][1]).astype("int64")
+    out["n_outliers"] = out["n_outliers"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["l_returnflag", "p25_cents", "p75_cents", "n_outliers"]],
+        preserve_index=False)
+
+
+def lineitem_price_iqr_outliers_sql() -> str:
+    return """
+        WITH c AS (SELECT l_returnflag,
+                          CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS cents
+                   FROM lineitem),
+        q AS (SELECT l_returnflag,
+                     CAST(quantile_disc(cents, 0.25) AS BIGINT) AS p25,
+                     CAST(quantile_disc(cents, 0.75) AS BIGINT) AS p75
+              FROM c GROUP BY l_returnflag)
+        SELECT c.l_returnflag, q.p25 AS p25_cents, q.p75 AS p75_cents,
+               CAST(sum(CASE WHEN 4 * cents < 10 * p25 - 6 * p75
+                               OR 4 * cents > 10 * p75 - 6 * p25
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM c JOIN q USING (l_returnflag)
+        GROUP BY c.l_returnflag, q.p25, q.p75
+    """
+
+
+_KHOP_SEEDS = (0, 1, 2, 3)
+_KHOP_MAX = 3
+
+
+def embedding_knn_khop(sf_dir: str):
+    """K-HOP NEIGHBORHOOD EXPANSION over the exact kNN graph —
+    distributed BFS (the iterative-frontier shape that pagerank's
+    fixed-round power iteration and connected components' min-label
+    propagation don't cover: per-round anti-join against the visited
+    set). Seeds are the fixed vec_ids {0..3}; output is how many
+    nodes are FIRST reached at each hop ≤ 3. Each round is two slim
+    bucketed cogroups — frontier ⋈ edges on query_id to expand, then
+    candidates ⋈ visited on vec_id to keep only unseen nodes — and
+    the visited set lives as a Dataset (never a driver set), so
+    rounds cost O(frontier + touched edges) wire at any corpus size.
+    The edge list is built once (similarity.knn_graph) and reused by
+    all rounds from the object store. EXACT oracle: a bounded
+    recursive CTE (hop < 3 over out-degree-5 edges caps the path
+    fan-out at |seeds| * 5^3) with min-hop-per-node dedup."""
+    import ray.data as rd
+
+    from .similarity import knn_graph
+
+    edges = (knn_graph(_read(sf_dir, "embeddings"), k=5)
+             .select_columns(["query_id", "neighbor_id"])
+             .materialize())
+    nb = n_key_groups(edges.count())
+
+    def edge_tag(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "k": b["query_id"].to_numpy(np.int64),
+            "nb": b["neighbor_id"].to_numpy(np.int64)})
+        out["bucket"] = hash_bucket(out["k"].to_numpy(np.int64), nb)
+        return out
+
+    edges_tagged = edges.map_batches(edge_tag, batch_format="pandas",
+                                     batch_size=None).materialize()
+
+    seeds = pd.DataFrame({"k": np.array(_KHOP_SEEDS, dtype=np.int64),
+                          "hop": np.int64(0)})
+    visited = rd.from_pandas(seeds).materialize()
+    frontier = visited
+    counts = {0: len(_KHOP_SEEDS)}
+
+    for hop in range(1, _KHOP_MAX + 1):
+        def fr_tag(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "k": b["k"].to_numpy(np.int64),
+                "nb": np.int64(-1)})
+            out["bucket"] = hash_bucket(out["k"].to_numpy(np.int64), nb)
+            return out
+
+        def expand(g: pd.DataFrame) -> pd.DataFrame:
+            marked = set(g.loc[g["nb"] < 0, "k"].tolist())
+            e = g[g["nb"] >= 0]
+            nbs = e.loc[e["k"].isin(marked), "nb"].unique()
+            out = pd.DataFrame({"k": nbs.astype(np.int64)})
+            out["bucket"] = hash_bucket(out["k"].to_numpy(np.int64), nb)
+            return out
+
+        cand = (frontier.map_batches(fr_tag, batch_format="pandas",
+                                     batch_size=None)
+                .union(edges_tagged)
+                .groupby("bucket").map_groups(expand,
+                                              batch_format="pandas"))
+
+        def vis_tag(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"k": b["k"].to_numpy(np.int64)})
+            out["bucket"] = hash_bucket(out["k"].to_numpy(np.int64), nb)
+            out["seen"] = np.int8(1)
+            return out
+
+        def fresh(g: pd.DataFrame, hop=hop) -> pd.DataFrame:
+            seen = set(g.loc[g["seen"] == 1, "k"].tolist())
+            new = g.loc[g["seen"] == 0, "k"].unique()
+            new = np.array([v for v in new if v not in seen],
+                           dtype=np.int64)
+            return pd.DataFrame({"k": new,
+                                 "hop": np.int64(hop)})
+
+        cand_tagged = cand.map_batches(
+            lambda b: b.assign(seen=np.int8(0)),
+            batch_format="pandas", batch_size=None)
+        new = (cand_tagged.union(
+            visited.map_batches(vis_tag, batch_format="pandas",
+                                batch_size=None))
+            .groupby("bucket").map_groups(fresh, batch_format="pandas")
+            .materialize())
+        n_new = int(new.count())
+        if n_new == 0:  # exhausted: no row for this hop (oracle too)
+            break
+        counts[hop] = n_new
+        visited = visited.union(new.select_columns(["k", "hop"])
+                                ).materialize()
+        frontier = new
+
+    return pa.table({
+        "hop": pa.array(sorted(counts), pa.int64()),
+        "n_nodes": pa.array([counts[h] for h in sorted(counts)],
+                            pa.int64())})
+
+
+def embedding_knn_khop_sql() -> str:
+    seeds = ", ".join(f"({s})" for s in _KHOP_SEEDS)
+    return f"""
+        WITH RECURSIVE s AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(a.embedding,
+                                                b.embedding), 6) AS sim
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE a.vec_id <> b.vec_id),
+        e AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC,
+                                                     neighbor_id) AS rk
+                  FROM s) WHERE rk <= 5),
+        walk(vec_id, hop) AS (
+            SELECT vec_id, 0 FROM (VALUES {seeds}) t(vec_id)
+          UNION ALL
+            SELECT e.neighbor_id, w.hop + 1
+            FROM walk w JOIN e ON e.query_id = w.vec_id
+            WHERE w.hop < {_KHOP_MAX}),
+        first AS (SELECT vec_id, min(hop) AS hop FROM walk
+                  GROUP BY vec_id)
+        SELECT hop, count(*) AS n_nodes FROM first GROUP BY hop
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
@@ -7990,6 +8194,8 @@ QUERIES = {
     "embedding_pca_top_component": embedding_pca_top_component,
     "customers_order_count_hist": customers_order_count_hist,
     "nation_trade_matrix": nation_trade_matrix,
+    "lineitem_price_iqr_outliers": lineitem_price_iqr_outliers,
+    "embedding_knn_khop": embedding_knn_khop,
 }
 
 ORACLES = {
@@ -8108,4 +8314,6 @@ ORACLES = {
     "lineitem_benford_audit": lineitem_benford_audit_sql(),
     "customers_order_count_hist": customers_order_count_hist_sql(),
     "nation_trade_matrix": nation_trade_matrix_sql(),
+    "lineitem_price_iqr_outliers": lineitem_price_iqr_outliers_sql(),
+    "embedding_knn_khop": embedding_knn_khop_sql(),
 }
