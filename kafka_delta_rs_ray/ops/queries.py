@@ -8048,6 +8048,560 @@ def embedding_knn_khop_sql() -> str:
     """
 
 
+def customers_rfm_segments(sf_dir: str):
+    """RFM customer segmentation — the marketing-analytics composite:
+    per-customer Recency (ns since last order, vs the global max order
+    date), Frequency (order count) and Monetary (cent spend) reduce
+    through ONE custkey-bucketed exchange; each dimension's exact
+    quartile thresholds come from the histogram-refinement quantile
+    engine over the |customers|-sized derived dataset (no sort); and
+    the segment code is the threshold-count form 1 + (v>t25) + (v>t50)
+    + (v>t75) per dimension — deterministic under ties, unlike
+    SQL's rank-based ntile(4), so the oracle compare is exact. Output:
+    customers per 3-digit RFM code (<= 64 rows at any corpus size)."""
+    from ray.data.aggregate import Sum
+
+    from .quantiles import quantiles_disc
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+    nb = n_key_groups(orders.count())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (pd.DataFrame({
+            "c": b["o_custkey"].to_numpy(np.int64),
+            "ts": b["o_orderdate"].astype("int64"),  # epoch ns
+            "m": np.round(b["o_totalprice"].to_numpy()
+                          * 100).astype(np.int64)})
+            .groupby("c", as_index=False)
+            .agg(ts=("ts", "max"), f=("ts", "size"), m=("m", "sum")))
+        out["f"] = out["f"].astype(np.int64)
+        out["bucket"] = hash_bucket(out["c"].to_numpy(np.int64), nb)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("c", as_index=False)
+                .agg(ts=("ts", "max"), f=("f", "sum"), m=("m", "sum")))
+
+    percust = (orders.map_batches(partial, batch_format="pandas",
+                                  batch_size=None)
+               .groupby("bucket").map_groups(fold, batch_format="pandas")
+               .materialize())  # |customers|-sized, reused 5x below
+
+    maxd = int(percust.max("ts"))
+
+    def add_r(b: pd.DataFrame, maxd=maxd) -> pd.DataFrame:
+        b = b.copy()
+        b["r"] = maxd - b["ts"].to_numpy(np.int64)
+        return b[["c", "r", "f", "m"]]
+
+    rfm = percust.map_batches(add_r, batch_format="pandas",
+                              batch_size=None).materialize()
+
+    th = {}
+    for col in ("r", "f", "m"):
+        t = quantiles_disc(rfm, col, [0.25, 0.5, 0.75]).to_pandas()
+        th[col] = tuple(int(v) for v in
+                        t.sort_values("q")["value"].tolist())
+
+    def segment(b: pd.DataFrame, th=th) -> pd.DataFrame:
+        code = np.zeros(len(b), dtype=np.int64)
+        for col, weight in (("r", 100), ("f", 10), ("m", 1)):
+            v = b[col].to_numpy(np.int64)
+            q = (1 + (v > th[col][0]).astype(np.int64)
+                 + (v > th[col][1]) + (v > th[col][2]))
+            code += weight * q
+        vc = pd.Series(code).value_counts()
+        return pd.DataFrame({"segment": vc.index.to_numpy(np.int64),
+                             "n_customers": vc.to_numpy(np.int64)})
+
+    out = (rfm.map_batches(segment, batch_format="pandas",
+                           batch_size=None)
+           .groupby("segment")
+           .aggregate(Sum("n_customers", alias_name="n_customers")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_customers"] = b["n_customers"].astype("int64")
+        return b
+
+    return out.map_batches(finish, batch_format="pandas",
+                           batch_size=None)
+
+
+def customers_rfm_segments_sql() -> str:
+    return """
+        WITH pc AS (SELECT o_custkey AS c,
+                           max(epoch_ns(o_orderdate)) AS ts,
+                           CAST(count(*) AS BIGINT) AS f,
+                           CAST(sum(CAST(round(o_totalprice * 100)
+                                         AS BIGINT)) AS BIGINT) AS m
+                    FROM orders GROUP BY 1),
+        g AS (SELECT max(ts) AS maxd FROM pc),
+        rfm AS (SELECT c, maxd - ts AS r, f, m FROM pc, g),
+        t AS (SELECT quantile_disc(r, 0.25) AS r25,
+                     quantile_disc(r, 0.5) AS r50,
+                     quantile_disc(r, 0.75) AS r75,
+                     quantile_disc(f, 0.25) AS f25,
+                     quantile_disc(f, 0.5) AS f50,
+                     quantile_disc(f, 0.75) AS f75,
+                     quantile_disc(m, 0.25) AS m25,
+                     quantile_disc(m, 0.5) AS m50,
+                     quantile_disc(m, 0.75) AS m75
+              FROM rfm)
+        SELECT 100 * (1 + CAST(r > r25 AS BIGINT)
+                        + CAST(r > r50 AS BIGINT)
+                        + CAST(r > r75 AS BIGINT))
+             + 10 * (1 + CAST(f > f25 AS BIGINT)
+                       + CAST(f > f50 AS BIGINT)
+                       + CAST(f > f75 AS BIGINT))
+             + (1 + CAST(m > m25 AS BIGINT)
+                  + CAST(m > m50 AS BIGINT)
+                  + CAST(m > m75 AS BIGINT)) AS segment,
+               count(*) AS n_customers
+        FROM rfm, t GROUP BY 1
+    """
+
+
+_KS_TYPE_A, _KS_TYPE_B = "click", "purchase"
+_KS_BINS = 4096
+
+
+def events_ks_two_sample(sf_dir: str):
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two event types — the drift-detection /
+    distribution-comparison primitive (train-vs-eval skew, A/B
+    sanity). The KS sup is attained at sample points, so it reduces
+    to order statistics: values quantize to exact milli-units, one
+    pass takes (min, max, n_a, n_b), per-batch per-RANGE-BIN
+    (distinct v, count_a, count_b) partials feed ONE bin-keyed
+    exchange, the driver turns the 4096-row bin histogram into prefix
+    offsets, and each bin task computes its local max via the
+    cross-multiplied integer form |cum_a·n_b − cum_b·n_a| (no float
+    ECDF division anywhere — ties and precision cannot flip the max).
+    Driver state: 4096 bins; wire: one slim exchange of within-batch-
+    distinct value partials. Output is the scaled statistic plus both
+    sample sizes (callers divide by n_a·n_b for D)."""
+    import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"],
+               filter=pads.field("event_type").isin(
+                   [_KS_TYPE_A, _KS_TYPE_B]))
+
+    def quantize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": np.round(b["value"].to_numpy() * 1000).astype(np.int64),
+            "a": (b["event_type"].to_numpy() == _KS_TYPE_A
+                  ).astype(np.int64),
+            "b": (b["event_type"].to_numpy() == _KS_TYPE_B
+                  ).astype(np.int64)})
+
+    q = ds.map_batches(quantize, batch_format="pandas",
+                       batch_size=None).materialize()
+    g = q.aggregate(Min("v"), Max("v"), Sum("a"), Sum("b"))
+    lo, hi = int(g["min(v)"]), int(g["max(v)"])
+    na, nb = int(g["sum(a)"]), int(g["sum(b)"])
+    width = max(1, (hi - lo + _KS_BINS) // _KS_BINS)
+
+    def binned(b: pd.DataFrame, lo=lo, width=width) -> pd.DataFrame:
+        out = (b.assign(bin=(b["v"].to_numpy() - lo) // width)
+               .groupby(["bin", "v"], as_index=False)[["a", "b"]].sum())
+        return out
+
+    parts = (q.map_batches(binned, batch_format="pandas",
+                           batch_size=None)
+             .materialize())
+
+    # bin totals -> exclusive prefix offsets (4096 rows on the driver)
+    tot = (parts.groupby("bin")
+           .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+           .to_pandas().sort_values("bin"))
+    tot["off_a"] = tot["a"].cumsum().shift(1, fill_value=0).astype(
+        np.int64)
+    tot["off_b"] = tot["b"].cumsum().shift(1, fill_value=0).astype(
+        np.int64)
+    offs = {int(r["bin"]): (int(r["off_a"]), int(r["off_b"]))
+            for _, r in tot.iterrows()}
+
+    def bin_max(grp: pd.DataFrame, offs=offs, na=na, nb=nb
+                ) -> pd.DataFrame:
+        oa, ob = offs[int(grp["bin"].iloc[0])]
+        gg = (grp.groupby("v", as_index=False)[["a", "b"]].sum()
+              .sort_values("v"))
+        cuma = oa + gg["a"].cumsum().to_numpy()
+        cumb = ob + gg["b"].cumsum().to_numpy()
+        # cum*n overflows int64 past ~3e9 rows per sample; scan in
+        # float64 (exact candidate ORDER to 1 ulp) and re-check every
+        # near-max candidate with arbitrary-precision Python ints
+        fm = np.abs(cuma.astype(np.float64) * nb
+                    - cumb.astype(np.float64) * na)
+        slack = float(max(na, nb)) * float(na + nb) * 4e-16 + 1.0
+        cand = np.nonzero(fm >= fm.max() - slack)[0]
+        m = max(abs(int(cuma[i]) * nb - int(cumb[i]) * na)
+                for i in cand)
+        return pd.DataFrame({"m": [str(m)]})  # int64-safe transport
+
+    per_bin = (parts.groupby("bin")
+               .map_groups(bin_max, batch_format="pandas")
+               .to_pandas())  # <= 4096 rows
+    ks = max(int(s) for s in per_bin["m"])
+    return pa.table({"ks_scaled": pa.array([ks], pa.int64()),
+                     "na": pa.array([na], pa.int64()),
+                     "nb": pa.array([nb], pa.int64())})
+
+
+def events_ks_two_sample_sql() -> str:
+    return f"""
+        WITH x AS (SELECT CAST(round(value * 1000) AS BIGINT) AS v,
+                          CASE WHEN event_type = '{_KS_TYPE_A}'
+                               THEN 1 ELSE 0 END AS a,
+                          CASE WHEN event_type = '{_KS_TYPE_B}'
+                               THEN 1 ELSE 0 END AS b
+                   FROM events
+                   WHERE event_type IN ('{_KS_TYPE_A}', '{_KS_TYPE_B}')),
+        n AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+                     CAST(sum(b) AS BIGINT) AS nb FROM x),
+        c AS (SELECT v, sum(a) AS ca, sum(b) AS cb FROM x GROUP BY v),
+        e AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+                     sum(cb) OVER (ORDER BY v) AS cumb FROM c)
+        SELECT CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT)
+                   AS ks_scaled,
+               na, nb
+        FROM e, n GROUP BY na, nb
+    """
+
+
+def events_mannwhitney_u(sf_dir: str):
+    """EXACT Mann–Whitney U (rank-sum) between the same two event-type
+    samples as the KS op — the nonparametric location test (does one
+    distribution sit above the other), rank-based where KS is
+    sup-based. Average-rank tie handling stays integer-exact via 2×
+    scaling: a tie group at value v with counts (ca, cb) and cum_before
+    rows below it contributes ca·(2·cum_before + ca + cb + 1) to 2·R_a,
+    so 2U_a = 2·na·nb + na·(na+1) − 2·R_a needs no halves or floats.
+    Same distributed plan as events_ks_two_sample: per-batch per-
+    range-bin (v, ca, cb) partials, ONE bin-keyed exchange, driver
+    prefix offsets over ≤4096 bins, per-bin Python-int partial sums
+    (2·R_a terms overflow int64 past ~3e9 rows) transported as
+    strings. Exact window-cumulative oracle."""
+    import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"],
+               filter=pads.field("event_type").isin(
+                   [_KS_TYPE_A, _KS_TYPE_B]))
+
+    def quantize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": np.round(b["value"].to_numpy() * 1000).astype(np.int64),
+            "a": (b["event_type"].to_numpy() == _KS_TYPE_A
+                  ).astype(np.int64),
+            "b": (b["event_type"].to_numpy() == _KS_TYPE_B
+                  ).astype(np.int64)})
+
+    q = ds.map_batches(quantize, batch_format="pandas",
+                       batch_size=None).materialize()
+    g = q.aggregate(Min("v"), Max("v"), Sum("a"), Sum("b"))
+    lo, hi = int(g["min(v)"]), int(g["max(v)"])
+    na, nb = int(g["sum(a)"]), int(g["sum(b)"])
+    width = max(1, (hi - lo + _KS_BINS) // _KS_BINS)
+
+    def binned(b: pd.DataFrame, lo=lo, width=width) -> pd.DataFrame:
+        return (b.assign(bin=(b["v"].to_numpy() - lo) // width)
+                .groupby(["bin", "v"], as_index=False)[["a", "b"]].sum())
+
+    parts = (q.map_batches(binned, batch_format="pandas",
+                           batch_size=None)
+             .materialize())
+    tot = (parts.groupby("bin")
+           .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+           .to_pandas().sort_values("bin"))
+    both = (tot["a"] + tot["b"]).cumsum().shift(1, fill_value=0)
+    offs = {int(bn): int(o) for bn, o in zip(tot["bin"], both)}
+
+    def bin_r2(grp: pd.DataFrame, offs=offs) -> pd.DataFrame:
+        off = offs[int(grp["bin"].iloc[0])]
+        gg = (grp.groupby("v", as_index=False)[["a", "b"]].sum()
+              .sort_values("v"))
+        ca = gg["a"].to_numpy()
+        cb = gg["b"].to_numpy()
+        cumbef = off + np.concatenate(
+            ([0], np.cumsum(ca + cb)[:-1]))
+        # Python-int fold: terms overflow int64 at corpus scale
+        r2 = sum(int(c) * (2 * int(p) + int(c) + int(d) + 1)
+                 for c, d, p in zip(ca, cb, cumbef))
+        return pd.DataFrame({"r2": [str(r2)]})
+
+    per_bin = (parts.groupby("bin")
+               .map_groups(bin_r2, batch_format="pandas")
+               .to_pandas())  # <= 4096 rows
+    r2_a = sum(int(s) for s in per_bin["r2"])
+    u2_a = 2 * na * nb + na * (na + 1) - r2_a
+    return pa.table({"u2_a": pa.array([u2_a], pa.int64()),
+                     "na": pa.array([na], pa.int64()),
+                     "nb": pa.array([nb], pa.int64())})
+
+
+def events_mannwhitney_u_sql() -> str:
+    return f"""
+        WITH x AS (SELECT CAST(round(value * 1000) AS BIGINT) AS v,
+                          CASE WHEN event_type = '{_KS_TYPE_A}'
+                               THEN 1 ELSE 0 END AS a,
+                          CASE WHEN event_type = '{_KS_TYPE_B}'
+                               THEN 1 ELSE 0 END AS b
+                   FROM events
+                   WHERE event_type IN ('{_KS_TYPE_A}', '{_KS_TYPE_B}')),
+        n AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+                     CAST(sum(b) AS BIGINT) AS nb FROM x),
+        c AS (SELECT v, sum(a) AS ca, sum(b) AS cb FROM x GROUP BY v),
+        e AS (SELECT ca, cb,
+                     coalesce(sum(ca + cb) OVER (
+                         ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cumbef
+              FROM c)
+        SELECT CAST(2 * na * nb + na * (na + 1)
+                    - sum(ca * (2 * cumbef + ca + cb + 1))
+                    AS BIGINT) AS u2_a,
+               na, nb
+        FROM e, n GROUP BY na, nb
+    """
+
+
+def lineitem_qty_price_spearman(sf_dir: str):
+    """EXACT Spearman rank correlation (quantity vs price cents) —
+    the monotonic-association test, i.e. Pearson on GLOBAL average
+    ranks, where the new distributed primitive is tie-aware corpus-
+    wide ranking without a global sort. Ranks stay integer via 2×
+    scaling: a value v with global count c and cum_before rows below
+    it has 2·rank_avg = 2·cum_before + c + 1 (scaling both rank
+    vectors by 2 leaves Pearson unchanged). Plan: rows collapse to
+    per-batch distinct (x, y, count) partials (never larger than the
+    input, usually far smaller); the x side (50 distinct quantities)
+    reduces to a driver map; the y side (price cents) flows through
+    the KS-style range-bin exchange — bin totals give ≤4096 driver
+    prefix offsets, each bin group ranks its own distinct values and
+    folds the five moment sums over (r2x, r2y) in Python ints
+    (products overflow int64 at corpus scale; string transport).
+    Self-check: Σ2·rank = n(n+1) exactly on both axes — tie handling
+    cannot drift silently. Output: one float from exact integer
+    moments, bit-identical to the oracle's HUGEINT arithmetic."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        out = (pd.DataFrame({
+            "x": b["l_quantity"].to_numpy().astype(np.int64),
+            "y": np.round(b["l_extendedprice"].to_numpy()
+                          * 100).astype(np.int64)})
+            .groupby(["x", "y"], as_index=False)
+            .size().rename(columns={"size": "c"}))
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    q = ds.map_batches(pairs, batch_format="pandas",
+                       batch_size=None).materialize()
+
+    # x side: <= 50 distinct quantities -> exact driver rank map
+    xm = (q.groupby("x").aggregate(Sum("c", alias_name="c"))
+          .to_pandas().sort_values("x"))
+    xc = xm["c"].to_numpy(np.int64)
+    xbefore = np.concatenate(([0], np.cumsum(xc)[:-1]))
+    r2x = {int(v): int(2 * b + c + 1)
+           for v, b, c in zip(xm["x"], xbefore, xc)}
+    n = int(xc.sum())
+    sx = sum(int(c) * r for c, r in zip(xc, (r2x[int(v)]
+                                             for v in xm["x"])))
+    sxx = sum(int(c) * r * r for c, r in zip(xc, (r2x[int(v)]
+                                                  for v in xm["x"])))
+    assert sx == n * (n + 1), "x rank-total identity violated"
+
+    g = q.aggregate(Min("y"), Max("y"))
+    lo, hi = int(g["min(y)"]), int(g["max(y)"])
+    # 256 bins (vs the KS ops' 4096): price cents populate EVERY bin,
+    # and per-group task overhead dominates past ~1k groups; 256
+    # keeps each group's distinct-value slice small while the driver
+    # offset table stays trivial
+    nbins = 256
+    width = max(1, (hi - lo + nbins) // nbins)
+
+    def binned(b: pd.DataFrame, lo=lo, width=width) -> pd.DataFrame:
+        return b.assign(bin=(b["y"].to_numpy() - lo) // width)
+
+    parts = (q.map_batches(binned, batch_format="pandas",
+                           batch_size=None).materialize())
+    tot = (parts.groupby("bin").aggregate(Sum("c", alias_name="c"))
+           .to_pandas().sort_values("bin"))
+    offs = {int(bn): int(o) for bn, o in zip(
+        tot["bin"], tot["c"].cumsum().shift(1, fill_value=0))}
+
+    # vectorized int64 fold is exact while the worst-case partial
+    # (<= 4n^3 after the c*rx*ry products) fits int64; past ~1.3e6
+    # rows each bin falls back to arbitrary-precision Python ints
+    int64_safe = 4 * n ** 3 < 2 ** 62
+
+    def bin_moments(grp: pd.DataFrame, offs=offs, r2x=r2x,
+                    fast=int64_safe) -> pd.DataFrame:
+        off = offs[int(grp["bin"].iloc[0])]
+        yc = (grp.groupby("y", as_index=False)["c"].sum()
+              .sort_values("y"))
+        cnt = yc["c"].to_numpy(np.int64)
+        before = off + np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        r2v = 2 * before + cnt + 1
+        r2y = {int(v): int(r) for v, r in zip(yc["y"], r2v)}
+        if fast:
+            sy = int((cnt * r2v).sum())
+            syy = int((cnt * r2v * r2v).sum())
+            gc = grp["c"].to_numpy(np.int64)
+            grx = grp["x"].map(r2x).to_numpy(np.int64)
+            gry = grp["y"].map(r2y).to_numpy(np.int64)
+            sxy = int((gc * grx * gry).sum())
+        else:
+            sy = syy = sxy = 0
+            for v, c in zip(yc["y"], cnt):
+                r = r2y[int(v)]
+                sy += int(c) * r
+                syy += int(c) * r * r
+            for x, y, c in zip(grp["x"], grp["y"], grp["c"]):
+                sxy += int(c) * r2x[int(x)] * r2y[int(y)]
+        return pd.DataFrame({"sy": [str(sy)], "syy": [str(syy)],
+                             "sxy": [str(sxy)]})
+
+    per_bin = (parts.groupby("bin")
+               .map_groups(bin_moments, batch_format="pandas")
+               .to_pandas())  # <= 4096 rows
+    sy = sum(int(s) for s in per_bin["sy"])
+    syy = sum(int(s) for s in per_bin["syy"])
+    sxy = sum(int(s) for s in per_bin["sxy"])
+    assert sy == n * (n + 1), "y rank-total identity violated"
+    num = n * sxy - sx * sy
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    rho = float(num) / math.sqrt(float(vx) * float(vy))
+    return pa.table({"spearman_qty_price": pa.array([round(rho, 9)],
+                                                    pa.float64())})
+
+
+def lineitem_qty_price_spearman_sql() -> str:
+    return """
+        WITH t AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                          CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS y
+                   FROM lineitem),
+        xr AS (SELECT x, 2 * coalesce(sum(c) OVER (
+                          ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) + c + 1 AS r2x
+               FROM (SELECT x, count(*) AS c FROM t GROUP BY 1)),
+        yr AS (SELECT y, 2 * coalesce(sum(c) OVER (
+                          ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) + c + 1 AS r2y
+               FROM (SELECT y, count(*) AS c FROM t GROUP BY 1)),
+        j AS (SELECT CAST(r2x AS HUGEINT) AS rx,
+                     CAST(r2y AS HUGEINT) AS ry
+              FROM t JOIN xr USING (x) JOIN yr USING (y)),
+        s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(rx) AS sx,
+                     sum(ry) AS sy, sum(rx*rx) AS sxx,
+                     sum(ry*ry) AS syy, sum(rx*ry) AS sxy
+              FROM j)
+        SELECT round(CAST(n*sxy - sx*sy AS DOUBLE)
+                     / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE)), 9)
+               AS spearman_qty_price
+        FROM s
+    """
+
+
+def events_dau_jaccard_daily(sf_dir: str):
+    """Day-over-day active-user-set Jaccard — the audience-overlap /
+    churn-stickiness primitive (how much of today's DAU returns
+    tomorrow), computed WITHOUT the day×day self-join the naive plan
+    needs: |D_d ∩ D_{d+1}| decomposes per USER (a user contributes 1
+    to day d's intersection iff both d and d+1 appear in their active-
+    day set), so per-batch distinct (user, day) partials flow through
+    ONE user-bucketed exchange, each group emits O(#active-days)
+    per-day (dau, both) partials from a vectorized shift-compare, and
+    the final day-keyed reduce is O(#days). Every output column is an
+    exact integer (union by inclusion-exclusion); callers divide
+    n_both/n_either for the Jaccard. Wire cost: distinct (user, day)
+    pairs once — the self-join plan ships the same pairs TWICE and
+    multiplies them."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = n_key_groups(ds.count())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(dtype=np.int64),
+            "day": b["ts"].dt.floor("D")}).drop_duplicates()
+        out["bucket"] = hash_bucket(
+            out["user_id"].to_numpy(dtype=np.int64), nb)
+        return out
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        dd = (g[["user_id", "day"]].drop_duplicates()
+              .sort_values(["user_id", "day"]))
+        u = dd["user_id"].to_numpy()
+        d = dd["day"].to_numpy()
+        nxt = (u[1:] == u[:-1]) & (d[1:] == d[:-1] + np.timedelta64(
+            1, "D"))
+        dau = (dd.groupby("day", as_index=False).size()
+               .rename(columns={"size": "dau"}))
+        dau["both"] = 0
+        if nxt.any():
+            both = (pd.Series(d[:-1][nxt]).value_counts()
+                    .rename_axis("day").reset_index(name="both"))
+            dau = (dau.merge(both, on="day", how="left",
+                             suffixes=("_z", ""))
+                   .drop(columns=["both_z"]))
+            dau["both"] = dau["both"].fillna(0)
+        dau["dau"] = dau["dau"].astype(np.int64)
+        dau["both"] = dau["both"].astype(np.int64)
+        return dau
+
+    from ray.data.aggregate import Sum
+
+    daily = (ds.map_batches(partial, batch_format="pandas",
+                            batch_size=None)
+             .groupby("bucket").map_groups(per_user,
+                                           batch_format="pandas")
+             .groupby("day")
+             .aggregate(Sum("dau", alias_name="dau"),
+                        Sum("both", alias_name="n_both"))
+             .to_pandas())  # O(#days) rows — driver-safe
+    daily = daily.sort_values("day").reset_index(drop=True)
+    nxt_dau = daily.set_index("day")["dau"]
+    daily["dau_next"] = (daily["day"] + pd.Timedelta(days=1)).map(
+        nxt_dau)
+    daily = daily[daily["dau_next"].notna()].copy()
+    daily["dau_next"] = daily["dau_next"].astype(np.int64)
+    daily["dau"] = daily["dau"].astype(np.int64)
+    daily["n_both"] = daily["n_both"].astype(np.int64)
+    daily["n_either"] = (daily["dau"] + daily["dau_next"]
+                         - daily["n_both"]).astype(np.int64)
+    return pa.Table.from_pandas(
+        daily[["day", "dau", "dau_next", "n_both", "n_either"]],
+        preserve_index=False)
+
+
+def events_dau_jaccard_daily_sql() -> str:
+    return """
+        WITH p AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                   FROM events),
+        d AS (SELECT day, count(*) AS dau FROM p GROUP BY 1),
+        i AS (SELECT a.day AS day, count(*) AS n_both
+              FROM p a JOIN p b ON b.user_id = a.user_id
+                               AND b.day = a.day + INTERVAL 1 DAY
+              GROUP BY 1)
+        SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+               CAST(d2.dau AS BIGINT) AS dau_next,
+               CAST(coalesce(i.n_both, 0) AS BIGINT) AS n_both,
+               CAST(d.dau + d2.dau - coalesce(i.n_both, 0) AS BIGINT)
+                   AS n_either
+        FROM d JOIN d d2 ON d2.day = d.day + INTERVAL 1 DAY
+        LEFT JOIN i ON i.day = d.day
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
@@ -8196,6 +8750,11 @@ QUERIES = {
     "nation_trade_matrix": nation_trade_matrix,
     "lineitem_price_iqr_outliers": lineitem_price_iqr_outliers,
     "embedding_knn_khop": embedding_knn_khop,
+    "customers_rfm_segments": customers_rfm_segments,
+    "events_ks_two_sample": events_ks_two_sample,
+    "events_mannwhitney_u": events_mannwhitney_u,
+    "events_dau_jaccard_daily": events_dau_jaccard_daily,
+    "lineitem_qty_price_spearman": lineitem_qty_price_spearman,
 }
 
 ORACLES = {
@@ -8316,4 +8875,9 @@ ORACLES = {
     "nation_trade_matrix": nation_trade_matrix_sql(),
     "lineitem_price_iqr_outliers": lineitem_price_iqr_outliers_sql(),
     "embedding_knn_khop": embedding_knn_khop_sql(),
+    "customers_rfm_segments": customers_rfm_segments_sql(),
+    "events_ks_two_sample": events_ks_two_sample_sql(),
+    "events_mannwhitney_u": events_mannwhitney_u_sql(),
+    "events_dau_jaccard_daily": events_dau_jaccard_daily_sql(),
+    "lineitem_qty_price_spearman": lineitem_qty_price_spearman_sql(),
 }
