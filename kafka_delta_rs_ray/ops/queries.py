@@ -8602,6 +8602,265 @@ def events_dau_jaccard_daily_sql() -> str:
     """
 
 
+def customers_revenue_gini(sf_dir: str):
+    """EXACT Gini coefficient of per-customer lifetime revenue — the
+    concentration/inequality audit (how skewed is spend across the
+    customer base), built on the same no-global-sort rank machinery as
+    Spearman: with revenues sorted ascending, Σᵢ Σⱼ |xᵢ−xⱼ| =
+    2·Σᵢ(2i−n−1)xᵢ, a sum that is invariant to tie ordering, so
+    G = Σ(2i−n−1)xᵢ / (n·Σx) needs only each distinct value's global
+    cum-count-below. Plan: per-customer cents reduce through ONE
+    custkey-bucketed exchange; value-count partials flow through the
+    256-range-bin exchange; driver prefix offsets; each bin folds
+    Σ v·c·(2b+c−n) and Σ v·c (vectorized int64 while the worst-case
+    partial fits, arbitrary-precision Python ints beyond — string
+    transport). Self-check: Σ c·(2b+c+1) = n(n+1) exactly. Output:
+    one double from exact integer numerator/denominator — bit-
+    identical to the oracle's HUGEINT row_number arithmetic."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    nb = n_key_groups(orders.count())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (pd.DataFrame({
+            "k": b["o_custkey"].to_numpy(np.int64),
+            "x": np.round(b["o_totalprice"].to_numpy()
+                          * 100).astype(np.int64)})
+            .groupby("k", as_index=False)["x"].sum())
+        out["bucket"] = hash_bucket(out["k"].to_numpy(np.int64), nb)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("k", as_index=False)["x"].sum()
+        # collapse straight to (value, count) partials: the rank
+        # machinery never needs customer identity again
+        vc = out.groupby("x", as_index=False).size()
+        return pd.DataFrame({"x": vc["x"].to_numpy(np.int64),
+                             "c": vc["size"].to_numpy(np.int64)})
+
+    q = (orders.map_batches(partial, batch_format="pandas",
+                            batch_size=None)
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .materialize())
+
+    g = q.aggregate(Min("x"), Max("x"), Sum("c"))
+    lo, hi, n = int(g["min(x)"]), int(g["max(x)"]), int(g["sum(c)"])
+    nbins = 256
+    width = max(1, (hi - lo + nbins) // nbins)
+
+    def binned(b: pd.DataFrame, lo=lo, width=width) -> pd.DataFrame:
+        return b.assign(bin=(b["x"].to_numpy() - lo) // width)
+
+    parts = (q.map_batches(binned, batch_format="pandas",
+                           batch_size=None).materialize())
+    tot = (parts.groupby("bin").aggregate(Sum("c", alias_name="c"))
+           .to_pandas().sort_values("bin"))
+    offs = {int(bn): int(o) for bn, o in zip(
+        tot["bin"], tot["c"].cumsum().shift(1, fill_value=0))}
+
+    # worst-case |partial| <= 2n * sum(c*v) <= 2 * n^2 * hi
+    int64_safe = 4 * n * n * hi < 2 ** 62
+
+    def bin_fold(grp: pd.DataFrame, offs=offs, n=n,
+                 fast=int64_safe) -> pd.DataFrame:
+        off = offs[int(grp["bin"].iloc[0])]
+        vc = (grp.groupby("x", as_index=False)["c"].sum()
+              .sort_values("x"))
+        val = vc["x"].to_numpy(np.int64)
+        cnt = vc["c"].to_numpy(np.int64)
+        before = off + np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        if fast:
+            num = int((val * cnt * (2 * before + cnt - n)).sum())
+            sx = int((val * cnt).sum())
+            ident = int((cnt * (2 * before + cnt + 1)).sum())
+        else:
+            num = sx = ident = 0
+            for v, c, b in zip(val, cnt, before):
+                v, c, b = int(v), int(c), int(b)
+                num += v * c * (2 * b + c - n)
+                sx += v * c
+                ident += c * (2 * b + c + 1)
+        return pd.DataFrame({"num": [str(num)], "sx": [str(sx)],
+                             "ident": [str(ident)]})
+
+    per_bin = (parts.groupby("bin")
+               .map_groups(bin_fold, batch_format="pandas")
+               .to_pandas())  # <= 256 rows
+    num = sum(int(s) for s in per_bin["num"])
+    sx = sum(int(s) for s in per_bin["sx"])
+    ident = sum(int(s) for s in per_bin["ident"])
+    assert ident == n * (n + 1), "rank-total identity violated"
+    gini = float(num) / float(n * sx)
+    return pa.table({"gini_revenue": pa.array([round(gini, 9)],
+                                              pa.float64())})
+
+
+def customers_revenue_gini_sql() -> str:
+    return """
+        WITH pc AS (SELECT o_custkey,
+                           CAST(sum(CAST(round(o_totalprice * 100)
+                                         AS BIGINT)) AS HUGEINT) AS x
+                    FROM orders GROUP BY 1),
+        r AS (SELECT x,
+                     CAST(row_number() OVER (ORDER BY x) AS HUGEINT)
+                         AS i,
+                     CAST(count(*) OVER () AS HUGEINT) AS n
+              FROM pc)
+        SELECT round(CAST(sum((2*i - n - 1) * x) AS DOUBLE)
+                     / CAST(max(n) * sum(x) AS DOUBLE), 9)
+               AS gini_revenue
+        FROM r
+    """
+
+
+def events_type_dow_chisq(sf_dir: str):
+    """Pearson chi-square independence test between event_type and
+    day-of-week — the seasonality screen ("does the event mix shift by
+    weekday?"). The contingency table is |types|×7 at ANY corpus
+    scale, so per-batch (type, dow) count partials reduce through one
+    tiny groupby and the statistic folds on the driver over ≤ a few
+    dozen cells in exact rational arithmetic (Fraction of the
+    integer form Σ (O·N − R·C)² / (N·R·C), INCLUDING zero-observed
+    cells, which contribute R·C/N and which a naive join-only plan
+    silently drops). dow uses DuckDB's Sunday=0 convention. Output:
+    chi2 (exact value rounded to 6dp — float64 noise is ~1e-11 at
+    this magnitude) + degrees of freedom."""
+    from fractions import Fraction
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = (pd.DataFrame({
+            "event_type": b["event_type"],
+            "dow": ((b["ts"].dt.dayofweek + 1) % 7).astype(np.int64)})
+            .groupby(["event_type", "dow"]).size())
+        out = vc.reset_index().rename(columns={0: "o"})
+        out["o"] = out["o"].astype(np.int64)
+        return out
+
+    from ray.data.aggregate import Sum
+
+    obs = (ds.map_batches(partial, batch_format="pandas",
+                          batch_size=None)
+           .groupby(["event_type", "dow"])
+           .aggregate(Sum("o", alias_name="o"))
+           .to_pandas())  # <= |types| * 7 rows — driver-safe
+    pivot = (obs.pivot_table(index="event_type", columns="dow",
+                             values="o", fill_value=0, aggfunc="sum")
+             .astype(np.int64))
+    o = pivot.to_numpy()
+    row = o.sum(axis=1)
+    col = o.sum(axis=0)
+    n = int(o.sum())
+    chi2 = Fraction(0)
+    for i in range(o.shape[0]):
+        for j in range(o.shape[1]):
+            e_num = int(row[i]) * int(col[j])  # E = e_num / n
+            d = int(o[i, j]) * n - e_num
+            chi2 += Fraction(d * d, n * e_num)
+    dof = (o.shape[0] - 1) * (o.shape[1] - 1)
+    return pa.table({
+        "chi2": pa.array([round(float(chi2), 6)], pa.float64()),
+        "dof": pa.array([dof], pa.int64())})
+
+
+def events_type_dow_chisq_sql() -> str:
+    return """
+        WITH t AS (SELECT event_type, dayofweek(ts) AS dow,
+                          CAST(count(*) AS HUGEINT) AS o
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, sum(o) AS ro FROM t GROUP BY 1),
+        c AS (SELECT dow, sum(o) AS co FROM t GROUP BY 1),
+        g AS (SELECT sum(o) AS n FROM t),
+        cells AS (SELECT r.event_type, c.dow, r.ro, c.co,
+                         coalesce(t.o, 0) AS o
+                  FROM r CROSS JOIN c
+                  LEFT JOIN t USING (event_type, dow))
+        SELECT round(sum(CAST((o * n - ro * co) AS DOUBLE)
+                         * (o * n - ro * co)
+                         / (CAST(n AS DOUBLE) * ro * co)), 6) AS chi2,
+               CAST(((SELECT count(*) FROM r) - 1)
+                    * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof
+        FROM cells, g
+    """
+
+
+def events_daily_count_acf(sf_dir: str):
+    """Autocorrelation function (lags 1-7) of the calendar-gap-filled
+    daily event-count series — the weekly-seasonality detector a
+    forecast pipeline runs before model choice. The distributed part
+    is the per-day count reduce (one O(#days) groupby over per-batch
+    partials); the series itself is calendar-bounded (#days rows for
+    ANY corpus — a century is ~37k) so the lagged products fold on the
+    driver in exact Python ints: multiplying the mean-centered form by
+    T² gives acf_k = (T²·Σxₜxₜ₋ₖ − T·S·(tailₖ+headₖ) + (T−k)·S²)
+    / (T²·Σx² − T·S²), all integers, so the final double division is
+    bit-identical to the oracle's HUGEINT window arithmetic."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["ts"].dt.floor("D").value_counts()
+        return pd.DataFrame({"day": vc.index,
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    daily = (ds.map_batches(partial, batch_format="pandas",
+                            batch_size=None)
+             .groupby("day").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())  # O(#days) rows — driver-safe
+    spine = pd.DataFrame({"day": pd.date_range(
+        daily["day"].min(), daily["day"].max(), freq="D")})
+    x = (spine.merge(daily, on="day", how="left")["n"]
+         .fillna(0).astype(np.int64).to_numpy())
+    t_n = len(x)
+    s1 = int(x.sum())
+    s2 = sum(int(v) * int(v) for v in x)
+    den = t_n * t_n * s2 - t_n * s1 * s1
+    lags, acfs = [], []
+    for k in range(1, 8):
+        if k >= t_n or den == 0:
+            break
+        sxy = sum(int(a) * int(b) for a, b in zip(x[k:], x[:-k]))
+        tail = int(x[k:].sum())
+        head = int(x[:-k].sum())
+        num = (t_n * t_n * sxy - t_n * s1 * (tail + head)
+               + (t_n - k) * s1 * s1)
+        lags.append(k)
+        acfs.append(round(float(num) / float(den), 9))
+    return pa.table({"lag": pa.array(lags, pa.int64()),
+                     "acf": pa.array(acfs, pa.float64())})
+
+
+def events_daily_count_acf_sql() -> str:
+    return """
+        WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+                   FROM events GROUP BY 1),
+        bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+        spine AS (SELECT unnest(generate_series(lo, hi,
+                      INTERVAL 1 DAY)) AS day FROM bounds),
+        s AS (SELECT CAST(coalesce(d.n, 0) AS HUGEINT) AS x,
+                     row_number() OVER (ORDER BY sp.day) AS t
+              FROM spine sp LEFT JOIN d ON d.day = sp.day),
+        g AS (SELECT CAST(count(*) AS HUGEINT) AS tt,
+                     sum(x) AS s1, sum(x * x) AS s2
+              FROM s),
+        k AS (SELECT unnest(generate_series(1, 7)) AS lag),
+        j AS (SELECT k.lag, sum(a.x * b.x) AS sxy,
+                     sum(a.x) AS tail, sum(b.x) AS head
+              FROM k JOIN s a ON a.t > k.lag
+                     JOIN s b ON b.t = a.t - k.lag
+              GROUP BY 1)
+        SELECT CAST(j.lag AS BIGINT) AS lag,
+               round(CAST(tt*tt*sxy - tt*s1*(tail+head)
+                          + (tt - j.lag)*s1*s1 AS DOUBLE)
+                     / CAST(tt*tt*s2 - tt*s1*s1 AS DOUBLE), 9) AS acf
+        FROM j, g
+        WHERE tt > j.lag AND tt*tt*s2 - tt*s1*s1 <> 0
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
@@ -8755,6 +9014,9 @@ QUERIES = {
     "events_mannwhitney_u": events_mannwhitney_u,
     "events_dau_jaccard_daily": events_dau_jaccard_daily,
     "lineitem_qty_price_spearman": lineitem_qty_price_spearman,
+    "customers_revenue_gini": customers_revenue_gini,
+    "events_type_dow_chisq": events_type_dow_chisq,
+    "events_daily_count_acf": events_daily_count_acf,
 }
 
 ORACLES = {
@@ -8880,4 +9142,7 @@ ORACLES = {
     "events_mannwhitney_u": events_mannwhitney_u_sql(),
     "events_dau_jaccard_daily": events_dau_jaccard_daily_sql(),
     "lineitem_qty_price_spearman": lineitem_qty_price_spearman_sql(),
+    "customers_revenue_gini": customers_revenue_gini_sql(),
+    "events_type_dow_chisq": events_type_dow_chisq_sql(),
+    "events_daily_count_acf": events_daily_count_acf_sql(),
 }
