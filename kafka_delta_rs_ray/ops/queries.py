@@ -8861,6 +8861,216 @@ def events_daily_count_acf_sql() -> str:
     """
 
 
+def lineitem_blocking_suppliers(sf_dir: str):
+    """TPC-H Q21's multi-EXISTS / NOT-EXISTS chain reshaped to this
+    schema: the 'blocking supplier' report — for every multi-supplier
+    order, the supplier whose lines uniquely carry the order's latest
+    ship date (they alone held the order open; ties exonerate
+    everyone). Three correlated subqueries in SQL collapse to ONE
+    orderkey-bucketed exchange here: per-batch distinct (order, supp,
+    max ship) partials shrink the wire to one row per (order,
+    supplier, batch); each bucket resolves the EXISTS (≥2 distinct
+    suppliers), the max-date match, and the NOT-EXISTS (exactly one
+    supplier at the max) with vectorized groupby-transforms; a final
+    tiny supplier-count reduce. Exact count oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+    nb = n_key_groups(ds.count())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (pd.DataFrame({
+            "o": b["l_orderkey"].to_numpy(np.int64),
+            "s": b["l_suppkey"].to_numpy(np.int64),
+            "d": b["l_shipdate"].to_numpy()})
+            .groupby(["o", "s"], as_index=False)["d"].max())
+        out["bucket"] = hash_bucket(out["o"].to_numpy(np.int64), nb)
+        return out
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["o", "s"], as_index=False)["d"].max()
+        nsupp = g.groupby("o")["s"].transform("nunique")
+        omax = g.groupby("o")["d"].transform("max")
+        at_max = g["d"] == omax
+        # suppliers-at-max per order, broadcast back to rows
+        nmax = at_max.groupby(g["o"]).transform("sum")
+        hit = g.loc[(nsupp >= 2) & at_max & (nmax == 1), "s"]
+        vc = hit.value_counts()
+        return pd.DataFrame({
+            "s_suppkey": vc.index.to_numpy(np.int64),
+            "n_blocked": vc.to_numpy(np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pandas",
+                          batch_size=None)
+           .groupby("bucket").map_groups(resolve, batch_format="pandas")
+           .groupby("s_suppkey")
+           .aggregate(Sum("n_blocked", alias_name="n_blocked")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_blocked"] = b["n_blocked"].astype("int64")
+        return b
+
+    return out.map_batches(finish, batch_format="pandas",
+                           batch_size=None)
+
+
+def lineitem_blocking_suppliers_sql() -> str:
+    return """
+        WITH ls AS (SELECT l_orderkey AS o, l_suppkey AS s,
+                           max(l_shipdate) AS d
+                    FROM lineitem GROUP BY 1, 2)
+        SELECT s AS s_suppkey, CAST(count(*) AS BIGINT) AS n_blocked
+        FROM ls l1
+        WHERE EXISTS (SELECT 1 FROM ls l2
+                      WHERE l2.o = l1.o AND l2.s <> l1.s)
+          AND l1.d = (SELECT max(d) FROM ls lm WHERE lm.o = l1.o)
+          AND NOT EXISTS (SELECT 1 FROM ls l3
+                          WHERE l3.o = l1.o AND l3.s <> l1.s
+                            AND l3.d = l1.d)
+        GROUP BY 1
+    """
+
+
+def parts_brand_price_anova(sf_dir: str):
+    """One-way ANOVA F statistic of retail price (cents) across
+    brands — the grouped-variance screen behind "does brand explain
+    price?". The sufficient statistics are per-group (n, Σx, Σx²):
+    per-batch integer-cents moment partials reduce through one
+    |brands|-sized groupby, and the driver folds SSB/SSW over ≤ a few
+    dozen groups in exact Fractions (Σs1ᵢ²/nᵢ − S²/N is a
+    catastrophic-cancellation trap in float at corpus scale — two
+    ~N²-sized operands whose difference is the signal). Output: F
+    rounded to 6dp + both degrees of freedom."""
+    from fractions import Fraction
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["p_retailprice"].to_numpy()
+                         * 100).astype(np.int64)
+        g = (pd.DataFrame({"p_brand": b["p_brand"], "x": cents,
+                           "xx": cents * cents})
+             .groupby("p_brand", as_index=False)
+             .agg(n=("x", "size"), s1=("x", "sum"), s2=("xx", "sum")))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    g = (ds.map_batches(partial, batch_format="pandas",
+                        batch_size=None)
+         .groupby("p_brand")
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("s1", alias_name="s1"),
+                    Sum("s2", alias_name="s2"))
+         .to_pandas())  # <= |brands| rows — driver-safe
+    k = len(g)
+    n_tot = int(g["n"].sum())
+    s_tot = int(g["s1"].sum())
+    s2_tot = int(g["s2"].sum())
+    between = sum(Fraction(int(s1) ** 2, int(n))
+                  for s1, n in zip(g["s1"], g["n"]))
+    ssb = between - Fraction(s_tot ** 2, n_tot)
+    ssw = s2_tot - between
+    f_stat = (ssb / (k - 1)) / (ssw / (n_tot - k))
+    return pa.table({
+        "f_stat": pa.array([round(float(f_stat), 6)], pa.float64()),
+        "df_between": pa.array([k - 1], pa.int64()),
+        "df_within": pa.array([n_tot - k], pa.int64())})
+
+
+def parts_brand_price_anova_sql() -> str:
+    return """
+        WITH c AS (SELECT p_brand,
+                          CAST(round(p_retailprice * 100) AS HUGEINT)
+                              AS x
+                   FROM part),
+        g AS (SELECT p_brand, CAST(count(*) AS HUGEINT) AS n,
+                     sum(x) AS s1, sum(x * x) AS s2
+              FROM c GROUP BY 1),
+        t AS (SELECT sum(n) AS nn, sum(s1) AS ss, count(*) AS k,
+                     sum(CAST(s1 * s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         AS between_part,
+                     CAST(sum(s2) AS DOUBLE) AS s2_tot
+              FROM g)
+        SELECT round(((between_part - CAST(ss * ss AS DOUBLE)
+                                      / CAST(nn AS DOUBLE))
+                      / (k - 1))
+                     / ((s2_tot - between_part)
+                        / CAST(nn - k AS DOUBLE)), 6) AS f_stat,
+               CAST(k - 1 AS BIGINT) AS df_between,
+               CAST(nn - k AS BIGINT) AS df_within
+        FROM t
+    """
+
+
+def events_daily_count_ewma(sf_dir: str):
+    """8-tap exponentially-decaying smoother (α = 1/4 truncated at 8
+    taps) of the calendar-gap-filled daily event counts, in Q16 FIXED
+    POINT — the float-free way to ship an EWMA through a hash-compared
+    pipeline: the true infinite-tail EWMA produces dyadic rationals
+    that tie at ANY decimal rounding (32.5390625 rounds differently
+    under banker's vs half-away), so the weights 3ʲ·4⁷⁻ʲ (the EWMA
+    coefficients α(1−α)ʲ scaled by 4⁸ = 65536) keep every value a
+    plain int64 with zero rounding on either side. Distributed part:
+    the per-day count reduce; the 8-tap dot product runs over the
+    O(#days) driver series. Warm-up rows (first 7 days) are dropped —
+    their window is incomplete. Output: (day, ewma_q16) integers."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["ts"].dt.floor("D").value_counts()
+        return pd.DataFrame({"day": vc.index,
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    daily = (ds.map_batches(partial, batch_format="pandas",
+                            batch_size=None)
+             .groupby("day").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())  # O(#days) rows — driver-safe
+    spine = pd.DataFrame({"day": pd.date_range(
+        daily["day"].min(), daily["day"].max(), freq="D")})
+    merged = spine.merge(daily, on="day", how="left")
+    x = merged["n"].fillna(0).astype(np.int64).to_numpy()
+    # w[j] = alpha*(1-alpha)^j scaled by 4^8: newest tap first
+    w = np.array([3 ** j * 4 ** (7 - j) for j in range(8)],
+                 dtype=np.int64)
+    if len(x) < 8:
+        return pa.table({"day": pa.array([], pa.timestamp("ns")),
+                         "ewma_q16": pa.array([], pa.int64())})
+    # window row i = x[i..i+7] (oldest..newest) -> weights reversed
+    win = np.lib.stride_tricks.sliding_window_view(x, 8)
+    vals = (win * w[::-1]).sum(axis=1)
+    return pa.table({
+        "day": pa.array(merged["day"].iloc[7:].reset_index(drop=True)),
+        "ewma_q16": pa.array(vals, pa.int64())})
+
+
+def events_daily_count_ewma_sql() -> str:
+    return """
+        WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+                   FROM events GROUP BY 1),
+        bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+        spine AS (SELECT unnest(generate_series(lo, hi,
+                      INTERVAL 1 DAY)) AS day FROM bounds),
+        s AS (SELECT sp.day, CAST(coalesce(d.n, 0) AS BIGINT) AS x,
+                     row_number() OVER (ORDER BY sp.day) AS t
+              FROM spine sp LEFT JOIN d ON d.day = sp.day),
+        k AS (SELECT unnest(generate_series(0, 7)) AS j),
+        w AS (SELECT j, CAST(round(power(3, j) * power(4, 7 - j))
+                             AS BIGINT) AS wt
+              FROM k)
+        SELECT a.day, CAST(sum(w.wt * b.x) AS BIGINT) AS ewma_q16
+        FROM s a
+        JOIN s b ON b.t BETWEEN a.t - 7 AND a.t
+        JOIN w ON w.j = a.t - b.t
+        WHERE a.t >= 8
+        GROUP BY a.day
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
@@ -9017,6 +9227,9 @@ QUERIES = {
     "customers_revenue_gini": customers_revenue_gini,
     "events_type_dow_chisq": events_type_dow_chisq,
     "events_daily_count_acf": events_daily_count_acf,
+    "lineitem_blocking_suppliers": lineitem_blocking_suppliers,
+    "parts_brand_price_anova": parts_brand_price_anova,
+    "events_daily_count_ewma": events_daily_count_ewma,
 }
 
 ORACLES = {
@@ -9145,4 +9358,7 @@ ORACLES = {
     "customers_revenue_gini": customers_revenue_gini_sql(),
     "events_type_dow_chisq": events_type_dow_chisq_sql(),
     "events_daily_count_acf": events_daily_count_acf_sql(),
+    "lineitem_blocking_suppliers": lineitem_blocking_suppliers_sql(),
+    "parts_brand_price_anova": parts_brand_price_anova_sql(),
+    "events_daily_count_ewma": events_daily_count_ewma_sql(),
 }
