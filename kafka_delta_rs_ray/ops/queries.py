@@ -9071,6 +9071,256 @@ def events_daily_count_ewma_sql() -> str:
     """
 
 
+def supplier_quarter_top_revenue(sf_dir: str):
+    """TPC-H Q15 shape — top supplier by one quarter's revenue: an
+    aggregate (revenue per supplier), a MAX over that aggregate, and a
+    select-back of the argmax row(s). Revenue is quantized to integer
+    cents per ROW (floor(x*100+0.5) — identical on both sides, and
+    integer sums are order-independent), so the argmax comparison is
+    EXACT: no float-summation-order noise can flip which supplier wins.
+    Scale plan: per-batch partials → small groupby(suppkey) →
+    driver-side scalar max (one number) → winner set is output-bounded
+    (ties only), so the name fetch is a broadcast ``is_in`` semi-join
+    over supplier (never a collect of the supplier table)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate"],
+               filter=((pads.field("l_shipdate") >= lo.to_pydatetime())
+                       & (pads.field("l_shipdate") < hi.to_pydatetime())))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        if b.empty:
+            return pd.DataFrame({"l_suppkey": pd.Series([], "int64"),
+                                 "c": pd.Series([], "int64")})
+        cents = np.floor(b["l_extendedprice"].to_numpy()
+                         * (1.0 - b["l_discount"].to_numpy())
+                         * 100.0 + 0.5).astype(np.int64)
+        return (pd.DataFrame({"l_suppkey": b["l_suppkey"].to_numpy(),
+                              "c": cents})
+                .groupby("l_suppkey", as_index=False).agg(c=("c", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    agg = (li.map_batches(partial, batch_format="pandas", batch_size=None)
+           .groupby("l_suppkey").aggregate(Sum("c", alias_name="c"))
+           .materialize())
+    best = int(agg.max("c"))  # one scalar on the driver
+
+    winners = (agg.map_batches(
+        lambda b: b[b["c"] == best], batch_format="pandas",
+        batch_size=None).to_pandas())
+    keys_ref = ray.put(sorted(int(k) for k in winners["l_suppkey"]))
+
+    class _Names:
+        def __init__(self):
+            self._k = None
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if self._k is None:
+                self._k = pa.array(ray.get(keys_ref), pa.int64())
+            return b.filter(pc.is_in(b["s_suppkey"], value_set=self._k))
+
+    named = (_read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+             .map_batches(_Names(), batch_format="pyarrow",
+                          batch_size=None).to_pandas())
+    out = named.merge(winners.rename(columns={"l_suppkey": "s_suppkey"}),
+                      on="s_suppkey")
+    out["total_rev"] = out["c"] / 100.0
+    return out[["s_suppkey", "s_name", "total_rev"]]
+
+
+def supplier_quarter_top_revenue_sql() -> str:
+    return """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 100 + 0.5) AS BIGINT)) AS c
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, c / 100.0 AS total_rev
+        FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        WHERE c = (SELECT max(c) FROM rev)
+    """
+
+
+def lineitem_important_parts(sf_dir: str):
+    """TPC-H Q11 shape — "important stock": parts whose total revenue
+    exceeds 1.5 × the mean per-part revenue (the HAVING >
+    scalar-subquery pattern, made scale-invariant so the predicate
+    discriminates at every sf). Integer-cent quantization makes both the
+    per-part values and the global total exact and order-independent;
+    the global total reduces to ONE driver scalar, the per-part
+    aggregate stays a distributed groupby, and the filter is a
+    map_batches over the (already small, one row per part) aggregate —
+    nothing corpus-sized ever lands on the driver."""
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["l_extendedprice"].to_numpy()
+                         * (1.0 - b["l_discount"].to_numpy())
+                         * 100.0 + 0.5).astype(np.int64)
+        return (pd.DataFrame({"l_partkey": b["l_partkey"].to_numpy(),
+                              "c": cents})
+                .groupby("l_partkey", as_index=False).agg(c=("c", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    agg = (li.map_batches(partial, batch_format="pandas", batch_size=None)
+           .groupby("l_partkey").aggregate(Sum("c", alias_name="c"))
+           .materialize())
+    # scale-invariant threshold: 1.5 × the mean per-part value (a fixed
+    # share-of-total cutoff selects everything at small part counts and
+    # nothing at large ones); two driver scalars
+    n_parts = agg.count()
+    thresh = 1.5 * (float(agg.sum("c")) / n_parts) if n_parts else 0.0
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["c"] > thresh]
+        return pd.DataFrame({"l_partkey": b["l_partkey"],
+                             "part_value": b["c"] / 100.0})
+
+    return agg.map_batches(keep, batch_format="pandas", batch_size=None)
+
+
+def lineitem_important_parts_sql() -> str:
+    return """
+        WITH v AS (
+            SELECT l_partkey,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 100 + 0.5) AS BIGINT)) AS c
+            FROM lineitem GROUP BY l_partkey)
+        SELECT l_partkey, c / 100.0 AS part_value
+        FROM v
+        WHERE c > (SELECT 1.5 * avg(c) FROM v)
+    """
+
+
+def promo_part_suppliers(sf_dir: str):
+    """TPC-H Q20 shape — "potential part promotion": suppliers whose
+    shipped quantity of red-prefixed parts in one year beats an
+    aggregate-subquery threshold (0.5 × the mean per-supplier
+    quantity), then labelled with supplier names. The part table
+    scales with the corpus, so the part semi-join is a slim bucketed
+    cogroup exchange on partkey (never a broadcast dict); the
+    surviving (suppkey, qty) partials reduce in a distributed groupby;
+    the threshold is two driver scalars (sum + count); the name join is
+    a second bucketed cogroup on suppkey because the winner set is
+    O(suppliers) — corpus-scaled, so ``is_in`` broadcast would not do.
+    l_quantity is integral by generator design → exact BIGINT sums."""
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    import pyarrow.dataset as pads
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+               filter=((pads.field("l_shipdate") >= lo.to_pydatetime())
+                       & (pads.field("l_shipdate") < hi.to_pydatetime())))
+    nb = n_key_groups(part.count())
+
+    def part_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["p_name"].str.startswith("red")]
+        k = b["p_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb),
+                             "side": np.zeros(len(k), np.int8),
+                             "key": k,
+                             "supp": np.zeros(len(k), np.int64),
+                             "qty": np.zeros(len(k), np.int64)})
+
+    def li_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        p = (pd.DataFrame({"key": b["l_partkey"].to_numpy(np.int64),
+                           "supp": b["l_suppkey"].to_numpy(np.int64),
+                           "qty": b["l_quantity"].to_numpy()
+                           .astype(np.int64)})
+             .groupby(["key", "supp"], as_index=False).agg(
+                 qty=("qty", "sum")))
+        return pd.DataFrame({"bucket": hash_bucket(
+                                 p["key"].to_numpy(np.int64), nb),
+                             "side": np.ones(len(p), np.int8),
+                             "key": p["key"], "supp": p["supp"],
+                             "qty": p["qty"]})
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        red = g.loc[g["side"] == 0, "key"]
+        l = g[g["side"] == 1]
+        l = l[l["key"].isin(set(red))]
+        return (l[["supp", "qty"]]
+                .groupby("supp", as_index=False).agg(qty=("qty", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    qty_ds = (part.map_batches(part_side, batch_format="pandas",
+                               batch_size=None)
+              .union(li.map_batches(li_side, batch_format="pandas",
+                                    batch_size=None))
+              .groupby("bucket").map_groups(join_part,
+                                            batch_format="pandas")
+              .groupby("supp").aggregate(Sum("qty", alias_name="qty"))
+              .materialize())
+    total = float(qty_ds.sum("qty"))
+    n_supp = qty_ds.count()
+    thresh = 0.5 * (total / n_supp) if n_supp else 0.0
+
+    nb2 = n_key_groups(n_supp)
+
+    def win_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["qty"] > thresh]
+        k = b["supp"].to_numpy(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb2),
+                             "side": np.ones(len(k), np.int8),
+                             "key": k, "name": [""] * len(k),
+                             "qty": b["qty"].to_numpy(np.int64)})
+
+    def name_side(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["s_suppkey"].to_numpy(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb2),
+                             "side": np.zeros(len(k), np.int8),
+                             "key": k, "name": b["s_name"].to_numpy(),
+                             "qty": np.zeros(len(k), np.int64)})
+
+    def join_name(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["side"] == 1]
+        s = g[g["side"] == 0]
+        out = w[["key", "qty"]].merge(s[["key", "name"]], on="key")
+        return pd.DataFrame({"s_suppkey": out["key"],
+                             "s_name": out["name"],
+                             "red_qty": out["qty"]})
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return (qty_ds.map_batches(win_side, batch_format="pandas",
+                               batch_size=None)
+            .union(supp.map_batches(name_side, batch_format="pandas",
+                                    batch_size=None))
+            .groupby("bucket").map_groups(join_name,
+                                          batch_format="pandas"))
+
+
+def promo_part_suppliers_sql() -> str:
+    return """
+        WITH q AS (
+            SELECT l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE 'red%'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, qty AS red_qty
+        FROM q JOIN supplier ON s_suppkey = l_suppkey
+        WHERE qty > (SELECT 0.5 * avg(qty) FROM q)
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
@@ -9230,6 +9480,9 @@ QUERIES = {
     "lineitem_blocking_suppliers": lineitem_blocking_suppliers,
     "parts_brand_price_anova": parts_brand_price_anova,
     "events_daily_count_ewma": events_daily_count_ewma,
+    "supplier_quarter_top_revenue": supplier_quarter_top_revenue,
+    "lineitem_important_parts": lineitem_important_parts,
+    "promo_part_suppliers": promo_part_suppliers,
 }
 
 ORACLES = {
@@ -9361,4 +9614,7 @@ ORACLES = {
     "lineitem_blocking_suppliers": lineitem_blocking_suppliers_sql(),
     "parts_brand_price_anova": parts_brand_price_anova_sql(),
     "events_daily_count_ewma": events_daily_count_ewma_sql(),
+    "supplier_quarter_top_revenue": supplier_quarter_top_revenue_sql(),
+    "lineitem_important_parts": lineitem_important_parts_sql(),
+    "promo_part_suppliers": promo_part_suppliers_sql(),
 }
