@@ -9096,8 +9096,8 @@ def supplier_quarter_top_revenue(sf_dir: str):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
         if b.empty:
-            return pd.DataFrame({"l_suppkey": pd.Series([], "int64"),
-                                 "c": pd.Series([], "int64")})
+            return pd.DataFrame({"l_suppkey": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
         cents = np.floor(b["l_extendedprice"].to_numpy()
                          * (1.0 - b["l_discount"].to_numpy())
                          * 100.0 + 0.5).astype(np.int64)
@@ -9321,6 +9321,361 @@ def promo_part_suppliers_sql() -> str:
     """
 
 
+def orders_ship_delay_priority(sf_dir: str):
+    """TPC-H Q12 shape (no shipmode column in this schema, so the
+    CASE dimension is the ship DELAY bucket): for lineitems shipped in
+    1997, bucket days(l_shipdate − o_orderdate) into FAST (< 30) /
+    SLOW (≥ 30) and count high- vs low-priority lines per bucket.
+    The orders⋈lineitem join is a slim bucketed cogroup on orderkey
+    (both sides corpus-sized); per-group output is pre-counted
+    (bucket, hi, lo) partials so the final groupby is 2 rows. Both
+    timestamps are midnight-aligned by generator design, so the
+    integer-day delay is exact on both sides."""
+    import pyarrow.dataset as pads
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"],
+               filter=((pads.field("l_shipdate") >= lo.to_pydatetime())
+                       & (pads.field("l_shipdate") < hi.to_pydatetime())))
+    nb = n_key_groups(orders.count())
+    _HI = ("1-URGENT", "2-HIGH")
+
+    def ord_side(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": hash_bucket(k, nb),
+            "side": np.zeros(len(k), np.int8), "key": k,
+            "day": b["o_orderdate"].to_numpy()
+            .astype("datetime64[D]").astype(np.int64),
+            "hi_pri": b["o_orderpriority"].isin(_HI).to_numpy(np.int8)})
+
+    def li_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        k = b["l_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": hash_bucket(k, nb),
+            "side": np.ones(len(k), np.int8), "key": k,
+            "day": b["l_shipdate"].to_numpy()
+            .astype("datetime64[D]").astype(np.int64),
+            "hi_pri": np.zeros(len(k), np.int8)})
+
+    def join_count(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        j = l[["key", "day"]].merge(
+            o[["key", "day", "hi_pri"]].rename(columns={"day": "oday"}),
+            on="key")
+        if j.empty:
+            return pd.DataFrame({"delay_bucket": pd.Series([], dtype="str"),
+                                 "hi": pd.Series([], dtype="int64"),
+                                 "lo": pd.Series([], dtype="int64")})
+        fast = (j["day"] - j["oday"]) < 30
+        out = pd.DataFrame({
+            "delay_bucket": np.where(fast, "FAST", "SLOW"),
+            "hi": j["hi_pri"].astype("int64"),
+            "lo": (1 - j["hi_pri"]).astype("int64")})
+        return (out.groupby("delay_bucket", as_index=False)
+                .agg(hi=("hi", "sum"), lo=("lo", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    return (orders.map_batches(ord_side, batch_format="pandas",
+                               batch_size=None)
+            .union(li.map_batches(li_side, batch_format="pandas",
+                                  batch_size=None))
+            .groupby("bucket").map_groups(join_count,
+                                          batch_format="pandas")
+            .groupby("delay_bucket")
+            .aggregate(Sum("hi", alias_name="high_line_count"),
+                       Sum("lo", alias_name="low_line_count")))
+
+
+def orders_ship_delay_priority_sql() -> str:
+    return """
+        SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) < 30
+                    THEN 'FAST' ELSE 'SLOW' END AS delay_bucket,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """
+
+
+def parts_supplier_relationship(sf_dir: str):
+    """TPC-H Q16 shape — count(DISTINCT supplier) per (brand, type,
+    size) for a size subset, excluding one brand and "complaint"
+    suppliers (s_acctbal < 0 here). Three slim exchanges, all on the
+    scaled group count: (1) distinct (partkey, suppkey) lineitem
+    partials ⋈ bad-supplier flags on SUPPKEY (the NOT IN is an
+    anti-join, never a broadcast — supplier scales with the corpus);
+    (2) survivors rebucket on PARTKEY ⋈ filtered part attrs; (3) the
+    (brand,type,size,suppkey) tuples dedup in a tuple-hash-bucketed
+    groupby, then count per attribute triple. Every stage emits
+    deduplicated partials so exchanges shrink downstream."""
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    _SIZES = (1, 4, 9, 16, 25, 36, 49)
+    nb = n_key_groups(li.count())
+
+    def li_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.drop_duplicates()
+        s = p["l_suppkey"].to_numpy(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(s, nb),
+                             "side": np.ones(len(p), np.int8),
+                             "key": s,
+                             "part": p["l_partkey"].to_numpy(np.int64)})
+
+    def bad_supp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["s_acctbal"] < 0]
+        s = b["s_suppkey"].to_numpy(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(s, nb),
+                             "side": np.zeros(len(s), np.int8),
+                             "key": s,
+                             "part": np.zeros(len(s), np.int64)})
+
+    def anti_join(g: pd.DataFrame) -> pd.DataFrame:
+        bad = set(g.loc[g["side"] == 0, "key"])
+        l = g[g["side"] == 1]
+        l = l[~l["key"].isin(bad)].drop_duplicates(["key", "part"])
+        return pd.DataFrame({"suppkey": l["key"], "partkey": l["part"]})
+
+    good_pairs = (li.map_batches(li_pairs, batch_format="pandas",
+                                 batch_size=None)
+                  .union(supp.map_batches(bad_supp, batch_format="pandas",
+                                          batch_size=None))
+                  .groupby("bucket").map_groups(anti_join,
+                                                batch_format="pandas"))
+
+    nb2 = n_key_groups(part.count())
+
+    def pair_side(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["partkey"].to_numpy(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb2),
+                             "side": np.ones(len(k), np.int8), "key": k,
+                             "supp": b["suppkey"].to_numpy(np.int64),
+                             "p_brand": [""] * len(k),
+                             "p_type": [""] * len(k),
+                             "p_size": np.zeros(len(k), np.int32)})
+
+    def part_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["p_brand"] != "Brand#1") & b["p_size"].isin(_SIZES)]
+        k = b["p_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb2),
+                             "side": np.zeros(len(k), np.int8), "key": k,
+                             "supp": np.zeros(len(k), np.int64),
+                             "p_brand": b["p_brand"].to_numpy(),
+                             "p_type": b["p_type"].to_numpy(),
+                             "p_size": b["p_size"].to_numpy(np.int32)})
+
+    def join_attrs(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        j = l[["key", "supp"]].merge(
+            p[["key", "p_brand", "p_type", "p_size"]], on="key")
+        return j[["p_brand", "p_type", "p_size", "supp"]].drop_duplicates()
+
+    tuples = (good_pairs.map_batches(pair_side, batch_format="pandas",
+                                     batch_size=None)
+              .union(part.map_batches(part_side, batch_format="pandas",
+                                      batch_size=None))
+              .groupby("bucket").map_groups(join_attrs,
+                                            batch_format="pandas"))
+
+    def tup_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return b.assign(bucket=pd.Series([], dtype="int32"))
+        h = (pd.util.hash_pandas_object(
+            b[["p_brand", "p_type", "p_size", "supp"]], index=False)
+            .to_numpy(np.uint64))
+        return b.assign(bucket=(h % np.uint64(nb2)).astype(np.int32))
+
+    def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["p_brand", "p_type", "p_size", "supp"])
+        return (g.groupby(["p_brand", "p_type", "p_size"],
+                          as_index=False)
+                .agg(cnt=("supp", "size")))
+
+    from ray.data.aggregate import Sum
+
+    return (tuples.map_batches(tup_bucket, batch_format="pandas",
+                               batch_size=None)
+            .groupby("bucket").map_groups(dedup_count,
+                                          batch_format="pandas")
+            .groupby(["p_brand", "p_type", "p_size"])
+            .aggregate(Sum("cnt", alias_name="supplier_cnt")))
+
+
+def parts_supplier_relationship_sql() -> str:
+    return """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """
+
+
+def lineitem_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — "small-quantity-order revenue": average
+    yearly revenue lost if small orders (quantity < 0.2 × that part's
+    mean quantity) of one brand's parts were dropped. The correlated
+    per-part AVG and the line-level filter resolve in ONE bucketed
+    cogroup on partkey: each group holds a part's full line set, so
+    the group kernel computes the part mean AND filters its small
+    lines locally (no second exchange, no broadcast). Revenue is
+    integer-cent quantized per row → the global sum is exact; the
+    final ÷7 happens once on the driver scalar. A bloom semi-join on
+    the brand's partkeys (see lineitem_bloom_semijoin) could prune the
+    lineitem exchange at 100 TB; the exchange rows here are already
+    slim (key, qty, cents)."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+    nb = n_key_groups(li.count())
+
+    def part_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["p_brand"] == "Brand#5"]
+        k = b["p_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb),
+                             "side": np.zeros(len(k), np.int8), "key": k,
+                             "qty": np.zeros(len(k), np.int64),
+                             "cents": np.zeros(len(k), np.int64)})
+
+    def li_side(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["l_partkey"].to_numpy(np.int64)
+        cents = np.floor(b["l_extendedprice"].to_numpy() * 100.0
+                         + 0.5).astype(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb),
+                             "side": np.ones(len(k), np.int8), "key": k,
+                             "qty": b["l_quantity"].to_numpy()
+                             .astype(np.int64),
+                             "cents": cents})
+
+    def small_sum(g: pd.DataFrame) -> pd.DataFrame:
+        brand_keys = set(g.loc[g["side"] == 0, "key"])
+        l = g[g["side"] == 1]
+        l = l[l["key"].isin(brand_keys)]
+        if l.empty:
+            return pd.DataFrame({"c": pd.Series([], dtype="int64")})
+        # per-part mean over ALL of that part's lines (they are all in
+        # this group — the exchange key is the partkey)
+        means = l.groupby("key")["qty"].transform("mean")
+        kept = l[l["qty"] < 0.2 * means]
+        return pd.DataFrame({"c": [int(kept["cents"].sum())]})
+
+    total = (part.map_batches(part_side, batch_format="pandas",
+                              batch_size=None)
+             .union(li.map_batches(li_side, batch_format="pandas",
+                                   batch_size=None))
+             .groupby("bucket").map_groups(small_sum,
+                                           batch_format="pandas")
+             .sum("c")) or 0
+    return pd.DataFrame({"avg_yearly": [float(total) / 700.0]})
+
+
+def lineitem_small_qty_revenue_sql() -> str:
+    return """
+        SELECT coalesce(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)), 0) / 700.0 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#5'
+          AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+    """
+
+
+def lineitem_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape — disjunctive multi-predicate join revenue:
+    three OR'd (brand, size-range, quantity-range) conjunctions that
+    can only be evaluated AFTER the lineitem⋈part join. One slim
+    bucketed cogroup on partkey carries (brand, size) on the part side
+    and (qty, cents) on the line side; the disjunction is a single
+    vectorized numpy expression per group; output partials reduce to
+    one scalar. Integer-cent quantization keeps the sum exact."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+    nb = n_key_groups(li.count())
+
+    def part_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["p_brand"].isin(("Brand#12", "Brand#23", "Brand#24"))]
+        k = b["p_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb),
+                             "side": np.zeros(len(k), np.int8), "key": k,
+                             "brand": b["p_brand"].to_numpy(),
+                             "size": b["p_size"].to_numpy(np.int64),
+                             "qty": np.zeros(len(k), np.int64),
+                             "cents": np.zeros(len(k), np.int64)})
+
+    def li_side(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["l_partkey"].to_numpy(np.int64)
+        cents = np.floor(b["l_extendedprice"].to_numpy()
+                         * (1.0 - b["l_discount"].to_numpy())
+                         * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb),
+                             "side": np.ones(len(k), np.int8), "key": k,
+                             "brand": [""] * len(k),
+                             "size": np.zeros(len(k), np.int64),
+                             "qty": b["l_quantity"].to_numpy()
+                             .astype(np.int64),
+                             "cents": cents})
+
+    def disj_sum(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        j = l[["key", "qty", "cents"]].merge(
+            p[["key", "brand", "size"]], on="key")
+        if j.empty:
+            return pd.DataFrame({"c": pd.Series([], dtype="int64")})
+        br, sz, q = j["brand"].to_numpy(), j["size"].to_numpy(), \
+            j["qty"].to_numpy()
+        keep = (((br == "Brand#12") & (sz >= 1) & (sz <= 5)
+                 & (q >= 1) & (q <= 11))
+                | ((br == "Brand#23") & (sz >= 1) & (sz <= 10)
+                   & (q >= 10) & (q <= 20))
+                | ((br == "Brand#24") & (sz >= 1) & (sz <= 15)
+                   & (q >= 20) & (q <= 30)))
+        return pd.DataFrame({"c": [int(j.loc[keep, "cents"].sum())]})
+
+    total = (part.map_batches(part_side, batch_format="pandas",
+                              batch_size=None)
+             .union(li.map_batches(li_side, batch_format="pandas",
+                                   batch_size=None))
+             .groupby("bucket").map_groups(disj_sum,
+                                           batch_format="pandas")
+             .sum("c")) or 0
+    return pd.DataFrame({"revenue": [float(total) / 100.0]})
+
+
+def lineitem_disjunctive_revenue_sql() -> str:
+    return """
+        SELECT coalesce(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)), 0)
+               / 100.0 AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
@@ -9483,6 +9838,10 @@ QUERIES = {
     "supplier_quarter_top_revenue": supplier_quarter_top_revenue,
     "lineitem_important_parts": lineitem_important_parts,
     "promo_part_suppliers": promo_part_suppliers,
+    "orders_ship_delay_priority": orders_ship_delay_priority,
+    "parts_supplier_relationship": parts_supplier_relationship,
+    "lineitem_small_qty_revenue": lineitem_small_qty_revenue,
+    "lineitem_disjunctive_revenue": lineitem_disjunctive_revenue,
 }
 
 ORACLES = {
@@ -9617,4 +9976,8 @@ ORACLES = {
     "supplier_quarter_top_revenue": supplier_quarter_top_revenue_sql(),
     "lineitem_important_parts": lineitem_important_parts_sql(),
     "promo_part_suppliers": promo_part_suppliers_sql(),
+    "orders_ship_delay_priority": orders_ship_delay_priority_sql(),
+    "parts_supplier_relationship": parts_supplier_relationship_sql(),
+    "lineitem_small_qty_revenue": lineitem_small_qty_revenue_sql(),
+    "lineitem_disjunctive_revenue": lineitem_disjunctive_revenue_sql(),
 }
