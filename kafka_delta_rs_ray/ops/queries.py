@@ -9676,6 +9676,414 @@ def lineitem_disjunctive_revenue_sql() -> str:
     """
 
 
+def nation_profit_by_year(sf_dir: str):
+    """TPC-H Q9 shape — product-type profit by (supplier nation,
+    order year) for parts whose name contains 'gizmo'. This schema has
+    no partsupp table, so supply cost is the deterministic
+    0.6 × p_retailprice (quantized to per-unit cents on BOTH sides so
+    profit = rev_cents − cost_cents × qty is exact integer math).
+    Three slim bucketed cogroup exchanges chain the corpus-sized
+    sides — lineitem⋈part on partkey, ⋈orders on orderkey, ⋈supplier
+    on suppkey — each emitting pre-aggregated partials; the 25-row
+    nation dim is the only broadcast. Reference parity: the reference
+    engine has no join surface at all — this pins the Ray-Data-first
+    multi-exchange plan the docs recommend for star joins."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name",
+                                  "p_retailprice"])
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_orderkey", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = _read(sf_dir, "nation").to_pandas()  # 25-row broadcast dim
+    nat_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    nb = n_key_groups(li.count())
+
+    # qty must multiply the part's cost INSIDE the partkey group, so it
+    # travels as its own column rather than being folded early
+    def li_side2(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["l_partkey"].to_numpy(np.int64)
+        rev = np.floor(b["l_extendedprice"].to_numpy()
+                       * (1.0 - b["l_discount"].to_numpy())
+                       * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb),
+                             "side": np.ones(len(k), np.int8), "key": k,
+                             "supp": b["l_suppkey"].to_numpy(np.int64),
+                             "ord": b["l_orderkey"].to_numpy(np.int64),
+                             "qty": b["l_quantity"].to_numpy()
+                             .astype(np.int64),
+                             "rev": rev})
+
+    def part_side2(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["p_name"].str.contains("gizmo")]
+        k = b["p_partkey"].to_numpy(np.int64)
+        cost = np.floor(b["p_retailprice"].to_numpy() * 60.0
+                        + 0.5).astype(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb),
+                             "side": np.zeros(len(k), np.int8), "key": k,
+                             "supp": np.zeros(len(k), np.int64),
+                             "ord": np.zeros(len(k), np.int64),
+                             "qty": np.zeros(len(k), np.int64),
+                             "rev": cost})
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        j = l[["key", "supp", "ord", "qty", "rev"]].merge(
+            p[["key", "rev"]].rename(columns={"rev": "cost"}), on="key")
+        if j.empty:
+            return pd.DataFrame({"supp": pd.Series([], dtype="int64"),
+                                 "ord": pd.Series([], dtype="int64"),
+                                 "profit": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"supp": j["supp"], "ord": j["ord"],
+                             "profit": j["rev"] - j["cost"] * j["qty"]})
+
+    matched = (part.map_batches(part_side2, batch_format="pandas",
+                                batch_size=None)
+               .union(li.map_batches(li_side2, batch_format="pandas",
+                                     batch_size=None))
+               .groupby("bucket").map_groups(join_part,
+                                             batch_format="pandas"))
+
+    nb2 = n_key_groups(orders.count())
+
+    def m_side(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["ord"].to_numpy(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb2),
+                             "side": np.ones(len(k), np.int8), "key": k,
+                             "supp": b["supp"].to_numpy(np.int64),
+                             "v": b["profit"].to_numpy(np.int64)})
+
+    def o_side(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        yr = b["o_orderdate"].dt.year.to_numpy(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb2),
+                             "side": np.zeros(len(k), np.int8), "key": k,
+                             "supp": yr,
+                             "v": np.zeros(len(k), np.int64)})
+
+    def join_order(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        j = l[["key", "supp", "v"]].merge(
+            o[["key", "supp"]].rename(columns={"supp": "year"}),
+            on="key")
+        if j.empty:
+            return pd.DataFrame({"supp": pd.Series([], dtype="int64"),
+                                 "year": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        return (j.groupby(["supp", "year"], as_index=False)
+                .agg(v=("v", "sum")))
+
+    by_supp = (matched.map_batches(m_side, batch_format="pandas",
+                                   batch_size=None)
+               .union(orders.map_batches(o_side, batch_format="pandas",
+                                         batch_size=None))
+               .groupby("bucket").map_groups(join_order,
+                                             batch_format="pandas"))
+
+    nb3 = n_key_groups(supp.count())
+
+    def bs_side(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["supp"].to_numpy(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb3),
+                             "side": np.ones(len(k), np.int8), "key": k,
+                             "year": b["year"].to_numpy(np.int64),
+                             "v": b["v"].to_numpy(np.int64)})
+
+    def s_side(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["s_suppkey"].to_numpy(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb3),
+                             "side": np.zeros(len(k), np.int8), "key": k,
+                             "year": b["s_nationkey"].to_numpy(np.int64),
+                             "v": np.zeros(len(k), np.int64)})
+
+    def join_supp(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        j = l[["key", "year", "v"]].merge(
+            s[["key", "year"]].rename(columns={"year": "natkey"}),
+            on="key")
+        if j.empty:
+            return pd.DataFrame({"natkey": pd.Series([], dtype="int64"),
+                                 "year": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        return (j.groupby(["natkey", "year"], as_index=False)
+                .agg(v=("v", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    agg = (by_supp.map_batches(bs_side, batch_format="pandas",
+                               batch_size=None)
+           .union(supp.map_batches(s_side, batch_format="pandas",
+                                   batch_size=None))
+           .groupby("bucket").map_groups(join_supp,
+                                         batch_format="pandas")
+           .groupby(["natkey", "year"])
+           .aggregate(Sum("v", alias_name="v")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "nation": b["natkey"].map(nat_names),
+            "o_year": b["year"].astype("int64"),
+            "profit": b["v"] / 100.0})
+
+    return agg.map_batches(finish, batch_format="pandas",
+                           batch_size=None)
+
+
+def nation_profit_by_year_sql() -> str:
+    return """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                              * 100 + 0.5) AS BIGINT)
+                   - CAST(floor(p_retailprice * 60 + 0.5) AS BIGINT)
+                     * CAST(l_quantity AS BIGINT)) / 100.0 AS profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE p_name LIKE '%gizmo%'
+        GROUP BY 1, 2
+    """
+
+
+def nation_market_share(sf_dir: str):
+    """TPC-H Q8 shape — national market share: among PROMO-type parts
+    sold to ASIA-region customers in 1996-1997, the fraction of
+    revenue supplied by nation 3, per order year. The longest join
+    chain in the registry — four corpus-sized sides (part, orders,
+    customer, supplier) chained through four slim bucketed cogroup
+    exchanges on partkey → orderkey → custkey → suppkey, with only the
+    25-row nation/region chain broadcast. Revenue is integer-cent
+    quantized so the two yearly sums (nation-3 and total) are exact
+    and the final share division is bit-identical to the oracle's."""
+    import pyarrow.dataset as pads
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    nat = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    asia = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    asia_nat = set(int(k) for k in
+                   nat.loc[nat["n_regionkey"].isin(asia), "n_nationkey"])
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_orderkey",
+                "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=((pads.field("o_orderdate")
+                            >= lo.to_pydatetime())
+                           & (pads.field("o_orderdate")
+                              < hi.to_pydatetime())))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def _ex(nb, key, side, a, v):
+        key = np.asarray(key, dtype=np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(key, nb),
+                             "side": np.full(len(key), side, np.int8),
+                             "key": key,
+                             "a": np.asarray(a, dtype=np.int64),
+                             "v": np.asarray(v, dtype=np.int64)})
+
+    _EMPTY = {"k1": "int64", "k2": "int64", "v": "int64"}
+
+    def _empty():
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in _EMPTY.items()})
+
+    # exchange 1: lineitem ⋈ PROMO parts on partkey
+    nb1 = n_key_groups(li.count())
+
+    def p_side(b):
+        b = b[b["p_type"] == "PROMO"]
+        return _ex(nb1, b["p_partkey"], 0, 0, 0)
+
+    def l_side(b):
+        cents = np.floor(b["l_extendedprice"].to_numpy()
+                         * (1.0 - b["l_discount"].to_numpy())
+                         * 100.0 + 0.5).astype(np.int64)
+        # a = orderkey; second key (suppkey) rides in k2 via join fn
+        df = _ex(nb1, b["l_partkey"], 1, b["l_orderkey"], cents)
+        df["k2"] = b["l_suppkey"].to_numpy(np.int64)
+        return df
+
+    def j1(g):
+        keep = set(g.loc[g["side"] == 0, "key"])
+        l = g[g["side"] == 1]
+        l = l[l["key"].isin(keep)]
+        if l.empty:
+            return _empty()
+        return pd.DataFrame({"k1": l["a"].to_numpy(np.int64),  # orderkey
+                             "k2": l["k2"].to_numpy(np.int64),  # suppkey
+                             "v": l["v"].to_numpy(np.int64)})
+
+    def pad_p(b):  # part side lacks k2 — align schemas for union
+        b["k2"] = np.zeros(len(b), np.int64)
+        return b
+
+    m1 = (part.map_batches(p_side, batch_format="pandas",
+                           batch_size=None)
+          .map_batches(pad_p, batch_format="pandas", batch_size=None)
+          .union(li.map_batches(l_side, batch_format="pandas",
+                                batch_size=None))
+          .groupby("bucket").map_groups(j1, batch_format="pandas"))
+
+    # exchange 2: ⋈ 1996-97 orders on orderkey → (custkey, suppkey,
+    # year, cents); year packs into k2's upper bits? no — ride as col
+    nb2 = n_key_groups(orders.count())
+
+    def o_side(b):
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        df = _ex(nb2, b["o_orderkey"], 0, b["o_custkey"],
+                 b["o_orderdate"].dt.year.to_numpy(np.int64))
+        df["k2"] = np.zeros(len(df), np.int64)
+        return df
+
+    def m1_side(b):
+        df = _ex(nb2, b["k1"], 1, 0, b["v"])
+        df["k2"] = b["k2"].to_numpy(np.int64)
+        return df
+
+    def j2(g):
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        j = l[["key", "k2", "v"]].merge(
+            o[["key", "a", "v"]].rename(columns={"a": "cust",
+                                                 "v": "year"}),
+            on="key")
+        if j.empty:
+            return pd.DataFrame({"k1": pd.Series([], dtype="int64"),
+                                 "k2": pd.Series([], dtype="int64"),
+                                 "year": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"k1": j["cust"].to_numpy(np.int64),
+                             "k2": j["k2"].to_numpy(np.int64),
+                             "year": j["year"].to_numpy(np.int64),
+                             "v": j["v"].to_numpy(np.int64)})
+
+    m2 = (orders.map_batches(o_side, batch_format="pandas",
+                             batch_size=None)
+          .union(m1.map_batches(m1_side, batch_format="pandas",
+                                batch_size=None))
+          .groupby("bucket").map_groups(j2, batch_format="pandas"))
+
+    # exchange 3: semi-join vs ASIA customers on custkey
+    nb3 = n_key_groups(cust.count())
+
+    def c_side(b):
+        b = b[b["c_nationkey"].isin(asia_nat)]
+        df = _ex(nb3, b["c_custkey"], 0, 0, 0)
+        df["year"] = np.zeros(len(df), np.int64)
+        df["k2"] = np.zeros(len(df), np.int64)
+        return df[["bucket", "side", "key", "k2", "year", "v"]]
+
+    def m2_side(b):
+        k = b["k1"].to_numpy(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb3),
+                             "side": np.ones(len(k), np.int8),
+                             "key": k,
+                             "k2": b["k2"].to_numpy(np.int64),
+                             "year": b["year"].to_numpy(np.int64),
+                             "v": b["v"].to_numpy(np.int64)})
+
+    def j3(g):
+        keep = set(g.loc[g["side"] == 0, "key"])
+        l = g[g["side"] == 1]
+        l = l[l["key"].isin(keep)]
+        # partial-aggregate per (suppkey, year) before the next exchange
+        if l.empty:
+            return pd.DataFrame({"k2": pd.Series([], dtype="int64"),
+                                 "year": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        return (l[["k2", "year", "v"]]
+                .groupby(["k2", "year"], as_index=False)
+                .agg(v=("v", "sum")))
+
+    m3 = (cust.map_batches(c_side, batch_format="pandas",
+                           batch_size=None)
+          .union(m2.map_batches(m2_side, batch_format="pandas",
+                                batch_size=None))
+          .groupby("bucket").map_groups(j3, batch_format="pandas"))
+
+    # exchange 4: ⋈ supplier on suppkey → (year, is-nation-3, cents)
+    nb4 = n_key_groups(supp.count())
+
+    def s_side(b):
+        df = _ex(nb4, b["s_suppkey"], 0, b["s_nationkey"], 0)
+        df["year"] = np.zeros(len(df), np.int64)
+        return df[["bucket", "side", "key", "a", "year", "v"]]
+
+    def m3_side(b):
+        k = b["k2"].to_numpy(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb4),
+                             "side": np.ones(len(k), np.int8),
+                             "key": k,
+                             "a": np.zeros(len(k), np.int64),
+                             "year": b["year"].to_numpy(np.int64),
+                             "v": b["v"].to_numpy(np.int64)})
+
+    def j4(g):
+        s = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        j = l[["key", "year", "v"]].merge(
+            s[["key", "a"]].rename(columns={"a": "natkey"}), on="key")
+        if j.empty:
+            return pd.DataFrame({"year": pd.Series([], dtype="int64"),
+                                 "nat3": pd.Series([], dtype="int64"),
+                                 "tot": pd.Series([], dtype="int64")})
+        j["nat3"] = np.where(j["natkey"] == 3, j["v"], 0)
+        return (j.groupby("year", as_index=False)
+                .agg(nat3=("nat3", "sum"), tot=("v", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    agg = (supp.map_batches(s_side, batch_format="pandas",
+                            batch_size=None)
+           .union(m3.map_batches(m3_side, batch_format="pandas",
+                                 batch_size=None))
+           .groupby("bucket").map_groups(j4, batch_format="pandas")
+           .groupby("year")
+           .aggregate(Sum("nat3", alias_name="nat3"),
+                      Sum("tot", alias_name="tot")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_year": b["year"].astype("int64"),
+                             "mkt_share": b["nat3"] / b["tot"]})
+
+    return agg.map_batches(finish, batch_format="pandas",
+                           batch_size=None)
+
+
+def nation_market_share_sql() -> str:
+    return """
+        WITH flat AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(floor(l_extendedprice * (1 - l_discount)
+                              * 100 + 0.5) AS BIGINT) AS cents,
+                   s_nationkey
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = cn.n_regionkey
+            WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01')
+        SELECT o_year,
+               CAST(sum(CASE WHEN s_nationkey = 3 THEN cents ELSE 0 END)
+                    AS DOUBLE) / sum(cents) AS mkt_share
+        FROM flat GROUP BY 1
+    """
+
+
 # -------------------------------------------------- registry for the driver
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
@@ -9842,6 +10250,8 @@ QUERIES = {
     "parts_supplier_relationship": parts_supplier_relationship,
     "lineitem_small_qty_revenue": lineitem_small_qty_revenue,
     "lineitem_disjunctive_revenue": lineitem_disjunctive_revenue,
+    "nation_profit_by_year": nation_profit_by_year,
+    "nation_market_share": nation_market_share,
 }
 
 ORACLES = {
@@ -9980,4 +10390,6 @@ ORACLES = {
     "parts_supplier_relationship": parts_supplier_relationship_sql(),
     "lineitem_small_qty_revenue": lineitem_small_qty_revenue_sql(),
     "lineitem_disjunctive_revenue": lineitem_disjunctive_revenue_sql(),
+    "nation_profit_by_year": nation_profit_by_year_sql(),
+    "nation_market_share": nation_market_share_sql(),
 }
