@@ -13,8 +13,9 @@ from .errors import ConfigError
 log = logging.getLogger(__name__)
 
 JOBS = ("append", "merge", "compact", "cluster", "expire", "lifecycle",
-        "delete", "rollback", "history", "quarantine", "metrics",
-        "stream", "changes", "stats", "autopilot", "branch", "export")
+        "delete", "update", "rollback", "history", "quarantine",
+        "metrics", "stream", "changes", "stats", "autopilot", "branch",
+        "export", "clone")
 
 # monitoring section keys (reference MonitoringConfig,
 # src/config/mod.rs:81-94: enabled / endpoint / service_name; here the
@@ -109,6 +110,15 @@ class MaintenanceConfig:
                     f"one of ('parquet', 'json', 'arrow-ipc')")
         if self.job == "delete" and not self.predicate:
             raise ConfigError("delete requires predicate ({col: [lo, hi]})")
+        if self.job == "update":
+            if not self.predicate:
+                raise ConfigError(
+                    "update requires predicate ({col: [lo, hi]})")
+            if not self.options.get("assignments"):
+                raise ConfigError(
+                    "update requires options.assignments ({col: value})")
+        if self.job == "clone" and not self.options.get("dest_root"):
+            raise ConfigError("clone requires options.dest_root")
         if self.job == "rollback" and self.restore_version is None:
             raise ConfigError("rollback requires restore_version")
         if self.target_fragment_bytes <= 0 or self.target_fragment_rows <= 0:

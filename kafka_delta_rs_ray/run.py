@@ -203,6 +203,17 @@ def run(cfg: MaintenanceConfig) -> dict:
     elif cfg.job == "delete":
         pred = {k: (v[0], v[1]) for k, v in cfg.predicate.items()}
         m = dl.delete_where(table, pred, run_id=cfg.run_id)
+    elif cfg.job == "update":
+        from .pipelines.update import update_where
+
+        pred = {k: (v[0], v[1]) for k, v in cfg.predicate.items()}
+        m = update_where(table, pred, cfg.options["assignments"],
+                         run_id=cfg.run_id)
+    elif cfg.job == "clone":
+        c = table.clone(cfg.options["dest_root"],
+                        version=cfg.options.get("clone_version"))
+        return {"job": "clone", "dest_root": c.root,
+                "rows": int(c.read_manifest().total_rows())}
     elif cfg.job == "rollback":
         m = dl.rollback(table, cfg.restore_version)
     elif cfg.job == "cluster":

@@ -470,6 +470,57 @@ class Table:
 
         return self.commit(build)
 
+    def clone(self, dest_root: str,
+              version: int | None = None) -> "Table":
+        """Zero-copy SHALLOW CLONE of one snapshot into a brand-new
+        table root (Delta ``CREATE TABLE ... SHALLOW CLONE``): every
+        data/delete file in the snapshot's closure is HARD-LINKED into
+        the clone at the same relative path (no bytes copied; all
+        paths in the format are root-relative, so the clone reads
+        itself), and the clone starts its own manifest line at v0 with
+        kind="clone". The two tables are fully independent afterwards:
+        commits on either never touch the other, and ``expire`` on
+        either unlinks only its own links — shared file data is freed
+        when the last table drops it. The txn ledger travels with the
+        clone (like rollback: exactly-once replay bookkeeping outlives
+        re-rooting). Runs under the source's gc lock so a concurrent
+        expire can never sweep closure files mid-link (the tag()/
+        create_branch() TOCTOU); cross-device destinations fall back
+        to file copies."""
+        import shutil
+
+        dest_root = os.path.abspath(dest_root)
+        if os.path.isdir(os.path.join(dest_root, "manifest")):
+            raise StateError(f"destination {dest_root} is already "
+                             f"a table")
+        with self.gc_lock():
+            v = self.latest_version() if version is None else int(version)
+            m = self.read_manifest(v)  # resolves shards → full list
+            for d in _DIRS:
+                os.makedirs(os.path.join(dest_root, d), exist_ok=True)
+            rels = []
+            for f in m.fragments:
+                rels.append(f.path)
+                rels.extend(f.delete_paths)
+            for rel in rels:
+                src, dst = self.abspath(rel), os.path.join(dest_root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(src, dst)
+                except FileExistsError:
+                    pass  # delete files can be shared by fragments
+                except OSError:  # EXDEV: cross-device → copy
+                    shutil.copy2(src, dst)
+            t = Table.__new__(Table)
+            t.root = dest_root
+            t._publish(Manifest(
+                version=0, parent=None, kind="clone", schema=m.schema,
+                fragments=list(m.fragments),
+                txn={k: dict(pv) for k, pv in m.txn.items()},
+                properties={**m.properties, "cloned_from": self.root,
+                            "cloned_version": v}))
+        return t
+
     def snapshot(self, version: int | None = None,
                  as_of: float | None = None,
                  tag: str | None = None) -> Snapshot:

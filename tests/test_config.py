@@ -280,3 +280,47 @@ def test_branch_job_cli_end_to_end(tmp_path, ray_session):
     run(cfg("job: branch\noptions:\n  action: delete\n  name: audit\n",
             "b5.yaml"))
     assert t.branches() == []
+
+
+def test_cli_update_and_clone_jobs(tmp_path, ray_session):
+    """CLI parity for the two round-5 verbs: `update` applies a
+    predicate SET through the job runner, `clone` shallow-clones to a
+    new root; config validation rejects each without its required
+    options."""
+    import pytest
+
+    from kafka_delta_rs_ray.config import MaintenanceConfig
+    from kafka_delta_rs_ray.errors import ConfigError
+    from kafka_delta_rs_ray.pipelines.ingest import append
+    from kafka_delta_rs_ray.pipelines.synth import image_dataset
+    from kafka_delta_rs_ray.run import run
+    from kafka_delta_rs_ray.tablefmt import IMAGE_SCHEMA, Table
+
+    t = Table.create(str(tmp_path / "t"), IMAGE_SCHEMA)
+    append(t, image_dataset(20, batch_size=20), target_fragment_rows=20)
+
+    cfgp = tmp_path / "update.yaml"
+    cfgp.write_text(
+        f"table_root: {t.root}\njob: update\n"
+        f"predicate:\n  w: [128, null]\n"
+        f"options:\n  assignments:\n    caption: CLI-WIDE\n")
+    run(MaintenanceConfig.load(str(cfgp)))
+    caps = t.snapshot().to_arrow()
+    wide = [c for c, w in zip(caps["caption"].to_pylist(),
+                              caps["w"].to_pylist()) if w >= 128]
+    assert wide and all(c == "CLI-WIDE" for c in wide)
+
+    cfgp2 = tmp_path / "clone.yaml"
+    cfgp2.write_text(
+        f"table_root: {t.root}\njob: clone\n"
+        f"options:\n  dest_root: {tmp_path / 'c'}\n")
+    out = run(MaintenanceConfig.load(str(cfgp2)))
+    assert out["rows"] == caps.num_rows
+    assert Table(str(tmp_path / "c")).snapshot().to_arrow(
+        ).num_rows == caps.num_rows
+
+    with pytest.raises(ConfigError, match="assignments"):
+        MaintenanceConfig(table_root=t.root, job="update",
+                          predicate={"w": [0, None]}).validate()
+    with pytest.raises(ConfigError, match="dest_root"):
+        MaintenanceConfig(table_root=t.root, job="clone").validate()

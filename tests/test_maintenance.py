@@ -1197,3 +1197,132 @@ def test_delete_where_string_predicate(table):
     assert set(post["fmt"].to_pylist()) == {"dctq"}
     rollback(table, m.parent)
     assert table.snapshot().to_arrow().num_rows == pre.num_rows
+
+
+def test_update_where_basic(table):
+    """Predicate UPDATE (copy-on-write): matched rows get the assigned
+    values in a new snapshot, unmatched rows are byte-identical, row
+    count never moves, and the change survives compaction (DVs + the
+    rewrite fragment materialize away cleanly)."""
+    from kafka_delta_rs_ray.pipelines.update import update_where
+
+    before = table.snapshot().to_arrow()
+    w = before["w"].to_numpy(zero_copy_only=False)
+    n_match = int((w >= 128).sum())
+    assert 0 < n_match < before.num_rows
+
+    m = update_where(table, {"w": (128, None)}, {"caption": "WIDE"})
+    assert m is not None and m.kind == "update"
+    after = table.snapshot().to_arrow()
+    assert after.num_rows == before.num_rows
+    a = after.sort_by("image_id")
+    b = before.sort_by("image_id")
+    aw = a["w"].to_numpy(zero_copy_only=False)
+    caps = a["caption"].to_pylist()
+    old = b["caption"].to_pylist()
+    for i in range(a.num_rows):
+        assert caps[i] == ("WIDE" if aw[i] >= 128 else old[i])
+    # untouched columns identical everywhere
+    for col in ("image_id", "bytes", "w", "h", "fmt", "phash"):
+        assert a[col].equals(b[col]), col
+
+    # compaction materializes DVs; scan identity holds
+    sorted_after = after.sort_by("image_id")
+    compact(table, target_bytes=64 << 20)
+    assert table.snapshot().to_arrow().sort_by("image_id").equals(
+        sorted_after)
+
+    # predicate matching nothing → no-op, no commit
+    v = table.latest_version()
+    assert update_where(table, {"w": (100000, None)},
+                        {"caption": "X"}) is None
+    assert table.latest_version() == v
+
+
+def test_update_where_constraint_quarantine(tmp_path, ray_session):
+    """UPDATE honours the table's CHECK constraints with dead-letter
+    semantics: a row whose UPDATED form violates a constraint keeps
+    its original row live and the attempted update lands in
+    quarantine/ — violations never poison the commit (reference
+    dead-letter contract, src/kafka/mod.rs:288-300)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kafka_delta_rs_ray.pipelines.update import update_where
+
+    t = Table.create(str(tmp_path / "tc"), IMAGE_SCHEMA,
+                     constraints=[{"name": "h_pos", "col": "h",
+                                   "op": ">", "value": 0}])
+    append(t, image_dataset(40, batch_size=20), target_fragment_rows=20)
+    before = t.snapshot().to_arrow()
+
+    # every attempted update violates h > 0 → full rejection: no
+    # commit, originals intact, quarantine holds the attempted rows
+    v = t.latest_version()
+    assert update_where(t, {"w": (None, None)}, {"h": -5}) is None
+    assert t.latest_version() == v
+    assert t.snapshot().to_arrow().sort_by("image_id").equals(
+        before.sort_by("image_id"))
+    q = glob.glob(os.path.join(t.root, "quarantine", "*.parquet"))
+    assert q, "quarantined updates missing"
+    qt = pa.concat_tables([pq.read_table(p) for p in q])
+    assert qt.num_rows == before.num_rows
+    assert all("h_pos" in e for e in qt["error"].to_pylist())
+
+    # a passing assignment still commits
+    m = update_where(t, {"w": (None, None)}, {"h": 7})
+    assert m is not None
+    assert set(t.snapshot().to_arrow()["h"].to_pylist()) == {7}
+
+
+def test_update_where_validates_assignments(table):
+    """Validate-early posture: unknown column, key column, and
+    type-incompatible value each fail at call time with a specific
+    message — never inside a write task."""
+    from kafka_delta_rs_ray.errors import ConfigError
+    from kafka_delta_rs_ray.pipelines.update import update_where
+
+    with pytest.raises(ConfigError, match="not in the table schema"):
+        update_where(table, {"w": (0, None)}, {"nope": 1})
+    with pytest.raises(ConfigError, match="key column"):
+        update_where(table, {"w": (0, None)}, {"image_id": "x"})
+    with pytest.raises(ConfigError, match="not compatible"):
+        update_where(table, {"w": (0, None)}, {"h": "tall"})
+    with pytest.raises(ConfigError, match="at least one assignment"):
+        update_where(table, {"w": (0, None)}, {})
+
+
+def test_clone_shallow_zero_copy(table, tmp_path):
+    """Shallow clone: hard-linked data files (zero bytes copied), the
+    clone scans identically, the two lines commit independently, and
+    expire on the source never breaks the clone's closure."""
+    from kafka_delta_rs_ray.pipelines.delete import delete_where
+    from kafka_delta_rs_ray.tablefmt.manifest import Manifest
+
+    src_rows = table.snapshot().to_arrow().sort_by("image_id")
+    c = table.clone(str(tmp_path / "c"))
+    assert c.read_manifest().kind == "clone"
+    assert c.snapshot().to_arrow().sort_by("image_id").equals(src_rows)
+
+    # zero-copy: every clone data file is a hard link (nlink >= 2)
+    for f in c.read_manifest().fragments:
+        assert os.stat(c.abspath(f.path)).st_nlink >= 2
+
+    # independence: a delete on the clone never touches the source
+    m = delete_where(c, {"w": (128, None)})
+    assert m is not None
+    assert table.snapshot().to_arrow().sort_by("image_id").equals(
+        src_rows)
+    assert c.snapshot().to_arrow().num_rows < src_rows.num_rows
+
+    # source churns + expires: clone still reads its full closure
+    compact(table, target_bytes=64 << 20)
+    expire(table, keep_last=1, min_age_seconds=0)
+    assert c.snapshot().to_arrow().num_rows > 0
+
+    # cloning onto an existing table root is rejected
+    from kafka_delta_rs_ray.errors import StateError
+
+    with pytest.raises(StateError, match="already"):
+        table.clone(str(tmp_path / "c"))
