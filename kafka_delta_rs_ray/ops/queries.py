@@ -5915,6 +5915,7 @@ def events_daily_gap_filled(sf_dir: str):
         daily["day"].min(), daily["day"].max(), freq="D")})
     out = spine.merge(daily, on="day", how="left")
     out["n"] = out["n"].fillna(0).astype("int64")
+    out["day"] = out["day"].astype("datetime64[us]")  # oracle dtype
     return out
 
 
@@ -10085,6 +10086,221 @@ def nation_market_share_sql() -> str:
 
 
 # -------------------------------------------------- registry for the driver
+def embedding_knn_components(sf_dir: str):
+    """CONNECTED COMPONENTS as a first-class query: components of the
+    mutual-kNN graph (reciprocal top-5 cosine edges), returned as
+    (component = min member vec_id, size). The one graph shape the
+    registry's pagerank (fixed-round power iteration), k-hop BFS
+    (frontier + anti-join) and triangle counting (wedge closure)
+    don't cover: an ITERATIVE FIXPOINT whose round count is the graph
+    diameter, not a constant. The engine path is ops/dedup.py's
+    cc_min_labels — per round two hash(node)-bucketed exchanges flow
+    labels along edges and take per-node minima, driver state is ONE
+    integer (the changed count), and convergence RAISES past
+    max_rounds rather than returning silently wrong labels. Every
+    exchange is edge-set-sized; nothing is ever quadratic. Singletons
+    (no reciprocal edge) are excluded by construction on both sides —
+    every emitted component has size >= 2. EXACT oracle: recursive
+    min-label reachability CTE (UNION-distinct fixpoint) over the
+    same reciprocal edge set."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import cc_min_labels
+    from .similarity import knn_graph
+
+    ds = _read(sf_dir, "embeddings")
+    nb = n_key_groups(ds.count() * 5)
+    edges = knn_graph(ds, k=5)
+
+    def canon(b: pa.Table) -> pd.DataFrame:
+        q = b["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["neighbor_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u = np.minimum(q, n)
+        v = np.maximum(q, n)
+        pair = (u.astype(np.uint64) * _MIX64) ^ v.astype(np.uint64)
+        return pd.DataFrame({
+            "u": u, "v": v,
+            "fwd": (q < n),
+            "bucket": (pair % np.uint64(nb)).astype(np.int32)})
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        got = g.groupby(["u", "v"])["fwd"].agg(["min", "max"])
+        both = got[got["min"] != got["max"]].reset_index()
+        return pd.DataFrame({
+            "vec_a": both["u"].astype("int64"),
+            "vec_b": both["v"].astype("int64")})
+
+    pairs = (edges.map_batches(canon, batch_format="pyarrow",
+                               batch_size=None)
+             .groupby("bucket").map_groups(mutual,
+                                           batch_format="pandas"))
+    labels = cc_min_labels(pairs, keys=("vec_a", "vec_b"))
+
+    def size_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["label"].value_counts()  # each node appears exactly once
+        return pd.DataFrame({"component": vc.index.astype("int64"),
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    return (labels.map_batches(size_partial, batch_format="pandas",
+                               batch_size=None)
+            .groupby("component").aggregate(Sum("n", alias_name="size"))
+            .sort("component"))
+
+
+def embedding_knn_components_sql() -> str:
+    return """
+        WITH RECURSIVE s AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(a.embedding,
+                                                b.embedding), 6) AS sim
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE a.vec_id <> b.vec_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id)
+                         AS rank
+              FROM s),
+        e AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+        m AS (SELECT e1.query_id AS a, e1.neighbor_id AS b
+              FROM e e1 JOIN e e2 ON e1.query_id = e2.neighbor_id
+                                 AND e1.neighbor_id = e2.query_id
+              WHERE e1.query_id < e1.neighbor_id),
+        u AS (SELECT a AS node, b AS peer FROM m
+              UNION ALL SELECT b, a FROM m),
+        walk(node, label) AS (
+            SELECT node, node FROM (SELECT DISTINCT node FROM u)
+          UNION
+            SELECT u.peer, w.label
+            FROM walk w JOIN u ON u.node = w.node),
+        c AS (SELECT node, min(label) AS component FROM walk
+              GROUP BY node)
+        SELECT component, count(*) AS size FROM c
+        GROUP BY component ORDER BY component
+    """
+
+
+def orders_rank_ties_latest(sf_dir: str):
+    """Tie-inclusive RANK window — rank() <= 10 most recent orders per
+    priority by order DATE, where date collisions make RANK genuinely
+    diverge from the registry's row_number shapes (all tied rows
+    qualify and ranks jump past ties; output row count is data-
+    dependent, not k·groups). Scale shape: rank(r) <= 10 implies at
+    most 9 rows are strictly later, hence at most 9 DISTINCT later
+    dates — so each batch keeps only rows within its own top-10
+    distinct dates per priority (a provable superset of the global
+    qualifiers) before the single priority-keyed exchange; the
+    exchange carries ~10 dates' worth of rows per batch per priority,
+    never the table. Exact rank + the tie set resolve per group.
+    rank() is computed on the date alone, so equal keys get equal
+    ranks and the output needs no synthetic tiebreak."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_orderdate"])
+
+    def prune(b: pd.DataFrame) -> pd.DataFrame:
+        thr = (b.drop_duplicates(["o_orderpriority", "o_orderdate"])
+               .sort_values(["o_orderpriority", "o_orderdate"],
+                            ascending=[True, False])
+               .groupby("o_orderpriority").head(10)
+               .groupby("o_orderpriority")["o_orderdate"].min()
+               .rename("thr"))
+        m = b.merge(thr, left_on="o_orderpriority", right_index=True)
+        return (m[m["o_orderdate"] >= m["thr"]]
+                .drop(columns="thr"))
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        rk = g["o_orderdate"].rank(method="min",
+                                   ascending=False).astype("int64")
+        out = g.assign(rk=rk)
+        return out[out["rk"] <= 10][
+            ["o_orderkey", "o_orderpriority", "o_orderdate", "rk"]]
+
+    return (ds.map_batches(prune, batch_format="pandas",
+                           batch_size=None)
+            .groupby("o_orderpriority")
+            .map_groups(rank_group, batch_format="pandas")
+            .sort(["o_orderpriority", "rk", "o_orderkey"]))
+
+
+def orders_rank_ties_latest_sql() -> str:
+    return """
+        SELECT o_orderkey, o_orderpriority, o_orderdate,
+               CAST(rk AS BIGINT) AS rk
+        FROM (SELECT o_orderkey, o_orderpriority, o_orderdate,
+                     rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_orderdate DESC) AS rk
+              FROM orders)
+        WHERE rk <= 10
+        ORDER BY o_orderpriority, rk, o_orderkey
+    """
+
+
+def events_cusum_changepoint(sf_dir: str):
+    """CUSUM change-point detection over the calendar-gap-filled daily
+    count series — the sequential-analysis shape (Page 1954): the
+    level-shift day is the argmax of |cum_d − d·S/T|, the classic
+    mean-centered cumulative-sum statistic. Scaling by T keeps it
+    integer: G_d = T·cum_d − d·S, folded in Python arbitrary
+    precision (T·cum overflows int64 past ~10^14 row-days), tie →
+    earliest day, matching the oracle's HUGEINT window arithmetic
+    bit-for-bit. Distributed part = the O(#days) per-day count reduce
+    (per-batch partials, one tiny groupby); the series itself is
+    calendar-bounded at any corpus size."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["ts"].dt.floor("D").value_counts()
+        return pd.DataFrame({"day": vc.index,
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    daily = (ds.map_batches(partial, batch_format="pandas",
+                            batch_size=None)
+             .groupby("day").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())  # O(#days) rows — driver-safe
+    spine = pd.date_range(daily["day"].min(), daily["day"].max(),
+                          freq="D")
+    x = (pd.DataFrame({"day": spine}).merge(daily, on="day", how="left")
+         ["n"].fillna(0).astype(np.int64).to_numpy())
+    t_n = len(x)
+    s_tot = int(x.sum())
+    best_abs, best_day, best_stat = -1, None, 0
+    cum = 0
+    for i, v in enumerate(x):
+        cum += int(v)
+        g = t_n * cum - (i + 1) * s_tot
+        if abs(g) > best_abs:
+            best_abs, best_day, best_stat = abs(g), spine[i], g
+    return pd.DataFrame({"day": pd.Series([best_day],
+                                           dtype="datetime64[us]"),
+                         "cusum_stat": np.array([best_abs],
+                                                dtype=np.int64)})
+
+
+def events_cusum_changepoint_sql() -> str:
+    return """
+        WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+                   FROM events GROUP BY 1),
+        bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+        spine AS (SELECT unnest(generate_series(lo, hi,
+                      INTERVAL 1 DAY)) AS day FROM bounds),
+        s AS (SELECT s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+              FROM spine s LEFT JOIN d USING (day)),
+        tot AS (SELECT count(*) AS t, sum(n) AS sv FROM s),
+        c AS (SELECT day,
+                     sum(n) OVER (ORDER BY day) AS cum,
+                     row_number() OVER (ORDER BY day) AS i
+              FROM s)
+        SELECT c.day,
+               CAST(abs(tot.t * c.cum - c.i * tot.sv) AS BIGINT)
+                   AS cusum_stat
+        FROM c, tot
+        ORDER BY abs(tot.t * c.cum - c.i * tot.sv) DESC, c.day
+        LIMIT 1
+    """
+
+
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
     # verifies only the FIRST 50 entries of queries() in dict order, and
@@ -10252,6 +10468,9 @@ QUERIES = {
     "lineitem_disjunctive_revenue": lineitem_disjunctive_revenue,
     "nation_profit_by_year": nation_profit_by_year,
     "nation_market_share": nation_market_share,
+    "embedding_knn_components": embedding_knn_components,
+    "orders_rank_ties_latest": orders_rank_ties_latest,
+    "events_cusum_changepoint": events_cusum_changepoint,
 }
 
 ORACLES = {
@@ -10392,4 +10611,7 @@ ORACLES = {
     "lineitem_disjunctive_revenue": lineitem_disjunctive_revenue_sql(),
     "nation_profit_by_year": nation_profit_by_year_sql(),
     "nation_market_share": nation_market_share_sql(),
+    "embedding_knn_components": embedding_knn_components_sql(),
+    "orders_rank_ties_latest": orders_rank_ties_latest_sql(),
+    "events_cusum_changepoint": events_cusum_changepoint_sql(),
 }
