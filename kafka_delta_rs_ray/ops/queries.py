@@ -10301,6 +10301,152 @@ def events_cusum_changepoint_sql() -> str:
     """
 
 
+_NEAR_PAIR_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def events_near_pairs(sf_dir: str):
+    """INTERVAL SELF-JOIN — per-user count of event pairs within one
+    hour of each other: the proximity/burst shape (|t_a − t_b| ≤ Δ
+    band predicate) that neither the equality joins nor the as-of
+    join express, and whose naive SQL form is a quadratic self-join.
+    Distributed plan: ONE hash(user_id)-bucketed exchange co-locates
+    each user's events; the kernel sorts (user, ts) once and counts
+    window partners with a single vectorized searchsorted over a
+    VIRTUAL monotone timeline (each user's segment re-based onto a
+    compact axis with > Δ gaps between users, so one global
+    searchsorted respects user boundaries with zero per-user Python).
+    Counting j > i in sorted order counts every unordered pair
+    exactly once, ties included. The virtual axis spans
+    Σ per-user spans + n·Δ ≤ group_rows·span — asserted against
+    int64 before use (groups are TARGET_GROUP_ROWS-scaled, so the
+    bound holds at any corpus size)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = n_key_groups(ds.count())
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "bucket": pa.array(hash_bucket(uid, nb))})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us"])
+        ts = g["ts_us"].to_numpy(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        seg_starts = np.flatnonzero(new_seg)
+        seg_ends = np.r_[seg_starts[1:], len(uid)]
+        seg_min = ts[seg_starts]
+        spans = ts[seg_ends - 1] - seg_min
+        offs = np.zeros(len(seg_starts), dtype=np.int64)
+        if len(offs) > 1:
+            np.cumsum(spans[:-1] + _NEAR_PAIR_WINDOW_US + 1,
+                      out=offs[1:])
+        assert (len(offs) == 0
+                or int(offs[-1]) + int(spans[-1])
+                + _NEAR_PAIR_WINDOW_US < np.iinfo(np.int64).max), \
+            "virtual timeline overflow: raise bucket count"
+        seg_idx = np.cumsum(new_seg) - 1
+        vt = ts - seg_min[seg_idx] + offs[seg_idx]
+        upper = np.searchsorted(vt, vt + _NEAR_PAIR_WINDOW_US,
+                                side="right")
+        cnt = upper - np.arange(len(vt)) - 1
+        per_user = (pd.DataFrame({"user_id": uid, "n": cnt})
+                    .groupby("user_id")["n"].sum())
+        per_user = per_user[per_user > 0]  # inner-join oracle parity
+        return pd.DataFrame({
+            "user_id": per_user.index.astype("int64"),
+            "n_pairs": per_user.to_numpy().astype("int64")})
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("bucket").map_groups(kernel, batch_format="pandas")
+            .sort("user_id"))
+
+
+def events_near_pairs_sql() -> str:
+    return f"""
+        SELECT a.user_id, count(*) AS n_pairs
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND abs(epoch_us(a.ts) - epoch_us(b.ts))
+                 <= {_NEAR_PAIR_WINDOW_US}
+        GROUP BY a.user_id ORDER BY a.user_id
+    """
+
+
+def events_asof_join_forward(sf_dir: str):
+    """FORWARD as-of join WITH TOLERANCE — for each 'click', the
+    NEXT 'purchase' by the same user within one hour, as the
+    click→conversion gap in microseconds. The two knobs the backward
+    as-of entry doesn't exercise: direction='forward' (earliest
+    successor, not latest predecessor) and a bounded tolerance
+    (conversions past the attribution window don't count). Same
+    single hash(user_id)-bucketed exchange; the per-bucket kernel is
+    one vectorized pandas merge_asof. DuckDB's ASOF JOIN is
+    backward-only, so the oracle states forward-within-Δ directly as
+    min(successor) per click under the band predicate — exact int64
+    microsecond arithmetic on both sides."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts"])
+    nb = n_key_groups(ds.count())
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["event_type"],
+                              value_set=pa.array(["click", "purchase"])))
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "is_click": pc.equal(b["event_type"], "click"),
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "bucket": pa.array(hash_bucket(uid, nb))})
+
+    _empty = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                           "user_id": pd.Series([], dtype="int64"),
+                           "gap_us": pd.Series([], dtype="int64")})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["is_click"]].sort_values("ts_us")
+        right = g[~g["is_click"]].sort_values("ts_us")
+        if left.empty or right.empty:
+            return _empty
+        right = right[["user_id", "ts_us"]].assign(
+            purchase_ts=right["ts_us"])
+        j = pd.merge_asof(left, right, on="ts_us", by="user_id",
+                          direction="forward",
+                          tolerance=_NEAR_PAIR_WINDOW_US)
+        j = j.dropna(subset=["purchase_ts"])  # inner: no conversion
+        return pd.DataFrame({
+            "event_id": j["event_id"].astype("int64"),
+            "user_id": j["user_id"].astype("int64"),
+            "gap_us": (j["purchase_ts"].astype("int64")
+                       - j["ts_us"].astype("int64"))})
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("bucket").map_groups(kernel, batch_format="pandas")
+            .sort("event_id"))
+
+
+def events_asof_join_forward_sql() -> str:
+    return f"""
+        SELECT l.event_id, l.user_id,
+               min(epoch_us(r.ts)) - epoch_us(l.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') l
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON r.user_id = l.user_id AND r.ts >= l.ts
+         AND epoch_us(r.ts) - epoch_us(l.ts) <= {_NEAR_PAIR_WINDOW_US}
+        GROUP BY l.event_id, l.user_id, epoch_us(l.ts)
+        ORDER BY l.event_id
+    """
+
+
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
     # verifies only the FIRST 50 entries of queries() in dict order, and
@@ -10471,6 +10617,8 @@ QUERIES = {
     "embedding_knn_components": embedding_knn_components,
     "orders_rank_ties_latest": orders_rank_ties_latest,
     "events_cusum_changepoint": events_cusum_changepoint,
+    "events_near_pairs": events_near_pairs,
+    "events_asof_join_forward": events_asof_join_forward,
 }
 
 ORACLES = {
@@ -10614,4 +10762,6 @@ ORACLES = {
     "embedding_knn_components": embedding_knn_components_sql(),
     "orders_rank_ties_latest": orders_rank_ties_latest_sql(),
     "events_cusum_changepoint": events_cusum_changepoint_sql(),
+    "events_near_pairs": events_near_pairs_sql(),
+    "events_asof_join_forward": events_asof_join_forward_sql(),
 }
