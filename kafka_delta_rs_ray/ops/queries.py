@@ -10447,6 +10447,89 @@ def events_asof_join_forward_sql() -> str:
     """
 
 
+def suppliers_all_combos(sf_dir: str):
+    """RELATIONAL DIVISION — suppliers whose shipped parts cover EVERY
+    (brand, type) combination in the part catalog: Codd's "for all"
+    quantifier, the one classic join shape (÷) the registry's joins /
+    semi-joins / anti-joins don't express. Scale plan, three
+    attribute-bounded stages: (1) the divisor cardinality reduces
+    map-side to per-batch distinct combos and one combo-keyed groupby
+    (|brands|×|types| rows at ANY corpus size) — the driver holds ONE
+    integer; (2) lineitem's (partkey, suppkey) distinct partials
+    cogroup with part's (partkey, brand, type) on a partkey-hash
+    bucket, emitting deduplicated (suppkey, combo) pairs — the
+    exchange shrinks to ≤ |suppliers|·|combos| rows; (3) one
+    suppkey-bucketed groupby counts distinct combos per supplier and
+    keeps count == divisor. Exact integer comparison, exact HAVING
+    oracle."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    nb = n_key_groups(li.count())
+
+    def combo_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["p_brand", "p_type"]].drop_duplicates()
+
+    n_combos = (part.map_batches(combo_partial, batch_format="pandas",
+                                 batch_size=None)
+                .groupby(["p_brand", "p_type"]).count()
+                .count())  # driver state: one integer
+
+    def li_side(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.drop_duplicates()
+        k = p["l_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb),
+                             "side": np.ones(len(p), np.int8),
+                             "key": k,
+                             "supp": p["l_suppkey"].to_numpy(np.int64),
+                             "p_brand": [""] * len(p),
+                             "p_type": [""] * len(p)})
+
+    def part_side(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["p_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({"bucket": hash_bucket(k, nb),
+                             "side": np.zeros(len(b), np.int8),
+                             "key": k,
+                             "supp": np.zeros(len(b), np.int64),
+                             "p_brand": b["p_brand"],
+                             "p_type": b["p_type"]})
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0][["key", "p_brand", "p_type"]]
+        l = g[g["side"] == 1][["key", "supp"]]
+        j = l.merge(p, on="key").drop_duplicates(
+            ["supp", "p_brand", "p_type"])
+        s = j["supp"].to_numpy(np.int64)
+        return pd.DataFrame({"supp": s,
+                             "p_brand": j["p_brand"],
+                             "p_type": j["p_type"],
+                             "bucket2": hash_bucket(s, nb)})
+
+    def divide(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (g.drop_duplicates(["supp", "p_brand", "p_type"])
+               .groupby("supp").size())
+        ok = cnt[cnt == n_combos]
+        return pd.DataFrame({"l_suppkey": ok.index.astype("int64")})
+
+    return (li.map_batches(li_side, batch_format="pandas",
+                           batch_size=None)
+            .union(part.map_batches(part_side, batch_format="pandas",
+                                    batch_size=None))
+            .groupby("bucket").map_groups(attach, batch_format="pandas")
+            .groupby("bucket2").map_groups(divide, batch_format="pandas")
+            .sort("l_suppkey"))
+
+
+def suppliers_all_combos_sql() -> str:
+    return """
+        SELECT l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY l_suppkey
+        HAVING count(DISTINCT (p_brand, p_type)) =
+               (SELECT count(DISTINCT (p_brand, p_type)) FROM part)
+        ORDER BY l_suppkey
+    """
+
+
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
     # verifies only the FIRST 50 entries of queries() in dict order, and
@@ -10619,6 +10702,7 @@ QUERIES = {
     "events_cusum_changepoint": events_cusum_changepoint,
     "events_near_pairs": events_near_pairs,
     "events_asof_join_forward": events_asof_join_forward,
+    "suppliers_all_combos": suppliers_all_combos,
 }
 
 ORACLES = {
@@ -10764,4 +10848,5 @@ ORACLES = {
     "events_cusum_changepoint": events_cusum_changepoint_sql(),
     "events_near_pairs": events_near_pairs_sql(),
     "events_asof_join_forward": events_asof_join_forward_sql(),
+    "suppliers_all_combos": suppliers_all_combos_sql(),
 }

@@ -155,11 +155,19 @@ class _RewriteBin:
     (concurrent whole-bin concat+write stalls the allocator)."""
 
     def __init__(self, root: str, run_id: str, deletes_ref,
-                 transcode_fmt: str | None = None):
+                 transcode_fmt: str | None = None,
+                 schema_b64: str | None = None):
         self.root = root
         self.run_id = run_id
         self.deletes_ref = deletes_ref  # (delete-file paths, fingerprints)
         self.transcode_fmt = transcode_fmt
+        # manifest schema (b64) for evolved tables: bins can mix
+        # fragment GENERATIONS (pre/post merge_schema add or
+        # drop_column), so each input conforms to the current schema
+        # before the streaming writer sees it — the rewrite both fixes
+        # the mixed-schema concat and physically materializes
+        # adds (null-fill) / drops (reclaimed bytes)
+        self.schema_b64 = schema_b64
         self._deletes = None
         self._fps = None
         self._ctx = None
@@ -177,12 +185,21 @@ class _RewriteBin:
                                      sorted_by=row.get("sorted_by"))
         from ..tablefmt.fragments import read_dead_keys
 
+        target_schema = None
+        if self.schema_b64 is not None:
+            from ..tablefmt.schema import schema_from_b64
+
+            target_schema = schema_from_b64(self.schema_b64)
         for fid, rel in zip(row["fragment_ids"], row["paths"]):
             t = pq.read_table(os.path.join(self.root, rel))
             keys = read_dead_keys(self.root, fid, self._deletes.get(fid))
             if keys is not None and len(keys) > 0:
                 t = t.filter(pc.invert(pc.is_in(t["image_id"],
                                                 value_set=keys)))
+            if target_schema is not None:
+                from ..tablefmt.schema import conform_table
+
+                t = conform_table(t, target_schema)
             if self.transcode_fmt:
                 t = transcode_table(t, self.transcode_fmt)
             sw.write(t)
@@ -283,9 +300,14 @@ def compact(table: Table, target_bytes: int = DEFAULT_TARGET_BYTES,
     kwargs = {"concurrency": concurrency} if concurrency is not None else {}
     # one block per bin — from_items yields a single block otherwise,
     # which would serialize every rewrite into one task
+    schema_b64 = None
+    if snap.manifest.properties.get("schema_evolved"):
+        from ..tablefmt.schema import schema_to_b64
+
+        schema_b64 = schema_to_b64(snap.manifest.schema)
     rewrite_ds = rd.from_items(bins, override_num_blocks=len(bins)).map_batches(
         _RewriteBin(table.root, ctx.run_id, deletes_ref,
-                    transcode_fmt=transcode_fmt),
+                    transcode_fmt=transcode_fmt, schema_b64=schema_b64),
         batch_format="pyarrow", batch_size=1, **kwargs)
     results = rewrite_ds.take_all()
     ctx.log_dataset_stats("rewrite", rewrite_ds)

@@ -93,6 +93,43 @@ class Table:
 
         return self.commit(build)
 
+    def drop_column(self, name: str) -> "Manifest":
+        """ALTER TABLE DROP COLUMN as a METADATA-ONLY commit (Delta's
+        column-mapping drop): the field leaves the schema in one
+        kind='alter' commit; fragment files are untouched (their
+        physical column becomes invisible — ``conform_table`` projects
+        every read onto the manifest schema once ``schema_evolved``
+        is set, the same machinery merge_schema adds rely on). Space
+        is reclaimed lazily: the next compaction rewrites fragments
+        to the current schema. Dropping the key column, a column a
+        CHECK constraint references, or the last data column is
+        rejected at declaration (validate-early, C1 posture)."""
+        if name == "image_id":
+            raise StateError("cannot drop the key column 'image_id'")
+
+        def build(latest: Manifest) -> Manifest:
+            if name not in latest.schema.names:
+                raise StateError(f"no such column {name!r}")
+            if len(latest.schema) <= 2:
+                raise StateError("cannot drop the last data column")
+            used = [c["name"] for c in
+                    latest.properties.get("constraints", [])
+                    if c["col"] == name]
+            if used:
+                raise StateError(
+                    f"column {name!r} is referenced by constraint(s) "
+                    f"{used}; drop them first")
+            fields = [f for f in latest.schema if f.name != name]
+            return Manifest(
+                version=-1, parent=None, kind="alter",
+                schema=pa.schema(fields),
+                fragments=list(latest.fragments),
+                txn={k: dict(v) for k, v in latest.txn.items()},
+                properties={**latest.properties,
+                            "schema_evolved": True})
+
+        return self.commit(build)
+
     def drop_constraint(self, name: str) -> "Manifest":
         def build(latest: Manifest) -> Manifest:
             cur = list(latest.properties.get("constraints", []))

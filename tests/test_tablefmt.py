@@ -671,3 +671,72 @@ def test_create_branch_verifies_fork_closure(table, ray_session):
     with pytest.raises(StateError, match="expired while branching"):
         table.create_branch("broken")
     assert table.branches() == []  # withdrawn, not half-created
+
+
+def test_drop_column_metadata_only(table, ray_session):
+    """ALTER TABLE DROP COLUMN: one metadata commit hides the column
+    from every read path (fragments untouched on disk); guards reject
+    the key column, unknown columns, and constraint-referenced
+    columns; the next compaction physically reclaims the bytes."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from kafka_delta_rs_ray.errors import StateError
+    from kafka_delta_rs_ray.pipelines.compact import compact
+
+    append(table, image_dataset(40, batch_size=10),
+           target_fragment_rows=10)
+    before = table.snapshot().to_arrow().sort_by("image_id")
+
+    m = table.drop_column("caption")
+    assert m.kind == "alter" and "caption" not in m.schema.names
+    assert m.properties.get("schema_evolved") is True
+    # fragments untouched (metadata-only), column invisible to scans
+    frag0 = m.fragments[0]
+    assert "caption" in pq.read_schema(table.abspath(frag0.path)).names
+    after = table.snapshot().to_arrow().sort_by("image_id")
+    assert "caption" not in after.column_names
+    assert after.equals(before.drop_columns(["caption"]))
+    # distributed scan + projection agree
+    ds = table.snapshot().dataset(columns=["image_id", "w"])
+    assert ds.count() == 40
+
+    # guards
+    with pytest.raises(StateError, match="key column"):
+        table.drop_column("image_id")
+    with pytest.raises(StateError, match="no such column"):
+        table.drop_column("nope")
+    table.add_constraint({"name": "w_pos", "col": "w", "op": ">",
+                          "value": 0})
+    with pytest.raises(StateError, match="referenced by constraint"):
+        table.drop_column("w")
+
+    # compaction conforms mixed generations and reclaims the bytes
+    mc = compact(table, target_bytes=64 << 20)
+    assert mc is not None
+    for f in mc.fragments:
+        assert "caption" not in pq.read_schema(table.abspath(f.path)).names
+    assert table.snapshot().to_arrow().sort_by("image_id").equals(
+        before.drop_columns(["caption"]))
+
+
+def test_compact_across_evolved_generations(table, ray_session):
+    """Compaction bins can mix fragments written before and after a
+    merge_schema ADD: each input conforms to the manifest schema
+    inside the rewrite (old rows null-filled), so the streaming
+    writer never sees a schema mismatch and the scan is identical
+    before/after."""
+    from kafka_delta_rs_ray.pipelines.compact import compact
+
+    append(table, image_dataset(30, batch_size=10),
+           target_fragment_rows=10)
+    append(table, _license_ds(10, 99, "gen2"), target_fragment_rows=10,
+           mode="merge_schema")
+    before = table.snapshot().to_arrow().sort_by("image_id")
+    assert before["license"].to_pylist().count(None) == 30
+
+    m = compact(table, target_bytes=64 << 20)
+    assert m is not None
+    after = table.snapshot().to_arrow().sort_by("image_id")
+    assert after.equals(before)
