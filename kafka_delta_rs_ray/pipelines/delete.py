@@ -81,6 +81,14 @@ class _ScanMatches:
         out = {"fragment_id": [], "del_rel": [], "n": []}
         cols = sorted(set(self.predicate) | {"image_id"})
         for row in meta.to_pylist():
+            # schema evolution: a fragment predating a merge_schema ADD
+            # physically lacks the column — its rows are all NULL there,
+            # and SQL comparison-with-NULL never matches, so the whole
+            # fragment is skipped (same semantics as a scan + null mask)
+            have = set(pq.read_schema(
+                f"{self.root}/{row['path']}").names)
+            if any(c not in have for c in self.predicate):
+                continue
             t = pq.read_table(f"{self.root}/{row['path']}", columns=cols)
             mask = np.ones(t.num_rows, dtype=bool)
             for col, (lo, hi) in self.predicate.items():

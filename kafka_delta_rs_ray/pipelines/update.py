@@ -90,7 +90,8 @@ class _RewriteMatches:
     per-fragment by construction so no shuffle is ever needed."""
 
     def __init__(self, root: str, run_id: str, predicate: dict,
-                 assignments: dict, constraints: list[dict]):
+                 assignments: dict, constraints: list[dict],
+                 schema_b64: str | None = None):
         self.root = root
         self.run_id = run_id
         self.predicate = predicate
@@ -99,6 +100,10 @@ class _RewriteMatches:
         self.assignments = {c: (s.as_py(), str(s.type))
                             for c, s in assignments.items()}
         self.constraints = constraints
+        # manifest schema for evolved tables: old fragments may lack
+        # an assigned column physically — conform (null-fill) before
+        # assigning so the rewrite fragment carries the full schema
+        self.schema_b64 = schema_b64
 
     def __call__(self, meta: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -107,10 +112,25 @@ class _RewriteMatches:
         from ..stages.validate import write_quarantine_table
         from ..tablefmt.fragments import read_dead_keys
 
+        target_schema = None
+        if self.schema_b64 is not None:
+            from ..tablefmt.schema import schema_from_b64
+
+            target_schema = schema_from_b64(self.schema_b64)
         out = {"fragment_id": [], "del_rel": [], "n": [],
                "frag_json": [], "quarantined": []}
         for row in meta.to_pylist():
+            # schema evolution: fragment predating an ADD of a
+            # predicate column → all-NULL there → never matches
+            have = set(pq.read_schema(
+                f"{self.root}/{row['path']}").names)
+            if any(c not in have for c in self.predicate):
+                continue
             t = pq.read_table(f"{self.root}/{row['path']}")
+            if target_schema is not None:
+                from ..tablefmt.schema import conform_table
+
+                t = conform_table(t, target_schema)
             mask = np.ones(t.num_rows, dtype=bool)
             for col, (lo, hi) in self.predicate.items():
                 v = t[col].to_numpy(zero_copy_only=False)
@@ -207,9 +227,14 @@ def update_where(table: Table, predicate: dict, assignments: dict,
             [{"id": f.id, "path": f.path,
               "delete_paths": list(f.delete_paths)} for f in touched],
             override_num_blocks=len(touched))
+        schema_b64 = None
+        if snap.manifest.properties.get("schema_evolved"):
+            from ..tablefmt.schema import schema_to_b64
+
+            schema_b64 = schema_to_b64(snap.manifest.schema)
         parts = metas.map_batches(
             _RewriteMatches(table.root, ctx.run_id, predicate, scalars,
-                            cons),
+                            cons, schema_b64=schema_b64),
             batch_format="pyarrow", batch_size=1).take_all()
         for r in parts:  # O(touched fragments) metadata rows
             n_quarantined += int(r["quarantined"])

@@ -1326,3 +1326,57 @@ def test_clone_shallow_zero_copy(table, tmp_path):
 
     with pytest.raises(StateError, match="already"):
         table.clone(str(tmp_path / "c"))
+
+
+def test_update_delete_on_evolved_schema(tmp_path, ray_session):
+    """Schema-evolution edges of the predicate verbs: old fragments
+    physically lacking a predicate column never match (SQL NULL
+    comparison semantics — the scan must not crash); updating an
+    ADDED column over an old fragment null-fills (conform) before
+    assigning, and the rewrite fragment carries the full current
+    schema."""
+    import pyarrow.parquet as pq_
+
+    from kafka_delta_rs_ray.pipelines.delete import delete_where
+    from kafka_delta_rs_ray.pipelines.update import update_where
+
+    t = Table.create(str(tmp_path / "te"), IMAGE_SCHEMA)
+    append(t, image_dataset(20, batch_size=20), target_fragment_rows=20)
+
+    def with_score(b):
+        return b.append_column(
+            "score", pa.array([5] * b.num_rows, pa.int64())).set_column(
+            0, "image_id",
+            pa.array([f"g2-{i}" for i in range(b.num_rows)]))
+
+    gen2 = image_dataset(10, seed=7, batch_size=10).map_batches(
+        with_score, batch_format="pyarrow")
+    append(t, gen2, target_fragment_rows=10, mode="merge_schema")
+
+    # predicate on the added column: old fragments are all-NULL there
+    # → only gen2 rows match; scan must not crash on missing column
+    m = update_where(t, {"score": (5, None)}, {"caption": "SCORED"})
+    assert m is not None
+    tab = t.snapshot().to_arrow()
+    scored = [c for c, s in zip(tab["caption"].to_pylist(),
+                                tab["score"].to_pylist()) if s == 5]
+    assert len(scored) == 10 and all(c == "SCORED" for c in scored)
+    assert sum(1 for s in tab["score"].to_pylist() if s is None) == 20
+
+    # update the ADDED column over ALL rows: old fragments conform
+    # (null-fill) then assign — every row gets the value
+    m2 = update_where(t, {"w": (None, None)}, {"score": 9})
+    assert m2 is not None
+    tab2 = t.snapshot().to_arrow()
+    assert set(tab2["score"].to_pylist()) == {9}
+    # rewrite fragments carry the full evolved schema physically
+    new_frags = [f for f in m2.fragments
+                 if f.id not in {x.id for x in m.fragments}]
+    assert new_frags
+    for f in new_frags:
+        assert "score" in pq_.read_schema(t.abspath(f.path)).names
+
+    # delete on the added column skips old fragments cleanly
+    md = delete_where(t, {"score": (9, None)})
+    assert md is not None
+    assert t.snapshot().to_arrow().num_rows == 0
