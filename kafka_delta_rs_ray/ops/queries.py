@@ -10679,6 +10679,66 @@ def orders_rolling_median_daily_sql() -> str:
     """
 
 
+def lineitem_supplier_hhi_by_part(sf_dir: str):
+    """HERFINDAHL–HIRSCHMAN concentration index per part — how
+    concentrated each part's supply is across suppliers (HHI =
+    Σ shareᵢ², the antitrust screening statistic): the
+    share-of-total-SQUARED aggregation shape, distinct from the
+    rank-based Gini — shares square inside each group, so the plan
+    is pure partial aggregation with zero order statistics. Stage 1:
+    per-batch (part, supplier) quantity partials (within-batch
+    groupby) through ONE part-hash-bucketed exchange — all of a
+    (part, supplier) cell's partials co-locate, so per-bucket
+    groupby gives exact cell totals; the per-part fold
+    hhi_micro = (10⁶·Σs² ) // S² runs inside the same kernel in
+    PYTHON ints (Σs² overflows int64 once any cell passes ~3·10⁹
+    units — corpus-scale certainty). Output one row per part —
+    output-sized, streamed as a Dataset. Exact HUGEINT `//` oracle."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey",
+                                    "l_quantity"])
+    nb = n_key_groups(ds.count())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "part": b["l_partkey"].to_numpy(np.int64),
+            "supp": b["l_suppkey"].to_numpy(np.int64),
+            "qty": b["l_quantity"].to_numpy(np.float64)
+                   .astype(np.int64)})
+        d = d.groupby(["part", "supp"], as_index=False)["qty"].sum()
+        d["bucket"] = hash_bucket(d["part"].to_numpy(np.int64), nb)
+        return d
+
+    def hhi(g: pd.DataFrame) -> pd.DataFrame:
+        cells = g.groupby(["part", "supp"], as_index=False)["qty"].sum()
+        out = []
+        for part, grp in cells.groupby("part"):
+            s = [int(v) for v in grp["qty"]]
+            tot = sum(s)
+            out.append({"l_partkey": int(part),
+                        "hhi_micro": (1_000_000
+                                      * sum(v * v for v in s))
+                        // (tot * tot)})
+        return pd.DataFrame(out).astype({"l_partkey": "int64",
+                                         "hhi_micro": "int64"})
+
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None)
+            .groupby("bucket").map_groups(hhi, batch_format="pandas")
+            .sort("l_partkey"))
+
+
+def lineitem_supplier_hhi_by_part_sql() -> str:
+    return """
+        WITH c AS (SELECT l_partkey, l_suppkey,
+                          sum(CAST(l_quantity AS BIGINT)) AS qty
+                   FROM lineitem GROUP BY 1, 2)
+        SELECT l_partkey,
+               CAST((1000000 * sum(qty * qty))
+                    // (sum(qty) * sum(qty)) AS BIGINT) AS hhi_micro
+        FROM c GROUP BY l_partkey ORDER BY l_partkey
+    """
+
+
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
     # verifies only the FIRST 50 entries of queries() in dict order, and
@@ -10854,6 +10914,7 @@ QUERIES = {
     "suppliers_all_combos": suppliers_all_combos,
     "lineitem_trimmed_mean_qty_by_flag": lineitem_trimmed_mean_qty_by_flag,
     "orders_rolling_median_daily": orders_rolling_median_daily,
+    "lineitem_supplier_hhi_by_part": lineitem_supplier_hhi_by_part,
 }
 
 ORACLES = {
@@ -11003,4 +11064,5 @@ ORACLES = {
     "lineitem_trimmed_mean_qty_by_flag":
         lineitem_trimmed_mean_qty_by_flag_sql(),
     "orders_rolling_median_daily": orders_rolling_median_daily_sql(),
+    "lineitem_supplier_hhi_by_part": lineitem_supplier_hhi_by_part_sql(),
 }
