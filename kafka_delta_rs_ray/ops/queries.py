@@ -10739,6 +10739,136 @@ def lineitem_supplier_hhi_by_part_sql() -> str:
     """
 
 
+def events_kruskal_wallis(sf_dir: str):
+    """EXACT Kruskal–Wallis H across ALL event types — the k-group
+    generalization of the Mann–Whitney rank test (one-way ANOVA on
+    ranks, the nonparametric screen for "does value's distribution
+    differ by type"), with tie correction. The rank machinery is the
+    KS/MW range-bin plan extended to k groups: milli-quantized
+    values, per-batch (bin, v, type) count partials, ONE bin-keyed
+    exchange, driver prefix offsets over ≤4096 bin totals; each bin
+    folds 2·R_g per type in Python ints (average-rank ties stay
+    integer via the 2× scaling: a tie group of total t at cumulative
+    offset p adds c_g·(2p + t + 1) to 2·R_g) plus the global tie
+    term Σ(t³−t), partials transported as strings (both overflow
+    int64 at corpus scale). The driver combines in exact Fractions —
+    H = [12/(N(N+1))·Σ R_g²/n_g − 3(N+1)] / (1 − Σ(t³−t)/(N³−N)) —
+    with ONE float conversion, rounded to 6 dp like the ANOVA
+    entry (the parametric twin this completes)."""
+    from fractions import Fraction
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def quantize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": np.round(b["value"].to_numpy() * 1000).astype(np.int64),
+            "g": b["event_type"]})
+
+    q = ds.map_batches(quantize, batch_format="pandas",
+                       batch_size=None).materialize()
+    mm = q.aggregate(Min("v"), Max("v"))
+    lo, hi = int(mm["min(v)"]), int(mm["max(v)"])
+    ng = (q.map_batches(
+        lambda b: b.groupby("g", as_index=False).size()
+        .rename(columns={"size": "n"}),
+        batch_format="pandas", batch_size=None)
+        .groupby("g").aggregate(Sum("n", alias_name="n"))
+        .to_pandas())  # |types| rows
+    n_by = {r["g"]: int(r["n"]) for _, r in ng.iterrows()}
+    n_tot = sum(n_by.values())
+    k = len(n_by)
+    width = max(1, (hi - lo + _KS_BINS) // _KS_BINS)
+
+    def binned(b: pd.DataFrame, lo=lo, width=width) -> pd.DataFrame:
+        d = b.assign(bin=(b["v"].to_numpy() - lo) // width)
+        return (d.groupby(["bin", "v", "g"], as_index=False).size()
+                .rename(columns={"size": "c"}))
+
+    parts = (q.map_batches(binned, batch_format="pandas",
+                           batch_size=None).materialize())
+    tot = (parts.groupby("bin")
+           .aggregate(Sum("c", alias_name="c"))
+           .to_pandas().sort_values("bin"))
+    cum = tot["c"].cumsum().shift(1, fill_value=0)
+    offs = {int(bn): int(o) for bn, o in zip(tot["bin"], cum)}
+
+    def bin_fold(grp: pd.DataFrame, offs=offs) -> pd.DataFrame:
+        off = offs[int(grp["bin"].iloc[0])]
+        piv = (grp.groupby(["v", "g"], as_index=False)["c"].sum())
+        tv = (piv.groupby("v", as_index=False)["c"].sum()
+              .rename(columns={"c": "t"}).sort_values("v"))
+        cumbef = {int(v): off + int(p) for v, p in zip(
+            tv["v"], tv["t"].cumsum().shift(1, fill_value=0))}
+        tmap = {int(v): int(t) for v, t in zip(tv["v"], tv["t"])}
+        r2: dict = {}
+        for v, g, c in zip(piv["v"], piv["g"], piv["c"]):
+            v, c = int(v), int(c)
+            r2[g] = r2.get(g, 0) + c * (2 * cumbef[v] + tmap[v] + 1)
+        tie3 = sum(t ** 3 - t for t in tmap.values())
+        return pd.DataFrame({
+            "g": list(r2) + ["\x00tie"],
+            "val": [str(x) for x in r2.values()] + [str(tie3)]})
+
+    per_bin = (parts.groupby("bin")
+               .map_groups(bin_fold, batch_format="pandas")
+               .to_pandas())  # <= (k+1) * 4096 rows
+    r2_by: dict = {}
+    tie3 = 0
+    for g, s in zip(per_bin["g"], per_bin["val"]):
+        if g == "\x00tie":
+            tie3 += int(s)
+        else:
+            r2_by[g] = r2_by.get(g, 0) + int(s)
+    sr = sum(Fraction(r2_by[g] ** 2, 4 * n_by[g]) for g in r2_by)
+    h_raw = (Fraction(12, n_tot * (n_tot + 1)) * sr
+             - 3 * (n_tot + 1))
+    corr = 1 - Fraction(tie3, n_tot ** 3 - n_tot)
+    h = h_raw / corr
+    return pa.table({
+        "h_stat": pa.array([round(float(h), 6)], pa.float64()),
+        "df": pa.array([k - 1], pa.int64()),
+        "n": pa.array([n_tot], pa.int64())})
+
+
+def events_kruskal_wallis_sql() -> str:
+    return """
+        WITH x AS (SELECT CAST(round(value * 1000) AS BIGINT) AS v,
+                          event_type AS g
+                   FROM events),
+        nn AS (SELECT CAST(count(*) AS HUGEINT) AS n_tot FROM x),
+        c AS (SELECT v, g, CAST(count(*) AS HUGEINT) AS c
+              FROM x GROUP BY v, g),
+        tv AS (SELECT v, sum(c) AS t FROM c GROUP BY v),
+        e AS (SELECT v, t,
+                     coalesce(sum(t) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cumbef
+              FROM tv),
+        r AS (SELECT c.g,
+                     sum(c.c * (2 * e.cumbef + e.t + 1)) AS r2,
+                     sum(c.c) AS n
+              FROM c JOIN e USING (v) GROUP BY c.g),
+        ties AS (SELECT sum(t * t * t - t) AS tie3 FROM tv),
+        agg AS (SELECT sum(CAST(r2 * r2 AS DOUBLE)
+                           / (4.0 * CAST(n AS DOUBLE))) AS sr,
+                       count(*) AS k
+                FROM r)
+        SELECT round((12.0 * sr / (CAST(n_tot AS DOUBLE)
+                                   * (CAST(n_tot AS DOUBLE) + 1.0))
+                      - 3.0 * (CAST(n_tot AS DOUBLE) + 1.0))
+                     / (1.0 - CAST(tie3 AS DOUBLE)
+                        / (CAST(n_tot AS DOUBLE)
+                           * CAST(n_tot AS DOUBLE)
+                           * CAST(n_tot AS DOUBLE)
+                           - CAST(n_tot AS DOUBLE))), 6) AS h_stat,
+               CAST(k - 1 AS BIGINT) AS df,
+               CAST(n_tot AS BIGINT) AS n
+        FROM agg, ties, nn
+    """
+
+
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
     # verifies only the FIRST 50 entries of queries() in dict order, and
@@ -10915,6 +11045,7 @@ QUERIES = {
     "lineitem_trimmed_mean_qty_by_flag": lineitem_trimmed_mean_qty_by_flag,
     "orders_rolling_median_daily": orders_rolling_median_daily,
     "lineitem_supplier_hhi_by_part": lineitem_supplier_hhi_by_part,
+    "events_kruskal_wallis": events_kruskal_wallis,
 }
 
 ORACLES = {
@@ -11065,4 +11196,5 @@ ORACLES = {
         lineitem_trimmed_mean_qty_by_flag_sql(),
     "orders_rolling_median_daily": orders_rolling_median_daily_sql(),
     "lineitem_supplier_hhi_by_part": lineitem_supplier_hhi_by_part_sql(),
+    "events_kruskal_wallis": events_kruskal_wallis_sql(),
 }
