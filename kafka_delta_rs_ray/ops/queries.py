@@ -10869,6 +10869,65 @@ def events_kruskal_wallis_sql() -> str:
     """
 
 
+def image_augment_pipeline(sf_dir: str):
+    """Image AUGMENTATION pipeline — the training-data transform
+    stage (deterministic flip / crop-and-resize chosen by a seeded
+    id-hash, stages/codec_stage.ImageAugment) run as an actor-pool
+    map over the synthetic image table, reduced to a compact
+    (image_id, aug, phash) result. Rows-only driver check (pixel
+    ops aren't SQL-expressible); SELF-CHECKING: the callable re-runs
+    the SAME augmentation driver-side on every probe row and asserts
+    the distributed output matches — byte-identical encode for the
+    lossless fmt, PSNR ≥ 40 dB for the lossy one — plus the
+    algebraic pins (hflip∘hflip = identity, crop preserves
+    dimensions), so 'ran clean' implies the distributed path
+    augmented correctly."""
+    from ..codecs import decode as _dec
+    from ..functions.psnr import psnr
+    from ..pipelines.synth import image_dataset
+    from ..stages.codec_stage import ImageAugment
+
+    ds = image_dataset(200, batch_size=50)
+    out = (ds.map_batches(ImageAugment(seed=7), batch_format="pyarrow",
+                          batch_size=32)
+           .materialize())
+
+    # self-check: recompute augmentation locally for a probe slice
+    stage = ImageAugment(seed=7)
+    probe_src = {r["image_id"]: r
+                 for b in image_dataset(12, batch_size=12)
+                 .iter_batches(batch_format="pyarrow", batch_size=12)
+                 for r in b.to_pylist()}
+    seen = 0
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=256):
+        for r in b.to_pylist():
+            src = probe_src.get(r["image_id"])
+            if src is None:
+                continue
+            seen += 1
+            op = stage.op_for(r["image_id"])
+            assert r["aug"] == op, (r["image_id"], r["aug"], op)
+            img = _dec(src["bytes"], src["fmt"])
+            want = np.ascontiguousarray(stage.apply(img, op))
+            got = _dec(r["bytes"], r["fmt"])
+            assert got.shape == img.shape  # crop preserves dims
+            if op in ("hflip", "vflip"):  # involution pin
+                assert np.array_equal(stage.apply(stage.apply(img, op),
+                                                  op), img)
+            if src["fmt"] == "rawz":
+                assert np.array_equal(got, want), r["image_id"]
+            else:
+                assert psnr(got, want) >= 40.0, r["image_id"]
+    assert seen == len(probe_src), (seen, len(probe_src))
+
+    def compact_cols(b: pa.Table) -> pa.Table:
+        return b.select(["image_id", "aug", "phash"])
+
+    return (out.map_batches(compact_cols, batch_format="pyarrow",
+                            batch_size=None)
+            .sort("image_id"))
+
+
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
     # verifies only the FIRST 50 entries of queries() in dict order, and
@@ -11046,6 +11105,7 @@ QUERIES = {
     "orders_rolling_median_daily": orders_rolling_median_daily,
     "lineitem_supplier_hhi_by_part": lineitem_supplier_hhi_by_part,
     "events_kruskal_wallis": events_kruskal_wallis,
+    "image_augment_pipeline": image_augment_pipeline,
 }
 
 ORACLES = {

@@ -360,3 +360,58 @@ class SilenceTrim:
             rows["lead"].append(lead)
             rows["tail"].append(tail)
         return pa.Table.from_pydict(rows, schema=self.OUTPUT_SCHEMA)
+
+
+class ImageAugment:
+    """Deterministic per-image AUGMENTATION — the training-data
+    transform stage (flip / crop-and-resize) between decode and embed
+    in an image curation pipeline. The op per image is chosen by a
+    seeded hash of its id (reproducible across runs and parallelism
+    levels, never RNG state): hflip | vflip | center-crop to the
+    middle 3/4 then block-mean back to (w, h). Output keeps the table
+    schema (bytes re-encoded with the SOURCE fmt, phash recomputed)
+    plus an ``aug`` column naming the op — appendable to a derived
+    augmented table unchanged. Pure numpy; state bound in __init__
+    (actor-pool posture, SURVEY §7.3)."""
+
+    OPS = ("hflip", "vflip", "crop")
+
+    def __init__(self, seed: int = 0):
+        self.seed = seed
+        self._decode, self._encode = decode, encode
+
+    def op_for(self, image_id: str) -> str:
+        import zlib
+
+        return self.OPS[zlib.crc32(
+            f"{self.seed}:{image_id}".encode()) % len(self.OPS)]
+
+    def apply(self, img: np.ndarray, op: str) -> np.ndarray:
+        if op == "hflip":
+            return img[:, ::-1]
+        if op == "vflip":
+            return img[::-1]
+        h, w = img.shape[:2]
+        crop = img[h // 8: h - h // 8, w // 8: w - w // 8]
+        return _block_mean_resize(crop, w, h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs, phs, ops = [], [], []
+        ids = batch["image_id"].to_pylist()
+        for iid, buf, fmt in zip(ids, binary_views(batch["bytes"]),
+                                 batch["fmt"].to_pylist()):
+            op = self.op_for(iid)
+            aug = np.ascontiguousarray(
+                self.apply(self._decode(buf, fmt), op))
+            bufs.append(self._encode(aug, fmt))
+            phs.append(phash64(aug))
+            ops.append(op)
+        return pa.table({
+            "image_id": batch["image_id"],
+            "bytes": pa.array(bufs, pa.large_binary()),
+            "w": batch["w"], "h": batch["h"],
+            "fmt": batch["fmt"],
+            "caption": batch["caption"],
+            "phash": pa.array(phs, pa.int64()),
+            "aug": pa.array(ops, pa.string()),
+        })

