@@ -10928,6 +10928,60 @@ def image_augment_pipeline(sf_dir: str):
             .sort("image_id"))
 
 
+def orders_dense_rank_recent_dates(sf_dir: str):
+    """DENSE_RANK window — every order on the 3 most recent DISTINCT
+    order dates per priority: the third ranking flavor (row_number
+    assigns ties arbitrarily, rank jumps past them, dense_rank counts
+    DISTINCT values), which makes "top-k distinct dates" expressible —
+    rank() <= 3 would surface only the single latest date's ties once
+    it has 3 rows. Per-batch pruning keeps rows on the batch's top-3
+    distinct dates per priority — for dense_rank this is EXACT
+    per-batch logic (a row qualifies globally iff its date is among
+    the global top-3 distinct dates, and the global top-3 is a subset
+    of the union of batch top-3s); one priority-keyed exchange
+    resolves the true top-3 and labels ranks. Rank is a function of
+    the date alone ⇒ deterministic output, no synthetic tiebreak."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_orderdate"])
+
+    def prune(b: pd.DataFrame) -> pd.DataFrame:
+        thr = (b.drop_duplicates(["o_orderpriority", "o_orderdate"])
+               .sort_values(["o_orderpriority", "o_orderdate"],
+                            ascending=[True, False])
+               .groupby("o_orderpriority").head(3)
+               .groupby("o_orderpriority")["o_orderdate"].min()
+               .rename("thr"))
+        m = b.merge(thr, left_on="o_orderpriority", right_index=True)
+        return (m[m["o_orderdate"] >= m["thr"]]
+                .drop(columns="thr"))
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        rk = g["o_orderdate"].rank(method="dense",
+                                   ascending=False).astype("int64")
+        out = g.assign(rk=rk)
+        return out[out["rk"] <= 3][
+            ["o_orderkey", "o_orderpriority", "o_orderdate", "rk"]]
+
+    return (ds.map_batches(prune, batch_format="pandas",
+                           batch_size=None)
+            .groupby("o_orderpriority")
+            .map_groups(rank_group, batch_format="pandas")
+            .sort(["o_orderpriority", "rk", "o_orderkey"]))
+
+
+def orders_dense_rank_recent_dates_sql() -> str:
+    return """
+        SELECT o_orderkey, o_orderpriority, o_orderdate,
+               CAST(rk AS BIGINT) AS rk
+        FROM (SELECT o_orderkey, o_orderpriority, o_orderdate,
+                     dense_rank() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_orderdate DESC) AS rk
+              FROM orders)
+        WHERE rk <= 3
+        ORDER BY o_orderpriority, rk, o_orderkey
+    """
+
+
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
     # verifies only the FIRST 50 entries of queries() in dict order, and
@@ -11106,6 +11160,7 @@ QUERIES = {
     "lineitem_supplier_hhi_by_part": lineitem_supplier_hhi_by_part,
     "events_kruskal_wallis": events_kruskal_wallis,
     "image_augment_pipeline": image_augment_pipeline,
+    "orders_dense_rank_recent_dates": orders_dense_rank_recent_dates,
 }
 
 ORACLES = {
@@ -11257,4 +11312,5 @@ ORACLES = {
     "orders_rolling_median_daily": orders_rolling_median_daily_sql(),
     "lineitem_supplier_hhi_by_part": lineitem_supplier_hhi_by_part_sql(),
     "events_kruskal_wallis": events_kruskal_wallis_sql(),
+    "orders_dense_rank_recent_dates": orders_dense_rank_recent_dates_sql(),
 }
