@@ -192,3 +192,28 @@ def test_shard_planner_property(tmp_path, sharded):
                                     delete_paths=list(f.delete_paths)
                                     + [f"deletes/d{step}.parquet"],
                                     deleted_rows=f.deleted_rows + 1)
+
+
+def test_clone_sharded_table(sharded, tmp_path, ray_session):
+    """Shallow clone of a SHARDED-manifest table: the clone's v0 writes
+    its own shard files under the clone root (plan_shards runs with
+    parent=None — source shard paths never leak into the clone), the
+    scan is identical, and expiring the source leaves the clone whole."""
+    t = Table.create(str(tmp_path / "t"), IMAGE_SCHEMA)
+    append(t, image_dataset(60, batch_size=10), target_fragment_rows=5)
+    assert len(t.read_manifest().fragments) >= mf.SHARD_THRESHOLD
+    with open(t.manifest_path(t.latest_version())) as f:
+        assert json.load(f).get("format_version") == 2
+
+    src_rows = t.snapshot().to_arrow().sort_by("image_id")
+    c = t.clone(str(tmp_path / "c"))
+    with open(c.manifest_path(0)) as f:
+        doc = json.load(f)
+    assert doc.get("format_version") == 2
+    for fl in doc["fragment_lists"]:
+        assert os.path.exists(c.abspath(fl["path"])), fl["path"]
+    assert c.snapshot().to_arrow().sort_by("image_id").equals(src_rows)
+
+    compact(t, target_bytes=64 << 20)
+    expire(t, keep_last=1, min_age_seconds=0)
+    assert c.snapshot().to_arrow().sort_by("image_id").equals(src_rows)
