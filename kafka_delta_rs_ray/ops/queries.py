@@ -10982,6 +10982,76 @@ def orders_dense_rank_recent_dates_sql() -> str:
     """
 
 
+_EPOCH_WEIGHTS = {"en": 2.5, "zh": 1.5}  # other langs: 1.0
+
+
+def doc_epoch_upsample(sf_dir: str):
+    """DATA-MIXING epoch upsampling — the training-mixture builder's
+    row-EXPANSION shape: each document repeats according to its
+    language's mixing weight (en×2.5, zh×1.5, rest ×1.0), with the
+    FRACTIONAL epoch realized deterministically (exactly the weight's
+    fraction of each language gets the extra copy — coordination-free,
+    no RNG): a doc takes the extra epoch iff its fixed
+    measure-preserving priority (doc_id·odd64 mod 2⁶⁴, the
+    doc_sample_bottomk permutation) falls below frac(w)·2⁶⁴. Pure
+    map-side flat expansion — zero exchanges at any corpus size; each
+    batch emits its own copies with a 1-based ``epoch`` index. Exact
+    oracle: the same threshold in HUGEINT arithmetic unnested over
+    generate_series."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pri = ids * np.uint64(_SAMPLE_MIX)
+        # exact integer threshold per lang (frac(w)·2⁶⁴ as uint64 —
+        # a float compare would misplace priorities near the boundary
+        # past 2⁵³; the oracle compares exact HUGEINTs). Weights are
+        # dyadic so the threshold is exact.
+        base_map = {l: int(w) for l, w in _EPOCH_WEIGHTS.items()}
+        thr_map = {l: int((w - int(w)) * (2 ** 64))
+                   for l, w in _EPOCH_WEIGHTS.items()}
+        base = b["lang"].map(base_map).fillna(1).to_numpy(np.int64)
+        thresh = (b["lang"].map(thr_map).fillna(0)
+                  .to_numpy(np.float64).astype(np.uint64))
+        n = base + (pri < thresh).astype(np.int64)
+        idx = np.repeat(np.arange(len(b)), n)
+        epoch = (np.arange(len(idx))
+                 - np.repeat(np.cumsum(n) - n, n) + 1)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64)[idx],
+            "lang": b["lang"].to_numpy(dtype=object)[idx],
+            "epoch": epoch.astype(np.int64)})
+
+    return (ds.map_batches(expand, batch_format="pandas",
+                           batch_size=None)
+            .sort(["doc_id", "epoch"]))
+
+
+def doc_epoch_upsample_sql() -> str:
+    half = 1 << 63  # frac(0.5) * 2^64
+    return f"""
+        WITH w AS (SELECT doc_id, lang,
+                          CASE WHEN lang = 'en' THEN 2
+                               ELSE 1 END AS base,
+                          CASE WHEN lang IN ('en', 'zh')
+                               THEN {half} ELSE 0 END AS thresh,
+                          (CAST(doc_id AS HUGEINT)
+                           * {_SAMPLE_MIX})
+                          % 18446744073709551616 AS pri
+                   FROM documents),
+        n AS (SELECT doc_id, lang,
+                     base + CASE WHEN pri < thresh THEN 1 ELSE 0 END
+                         AS n_copies
+              FROM w)
+        SELECT doc_id, lang,
+               CAST(unnest(generate_series(1, n_copies)) AS BIGINT)
+                   AS epoch
+        FROM n
+        ORDER BY doc_id, epoch
+    """
+
+
 QUERIES = {
     # Ordering is deliberate (round 5): the driver's CORRECTNESS gate
     # verifies only the FIRST 50 entries of queries() in dict order, and
@@ -11161,6 +11231,7 @@ QUERIES = {
     "events_kruskal_wallis": events_kruskal_wallis,
     "image_augment_pipeline": image_augment_pipeline,
     "orders_dense_rank_recent_dates": orders_dense_rank_recent_dates,
+    "doc_epoch_upsample": doc_epoch_upsample,
 }
 
 ORACLES = {
@@ -11313,4 +11384,5 @@ ORACLES = {
     "lineitem_supplier_hhi_by_part": lineitem_supplier_hhi_by_part_sql(),
     "events_kruskal_wallis": events_kruskal_wallis_sql(),
     "orders_dense_rank_recent_dates": orders_dense_rank_recent_dates_sql(),
+    "doc_epoch_upsample": doc_epoch_upsample_sql(),
 }
