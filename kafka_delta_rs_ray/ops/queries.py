@@ -10982,6 +10982,114 @@ def orders_dense_rank_recent_dates_sql() -> str:
     """
 
 
+_KCENTER_K = 8
+
+
+def embedding_kcenter_coreset(sf_dir: str):
+    """DIVERSITY CORESET by farthest-first traversal (Gonzalez
+    k-center, the greedy 2-approximation) — the data-SELECTION shape
+    of training-data curation (pick k maximally spread exemplars;
+    SemDeDup prunes redundancy, this picks coverage): an ITERATIVE
+    ARGMAX whose every round depends on all previous choices — not
+    expressible as joins/windows, and a different fixpoint flavor
+    from k-means (argmax of a min, not mean updates). Scale shape:
+    per round the k chosen centers broadcast (k·d floats), each batch
+    computes its points' min-distance-to-centers vectorized and emits
+    ONE (dist, vec_id) candidate, and the driver argmax-reduces
+    O(n_blocks) rows — k rounds, zero shuffles, corpus never
+    co-located. Deterministic: squared-euclidean in float64 with
+    fixed accumulation (einsum) and ties broken by min vec_id; seeded
+    at the min vec_id. Rows-only (iterative argmax isn't SQL);
+    SELF-CHECKING below SELF_CHECK_MAX_ROWS — the callable re-runs
+    the identical traversal on the gathered vectors and asserts the
+    chosen ids AND distances match exactly."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def to_np(b: pa.Table):
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        x = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        return ids, x
+
+    seed_id = int(ds.min("vec_id"))
+
+    def seed_vec(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.equal(b["vec_id"], seed_id))
+
+    seed_rows = (ds.map_batches(seed_vec, batch_format="pyarrow",
+                                batch_size=None).take_all())
+    centers = [np.asarray(seed_rows[0]["embedding"], dtype=np.float64)]
+    chosen = [seed_id]
+    dists = [0.0]
+
+    for _ in range(1, _KCENTER_K):
+        c = np.stack(centers)
+        import ray as _ray
+
+        c_ref = _ray.put(c)
+
+        def cand(b: pa.Table, c_ref=c_ref) -> pa.Table:
+            import ray as _ray2
+
+            cc = _ray2.get(c_ref)
+            ids, x = to_np(b)
+            # ||x-c||² = ||x||² + ||c||² − 2x·c, fixed einsum order
+            d2 = (np.einsum("id,id->i", x, x)[:, None]
+                  + np.einsum("kd,kd->k", cc, cc)[None, :]
+                  - 2.0 * x @ cc.T)
+            mind = d2.min(axis=1)
+            j = int(np.lexsort((ids, -mind))[0])  # max dist, min id
+            return pa.table({"vec_id": pa.array([int(ids[j])], pa.int64()),
+                             "d2": pa.array([float(mind[j])],
+                                            pa.float64())})
+
+        cands = (ds.map_batches(cand, batch_format="pyarrow",
+                                batch_size=None).to_pandas())
+        cands = cands.sort_values(["d2", "vec_id"],
+                                  ascending=[False, True])
+        best_id = int(cands.iloc[0]["vec_id"])
+        dists.append(float(cands.iloc[0]["d2"]))
+        chosen.append(best_id)
+
+        def pick(b: pa.Table, best_id=best_id) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return b.filter(pc.equal(b["vec_id"], best_id))
+
+        row = ds.map_batches(pick, batch_format="pyarrow",
+                             batch_size=None).take_all()[0]
+        centers.append(np.asarray(row["embedding"], dtype=np.float64))
+
+    if ds.count() <= SELF_CHECK_MAX_ROWS:
+        rows = ds.take_all()
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        x = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+        order = np.argsort(ids)
+        ids, x = ids[order], x[order]
+        ref_chosen = [int(ids[0])]
+        ref_d = [0.0]
+        mind = None
+        for _ in range(1, _KCENTER_K):
+            c = x[np.searchsorted(ids, ref_chosen[-1])]
+            d2 = (np.einsum("id,id->i", x, x)
+                  + float(np.einsum("d,d->", c, c))
+                  - 2.0 * (x @ c))
+            mind = d2 if mind is None else np.minimum(mind, d2)
+            j = int(np.lexsort((ids, -mind))[0])
+            ref_chosen.append(int(ids[j]))
+            ref_d.append(float(mind[j]))
+        assert ref_chosen == chosen, (ref_chosen, chosen)
+        assert np.allclose(ref_d, dists, rtol=0, atol=1e-9), (ref_d,
+                                                              dists)
+
+    return pa.table({
+        "pick_order": pa.array(range(_KCENTER_K), pa.int64()),
+        "vec_id": pa.array(chosen, pa.int64()),
+        "d2_micro": pa.array([int(round(d * 1e6)) for d in dists],
+                             pa.int64())})
+
+
 _EPOCH_WEIGHTS = {"en": 2.5, "zh": 1.5}  # other langs: 1.0
 
 
@@ -11232,6 +11340,7 @@ QUERIES = {
     "image_augment_pipeline": image_augment_pipeline,
     "orders_dense_rank_recent_dates": orders_dense_rank_recent_dates,
     "doc_epoch_upsample": doc_epoch_upsample,
+    "embedding_kcenter_coreset": embedding_kcenter_coreset,
 }
 
 ORACLES = {
