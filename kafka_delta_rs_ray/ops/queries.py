@@ -10982,6 +10982,80 @@ def orders_dense_rank_recent_dates_sql() -> str:
     """
 
 
+def doc_langid_eval(sf_dir: str):
+    """MODEL EVALUATION — Cohen's kappa of the lang-id heuristic
+    against the table's gold labels: the classifier-quality shape
+    (chance-corrected agreement over a confusion matrix) a curation
+    pipeline runs before trusting a filter, absent from the registry
+    (the statistics family tests distributions, not predictions).
+    Kappa is INTEGER-EXACT: with N docs, diagonal D and Σ row_g·col_g
+    = RC, kappa = (N·D − RC)/(N² − RC) — every term an exact count
+    product, emitted as floor micro-units via Python-int // (N·D
+    overflows int64 at corpus scale), matching the oracle's HUGEINT
+    `//` bit-for-bit. Plan: per-batch confusion partials (the LangId
+    kernel runs on the batch, gold rides along) reduce through one
+    |langs|²-bounded groupby; the kappa fold is driver-side over that
+    tiny frame."""
+    from ray.data.aggregate import Sum
+
+    from .textops import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    lid = LangId()
+
+    def confusion(b: pd.DataFrame) -> pd.DataFrame:
+        pred = lid(b)["lang_pred"]
+        d = pd.DataFrame({"gold": b["lang"].to_numpy(dtype=object),
+                          "pred": pred.to_numpy(dtype=object)})
+        return (d.groupby(["gold", "pred"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    cm = (ds.map_batches(confusion, batch_format="pandas",
+                         batch_size=None)
+          .groupby(["gold", "pred"]).aggregate(Sum("n", alias_name="n"))
+          .to_pandas())  # |langs|² rows — driver-safe
+    n_tot = int(cm["n"].sum())
+    diag = int(cm.loc[cm["gold"] == cm["pred"], "n"].sum())
+    row = cm.groupby("gold")["n"].sum()
+    col = cm.groupby("pred")["n"].sum()
+    rc = sum(int(row.get(l, 0)) * int(col.get(l, 0))
+             for l in set(row.index) | set(col.index))
+    num = 1_000_000 * (n_tot * diag - rc)
+    den = n_tot ** 2 - rc
+    # kappa can be NEGATIVE (below-chance predictor — true on the
+    # synthetic corpus): DuckDB's HUGEINT // truncates toward zero
+    # while Python // floors, so mirror truncation explicitly
+    kappa_micro = num // den if num >= 0 else -((-num) // den)
+    return pa.table({
+        "kappa_micro": pa.array([kappa_micro], pa.int64()),
+        "n_docs": pa.array([n_tot], pa.int64()),
+        "n_correct": pa.array([diag], pa.int64())})
+
+
+def doc_langid_eval_sql() -> str:
+    pred = doc_lang_id_sql()
+    return f"""
+        WITH p AS ({pred}),
+        j AS (SELECT d.lang AS gold, p.lang_pred AS pred
+              FROM documents d JOIN p USING (doc_id)),
+        c AS (SELECT gold, pred, CAST(count(*) AS HUGEINT) AS n
+              FROM j GROUP BY 1, 2),
+        m AS (SELECT sum(n) AS nn,
+                     sum(CASE WHEN gold = pred THEN n ELSE 0 END)
+                         AS diag
+              FROM c),
+        rw AS (SELECT gold AS l, sum(n) AS r FROM c GROUP BY 1),
+        cl AS (SELECT pred AS l, sum(n) AS cc FROM c GROUP BY 1),
+        pe AS (SELECT sum(coalesce(r, 0) * coalesce(cc, 0)) AS rc
+               FROM rw FULL JOIN cl USING (l))
+        SELECT CAST((1000000 * (nn * diag - rc))
+                    // (nn * nn - rc) AS BIGINT) AS kappa_micro,
+               CAST(nn AS BIGINT) AS n_docs,
+               CAST(diag AS BIGINT) AS n_correct
+        FROM m, pe
+    """
+
+
 _KCENTER_K = 8
 
 
@@ -11341,6 +11415,7 @@ QUERIES = {
     "orders_dense_rank_recent_dates": orders_dense_rank_recent_dates,
     "doc_epoch_upsample": doc_epoch_upsample,
     "embedding_kcenter_coreset": embedding_kcenter_coreset,
+    "doc_langid_eval": doc_langid_eval,
 }
 
 ORACLES = {
@@ -11494,4 +11569,5 @@ ORACLES = {
     "events_kruskal_wallis": events_kruskal_wallis_sql(),
     "orders_dense_rank_recent_dates": orders_dense_rank_recent_dates_sql(),
     "doc_epoch_upsample": doc_epoch_upsample_sql(),
+    "doc_langid_eval": doc_langid_eval_sql(),
 }
