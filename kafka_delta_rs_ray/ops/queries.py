@@ -11056,6 +11056,88 @@ def doc_langid_eval_sql() -> str:
     """
 
 
+def doc_langid_prf(sf_dir: str):
+    """Per-class PRECISION / RECALL / F1 of the lang-id heuristic vs
+    gold labels — the class-level evaluation report beside the scalar
+    kappa entry, each metric INTEGER-EXACT in floor micro-units:
+    precision = tp·10⁶ // (tp+fp), recall = tp·10⁶ // (tp+fn), and
+    F1 via its tp form 2·tp·10⁶ // (2·tp + fp + fn) (no float
+    harmonic mean — the identity keeps it in integers). Same
+    |langs|²-bounded confusion reduce as doc_langid_eval; the
+    per-class fold is driver-side over that tiny frame. Classes with
+    no predictions get precision 0 by the 0/0→0 convention, stated
+    identically in the oracle's coalesce."""
+    from ray.data.aggregate import Sum
+
+    from .textops import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    lid = LangId()
+
+    def confusion(b: pd.DataFrame) -> pd.DataFrame:
+        pred = lid(b)["lang_pred"]
+        d = pd.DataFrame({"gold": b["lang"].to_numpy(dtype=object),
+                          "pred": pred.to_numpy(dtype=object)})
+        return (d.groupby(["gold", "pred"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    cm = (ds.map_batches(confusion, batch_format="pandas",
+                         batch_size=None)
+          .groupby(["gold", "pred"]).aggregate(Sum("n", alias_name="n"))
+          .to_pandas())  # |langs|² rows — driver-safe
+    langs = sorted(set(cm["gold"]))
+    out = []
+    for l in langs:
+        tp = int(cm.loc[(cm["gold"] == l) & (cm["pred"] == l),
+                        "n"].sum())
+        fp = int(cm.loc[(cm["gold"] != l) & (cm["pred"] == l),
+                        "n"].sum())
+        fn = int(cm.loc[(cm["gold"] == l) & (cm["pred"] != l),
+                        "n"].sum())
+        out.append({
+            "lang": l, "tp": tp, "fp": fp, "fn": fn,
+            "precision_micro": (1_000_000 * tp) // (tp + fp)
+            if tp + fp else 0,
+            "recall_micro": (1_000_000 * tp) // (tp + fn)
+            if tp + fn else 0,
+            "f1_micro": (2_000_000 * tp) // (2 * tp + fp + fn)
+            if 2 * tp + fp + fn else 0})
+    return pd.DataFrame(out).astype(
+        {c: "int64" for c in ("tp", "fp", "fn", "precision_micro",
+                              "recall_micro", "f1_micro")})
+
+
+def doc_langid_prf_sql() -> str:
+    pred = doc_lang_id_sql()
+    return f"""
+        WITH p AS ({pred}),
+        j AS (SELECT d.lang AS gold, p.lang_pred AS pred
+              FROM documents d JOIN p USING (doc_id)),
+        langs AS (SELECT DISTINCT gold AS lang FROM j),
+        m AS (SELECT l.lang,
+                     CAST(sum(CASE WHEN j.gold = l.lang
+                              AND j.pred = l.lang THEN 1 ELSE 0 END)
+                          AS HUGEINT) AS tp,
+                     CAST(sum(CASE WHEN j.gold <> l.lang
+                              AND j.pred = l.lang THEN 1 ELSE 0 END)
+                          AS HUGEINT) AS fp,
+                     CAST(sum(CASE WHEN j.gold = l.lang
+                              AND j.pred <> l.lang THEN 1 ELSE 0 END)
+                          AS HUGEINT) AS fn
+              FROM langs l CROSS JOIN j GROUP BY l.lang)
+        SELECT lang, CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+               CAST(coalesce((1000000 * tp) // nullif(tp + fp, 0), 0)
+                    AS BIGINT) AS precision_micro,
+               CAST(coalesce((1000000 * tp) // nullif(tp + fn, 0), 0)
+                    AS BIGINT) AS recall_micro,
+               CAST(coalesce((2000000 * tp)
+                             // nullif(2 * tp + fp + fn, 0), 0)
+                    AS BIGINT) AS f1_micro
+        FROM m ORDER BY lang
+    """
+
+
 _KCENTER_K = 8
 
 
@@ -11416,6 +11498,7 @@ QUERIES = {
     "doc_epoch_upsample": doc_epoch_upsample,
     "embedding_kcenter_coreset": embedding_kcenter_coreset,
     "doc_langid_eval": doc_langid_eval,
+    "doc_langid_prf": doc_langid_prf,
 }
 
 ORACLES = {
@@ -11570,4 +11653,5 @@ ORACLES = {
     "orders_dense_rank_recent_dates": orders_dense_rank_recent_dates_sql(),
     "doc_epoch_upsample": doc_epoch_upsample_sql(),
     "doc_langid_eval": doc_langid_eval_sql(),
+    "doc_langid_prf": doc_langid_prf_sql(),
 }
