@@ -11138,6 +11138,98 @@ def doc_langid_prf_sql() -> str:
     """
 
 
+def doc_auc_nchars_en(sf_dir: str):
+    """EXACT ROC-AUC — of document length (n_chars) as a score for
+    the binary label lang = 'en': the threshold-free ranking metric
+    (AUC = P(score⁺ > score⁻) + ½·P(tie), the probabilistic form of
+    the Mann–Whitney statistic), closing the evaluation family
+    (kappa → agreement, PRF → per-class, AUC → ranking). Tie-pairs
+    stay integer via the 2U form: a tie group at value v with (c₁,
+    c₀) counts and cum₀ negatives strictly below contributes
+    c₁·(2·cum₀ + c₀) to 2U, and auc_micro = 10⁶·2U // (2·n₁·n₀)
+    exactly (Python ints — 2U overflows int64 past ~3·10⁹ rows per
+    class). Plan: per-batch per-range-bin (v, c1, c0) partials, ONE
+    bin-keyed exchange, driver prefix offsets over ≤4096 bins,
+    per-bin Python-int partials as strings — the KS/MW/KW machinery
+    pointed at a prediction task. Exact window-cumulative oracle."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", ["n_chars", "lang"])
+
+    def quantize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": b["n_chars"].to_numpy(np.int64),
+            "c1": (b["lang"] == "en").to_numpy(dtype=np.int64),
+            "c0": (b["lang"] != "en").to_numpy(dtype=np.int64)})
+
+    q = ds.map_batches(quantize, batch_format="pandas",
+                       batch_size=None).materialize()
+    g = q.aggregate(Min("v"), Max("v"), Sum("c1"), Sum("c0"))
+    lo, hi = int(g["min(v)"]), int(g["max(v)"])
+    n1, n0 = int(g["sum(c1)"]), int(g["sum(c0)"])
+    width = max(1, (hi - lo + _KS_BINS) // _KS_BINS)
+
+    def binned(b: pd.DataFrame, lo=lo, width=width) -> pd.DataFrame:
+        return (b.assign(bin=(b["v"].to_numpy() - lo) // width)
+                .groupby(["bin", "v"], as_index=False)[["c1", "c0"]]
+                .sum())
+
+    parts = (q.map_batches(binned, batch_format="pandas",
+                           batch_size=None).materialize())
+    tot = (parts.groupby("bin")
+           .aggregate(Sum("c0", alias_name="c0"))
+           .to_pandas().sort_values("bin"))
+    cum0 = tot["c0"].cumsum().shift(1, fill_value=0)
+    offs = {int(bn): int(o) for bn, o in zip(tot["bin"], cum0)}
+
+    def bin_u2(grp: pd.DataFrame, offs=offs) -> pd.DataFrame:
+        off = offs[int(grp["bin"].iloc[0])]
+        gg = (grp.groupby("v", as_index=False)[["c1", "c0"]].sum()
+              .sort_values("v"))
+        c1 = gg["c1"].to_numpy()
+        c0 = gg["c0"].to_numpy()
+        cum0 = off + np.concatenate(([0], np.cumsum(c0)[:-1]))
+        u2 = sum(int(a) * (2 * int(p) + int(b))
+                 for a, b, p in zip(c1, c0, cum0))
+        return pd.DataFrame({"u2": [str(u2)]})
+
+    per_bin = (parts.groupby("bin")
+               .map_groups(bin_u2, batch_format="pandas")
+               .to_pandas())  # <= 4096 rows
+    u2 = sum(int(s) for s in per_bin["u2"])
+    return pa.table({
+        "auc_micro": pa.array([(1_000_000 * u2) // (2 * n1 * n0)],
+                              pa.int64()),
+        "n_pos": pa.array([n1], pa.int64()),
+        "n_neg": pa.array([n0], pa.int64())})
+
+
+def doc_auc_nchars_en_sql() -> str:
+    return """
+        WITH x AS (SELECT CAST(n_chars AS BIGINT) AS v,
+                          CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+                              AS c1,
+                          CASE WHEN lang = 'en' THEN 0 ELSE 1 END
+                              AS c0
+                   FROM documents),
+        n AS (SELECT CAST(sum(c1) AS HUGEINT) AS n1,
+                     CAST(sum(c0) AS HUGEINT) AS n0 FROM x),
+        c AS (SELECT v, CAST(sum(c1) AS HUGEINT) AS c1,
+                     CAST(sum(c0) AS HUGEINT) AS c0
+              FROM x GROUP BY v),
+        e AS (SELECT c1, c0,
+                     coalesce(sum(c0) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cum0
+              FROM c)
+        SELECT CAST((1000000 * sum(c1 * (2 * cum0 + c0)))
+                    // (2 * n1 * n0) AS BIGINT) AS auc_micro,
+               CAST(n1 AS BIGINT) AS n_pos,
+               CAST(n0 AS BIGINT) AS n_neg
+        FROM e, n GROUP BY n1, n0
+    """
+
+
 _KCENTER_K = 8
 
 
@@ -11499,6 +11591,7 @@ QUERIES = {
     "embedding_kcenter_coreset": embedding_kcenter_coreset,
     "doc_langid_eval": doc_langid_eval,
     "doc_langid_prf": doc_langid_prf,
+    "doc_auc_nchars_en": doc_auc_nchars_en,
 }
 
 ORACLES = {
@@ -11654,4 +11747,5 @@ ORACLES = {
     "doc_epoch_upsample": doc_epoch_upsample_sql(),
     "doc_langid_eval": doc_langid_eval_sql(),
     "doc_langid_prf": doc_langid_prf_sql(),
+    "doc_auc_nchars_en": doc_auc_nchars_en_sql(),
 }
