@@ -11230,6 +11230,155 @@ def doc_auc_nchars_en_sql() -> str:
     """
 
 
+def lineitem_kendall_tau_qty_price(sf_dir: str):
+    """EXACT tie-aware KENDALL tau-b between quantity and price — the
+    2D-DOMINANCE rank correlation (concordant/discordant PAIR
+    counting) that Spearman's rank-moment form can't express: tau
+    compares every pair's ORDERING in both dimensions. The naive
+    count is O(N²); this plan is a single-pass 2D sweep exploiting
+    the small x-cardinality (l_quantity has ≤ 50 levels): price
+    range-bins × 50 quantity levels give per-(bin, level) prefix
+    offsets (≤ 4096·50 ints, driver-held), and each bin folds its
+    tie-groups' concordant/discordant contributions in Python ints
+    (cum·count products overflow int64 at corpus scale), shipping
+    two string partials per bin. Tie pairs n1/n2 fold from per-level
+    and per-bin partials the same way. tau_b = (C − D) /
+    √((n0−n1)(n0−n2)) with BOTH engines evaluating the identical
+    float expression (each HUGEINT cast to double, then multiply —
+    the operand order is pinned so the 6-dp rounding agrees).
+    Exact grid-window oracle (distinct-y × 50 grid, two nested
+    cumulative windows)."""
+    import math
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def quant(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "y": np.round(b["l_extendedprice"].to_numpy(np.float64)
+                          * 100).astype(np.int64),
+            "q": b["l_quantity"].to_numpy(np.float64)
+            .astype(np.int64)})
+
+    qd = ds.map_batches(quant, batch_format="pandas",
+                        batch_size=None).materialize()
+    g = qd.aggregate(Min("y"), Max("y"), Min("q"), Max("q"))
+    lo, hi = int(g["min(y)"]), int(g["max(y)"])
+    qlo, qhi = int(g["min(q)"]), int(g["max(q)"])
+    nq = qhi - qlo + 1
+    assert nq <= 4096, "x-cardinality too large for the level sweep"
+    n_tot = int(qd.count())
+    width = max(1, (hi - lo + _KS_BINS) // _KS_BINS)
+
+    def binned(b: pd.DataFrame, lo=lo, width=width) -> pd.DataFrame:
+        d = b.assign(bin=(b["y"].to_numpy() - lo) // width)
+        return (d.groupby(["bin", "y", "q"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    parts = (qd.map_batches(binned, batch_format="pandas",
+                            batch_size=None).materialize())
+    # per-(bin, level) totals → per-bin prefix offsets (driver-held,
+    # ≤ 4096 × nq ints) + per-level totals for the n1 tie term
+    bq = (parts.groupby(["bin", "q"])
+          .aggregate(Sum("n", alias_name="n")).to_pandas())
+    piv = (bq.pivot_table(index="bin", columns="q", values="n",
+                          aggfunc="sum", fill_value=0)
+           .sort_index())
+    piv = piv.reindex(columns=range(qlo, qhi + 1), fill_value=0)
+    mat = piv.to_numpy(dtype=np.int64)
+    cum = np.zeros_like(mat)
+    cum[1:] = np.cumsum(mat[:-1], axis=0)
+    offs = {int(b): [int(v) for v in row]
+            for b, row in zip(piv.index, cum)}
+    lvl_tot = mat.sum(axis=0)
+    n1 = sum(int(m) * (int(m) - 1) // 2 for m in lvl_tot)
+
+    def bin_cd(grp: pd.DataFrame, offs=offs, qlo=qlo,
+               nq=nq) -> pd.DataFrame:
+        off = offs[int(grp["bin"].iloc[0])]
+        gg = (grp.groupby(["y", "q"], as_index=False)["n"].sum()
+              .sort_values("y"))
+        running = [0] * nq
+        C = D = n2p = 0
+        for _, tie in gg.groupby("y", sort=True):
+            qs = tie["q"].to_numpy(np.int64) - qlo
+            cs = tie["n"].to_numpy(np.int64)
+            below = [off[i] + running[i] for i in range(nq)]
+            pref = [0] * (nq + 1)
+            for i in range(nq):
+                pref[i + 1] = pref[i] + below[i]
+            tot_below = pref[nq]
+            t = 0
+            for qi, ci in zip(qs, cs):
+                ci = int(ci)
+                C += ci * pref[qi]                    # y'<y, q'<q
+                D += ci * (tot_below - pref[qi + 1])  # y'<y, q'>q
+                running[qi] += ci
+                t += ci
+            n2p += t * (t - 1) // 2
+        return pd.DataFrame({"c": [str(C)], "d": [str(D)],
+                             "t2": [str(n2p)]})
+
+    per_bin = (parts.groupby("bin")
+               .map_groups(bin_cd, batch_format="pandas")
+               .to_pandas())  # <= 4096 rows
+    C = sum(int(s) for s in per_bin["c"])
+    D = sum(int(s) for s in per_bin["d"])
+    n2 = sum(int(s) for s in per_bin["t2"])
+    n0 = n_tot * (n_tot - 1) // 2
+    tau = ((float(C) - float(D))
+           / math.sqrt(float(n0 - n1) * float(n0 - n2)))
+    return pa.table({
+        "tau_b": pa.array([round(tau, 6)], pa.float64()),
+        "n": pa.array([n_tot], pa.int64())})
+
+
+def lineitem_kendall_tau_qty_price_sql() -> str:
+    return """
+        WITH x AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                          CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS y
+                   FROM lineitem),
+        cells AS (SELECT y, q, CAST(count(*) AS HUGEINT) AS n
+                  FROM x GROUP BY 1, 2),
+        grid AS (SELECT yy.y, qq.q, coalesce(c.n, 0) AS n
+                 FROM (SELECT DISTINCT y FROM cells) yy
+                 CROSS JOIN (SELECT DISTINCT q FROM cells) qq
+                 LEFT JOIN cells c USING (y, q)),
+        a AS (SELECT y, q, n,
+                     coalesce(sum(n) OVER (PARTITION BY q ORDER BY y
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS below
+              FROM grid),
+        s AS (SELECT y, q, n, below,
+                     coalesce(sum(below) OVER (PARTITION BY y
+                         ORDER BY q
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS s_less,
+                     coalesce(sum(below) OVER (PARTITION BY y
+                         ORDER BY q DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS s_more
+              FROM a),
+        cd AS (SELECT sum(n * s_less) AS c2, sum(n * s_more) AS d2
+               FROM s WHERE n > 0),
+        t AS (SELECT CAST(count(*) AS HUGEINT) AS nn FROM x),
+        tx AS (SELECT sum(m * (m - 1) / 2) AS n1 FROM
+                   (SELECT CAST(count(*) AS HUGEINT) AS m FROM x
+                    GROUP BY q)),
+        ty AS (SELECT sum(m * (m - 1) / 2) AS n2 FROM
+                   (SELECT CAST(count(*) AS HUGEINT) AS m FROM x
+                    GROUP BY y))
+        SELECT round((CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))
+                     / sqrt(CAST(nn * (nn - 1) / 2 - n1 AS DOUBLE)
+                            * CAST(nn * (nn - 1) / 2 - n2 AS DOUBLE)),
+                     6) AS tau_b,
+               CAST(nn AS BIGINT) AS n
+        FROM cd, t, tx, ty
+    """
+
+
 _KCENTER_K = 8
 
 
@@ -11592,6 +11741,7 @@ QUERIES = {
     "doc_langid_eval": doc_langid_eval,
     "doc_langid_prf": doc_langid_prf,
     "doc_auc_nchars_en": doc_auc_nchars_en,
+    "lineitem_kendall_tau_qty_price": lineitem_kendall_tau_qty_price,
 }
 
 ORACLES = {
@@ -11748,4 +11898,6 @@ ORACLES = {
     "doc_langid_eval": doc_langid_eval_sql(),
     "doc_langid_prf": doc_langid_prf_sql(),
     "doc_auc_nchars_en": doc_auc_nchars_en_sql(),
+    "lineitem_kendall_tau_qty_price":
+        lineitem_kendall_tau_qty_price_sql(),
 }
