@@ -11379,6 +11379,99 @@ def lineitem_kendall_tau_qty_price_sql() -> str:
     """
 
 
+def events_type_jaccard_matrix(sf_dir: str):
+    """Pairwise JACCARD MATRIX of event types' user sets via BITMASK
+    ROLLUP — the audience-overlap matrix ("how much do clickers and
+    purchasers overlap") computed WITHOUT any pairwise set
+    intersection: each user collapses to one bitmask of the types
+    they ever did (|types| bits), the corpus reduces to ≤ 2^|types|
+    (mask → user count) cells, and every pairwise |A∩B| / |A∪B| then
+    folds exactly from those ≤ 32 integers on the driver —
+    set algebra over EXPONENTIALLY-compressed sufficient statistics,
+    a different mechanism from the HLL overlap entry (sketched) and
+    the day-pair Jaccard (shift-decomposed). One user-bucketed
+    exchange of distinct (user, type) pairs; jaccard in floor micro
+    units via Python-int //. Exact distinct-pair self-join oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = sorted(r["event_type"] for r in
+                   ds.groupby("event_type").count().take_all())
+    bit = {t: 1 << i for i, t in enumerate(types)}
+    nb = n_key_groups(ds.count())
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.drop_duplicates()
+        out = pd.DataFrame({
+            "user_id": d["user_id"].to_numpy(np.int64),
+            "m": d["event_type"].map(bit).to_numpy(np.int64)})
+        out["bucket"] = hash_bucket(out["user_id"].to_numpy(np.int64),
+                                    nb)
+        return out
+
+    def mask_counts(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id")["m"].agg(
+            lambda s: int(np.bitwise_or.reduce(s.to_numpy(np.int64))))
+        vc = m.value_counts()
+        return pd.DataFrame({"mask": vc.index.astype("int64"),
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    mc = (ds.map_batches(pairs, batch_format="pandas",
+                         batch_size=None)
+          .groupby("bucket").map_groups(mask_counts,
+                                        batch_format="pandas")
+          .groupby("mask").aggregate(Sum("n", alias_name="n"))
+          .to_pandas())  # <= 2^|types| rows — driver-safe
+    cnt = {int(r["mask"]): int(r["n"]) for _, r in mc.iterrows()}
+    out = []
+    for i, a in enumerate(types):
+        for b_ in types[i + 1:]:
+            ba, bb = bit[a], bit[b_]
+            inter = sum(n for m, n in cnt.items()
+                        if (m & ba) and (m & bb))
+            union = sum(n for m, n in cnt.items()
+                        if (m & ba) or (m & bb))
+            out.append({"type_a": a, "type_b": b_,
+                        "n_common": inter, "n_either": union,
+                        "jaccard_micro": (1_000_000 * inter) // union
+                        if union else 0})
+    return pd.DataFrame(out).astype(
+        {c: "int64" for c in ("n_common", "n_either",
+                              "jaccard_micro")})
+
+
+def events_type_jaccard_matrix_sql() -> str:
+    return """
+        WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+        t AS (SELECT DISTINCT event_type FROM events),
+        p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+              FROM t a JOIN t b ON a.event_type < b.event_type),
+        m AS (SELECT p.type_a, p.type_b,
+                     CAST(count(DISTINCT CASE WHEN ua.user_id
+                          IS NOT NULL AND ub.user_id IS NOT NULL
+                          THEN ua.user_id END) AS HUGEINT) AS n_common
+              FROM p
+              LEFT JOIN u ua ON ua.event_type = p.type_a
+              LEFT JOIN u ub ON ub.event_type = p.type_b
+                            AND ub.user_id = ua.user_id
+              GROUP BY 1, 2),
+        e AS (SELECT p.type_a, p.type_b,
+                     CAST(count(DISTINCT uu.user_id) AS HUGEINT)
+                         AS n_either
+              FROM p JOIN u uu ON uu.event_type IN (p.type_a,
+                                                    p.type_b)
+              GROUP BY 1, 2)
+        SELECT m.type_a, m.type_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(n_either AS BIGINT) AS n_either,
+               CAST(coalesce((1000000 * n_common)
+                             // nullif(n_either, 0), 0) AS BIGINT)
+                   AS jaccard_micro
+        FROM m JOIN e USING (type_a, type_b)
+        ORDER BY type_a, type_b
+    """
+
+
 _KCENTER_K = 8
 
 
@@ -11742,6 +11835,7 @@ QUERIES = {
     "doc_langid_prf": doc_langid_prf,
     "doc_auc_nchars_en": doc_auc_nchars_en,
     "lineitem_kendall_tau_qty_price": lineitem_kendall_tau_qty_price,
+    "events_type_jaccard_matrix": events_type_jaccard_matrix,
 }
 
 ORACLES = {
@@ -11900,4 +11994,5 @@ ORACLES = {
     "doc_auc_nchars_en": doc_auc_nchars_en_sql(),
     "lineitem_kendall_tau_qty_price":
         lineitem_kendall_tau_qty_price_sql(),
+    "events_type_jaccard_matrix": events_type_jaccard_matrix_sql(),
 }
