@@ -11472,6 +11472,102 @@ def events_type_jaccard_matrix_sql() -> str:
     """
 
 
+def orders_reorder_survival_km(sf_dir: str):
+    """KAPLAN–MEIER survival with right censoring — time-to-reorder:
+    for each customer, days from FIRST to SECOND order ("event");
+    single-order customers are CENSORED at (last calendar day −
+    first order). The censoring-aware survival estimator no other
+    entry touches (retention counts complete observations only; KM
+    uses the censored mass correctly via the risk set). S(t) =
+    Π_{s≤t} (1 − d_s/n_s) folded in EXACT Fractions (a float product
+    over thousands of factors drifts), emitted as floor micro-units.
+    Plan: one custkey-bucketed exchange of slim (cust, date) rows →
+    per-customer (gap, is_event) — ≤ 1 row per customer — →
+    calendar-bounded (t, d, c) day partials → O(#gap-days) driver
+    fold. Rows-only (the product estimator isn't SQL-exact);
+    SELF-CHECKING below SELF_CHECK_MAX_ROWS: the callable recomputes
+    the whole estimator from raw orders driver-side and asserts the
+    full table equal."""
+    from fractions import Fraction
+
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    max_day = pd.Timestamp(ds.max("o_orderdate")).floor("D")
+    nb = n_key_groups(ds.count())
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "cust": b["o_custkey"].to_numpy(np.int64),
+            "day": b["o_orderdate"].dt.floor("D")})
+        out["bucket"] = hash_bucket(out["cust"].to_numpy(np.int64), nb)
+        return out
+
+    def per_cust(g: pd.DataFrame, max_day=max_day) -> pd.DataFrame:
+        g = g.sort_values(["cust", "day"])
+        g = g.assign(k=g.groupby("cust").cumcount())
+        firsts = g[g["k"] == 0].set_index("cust")["day"]
+        seconds = g[g["k"] == 1].set_index("cust")["day"]
+        ev = seconds.reindex(firsts.index)
+        gap = (ev - firsts).dt.days
+        cens = (max_day - firsts).dt.days
+        t = gap.fillna(cens).astype("int64")
+        d = pd.DataFrame({"t": t,
+                          "event": gap.notna().astype(np.int64)})
+        out = (d.groupby(["t", "event"], as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return out
+
+    tbl = (ds.map_batches(prep, batch_format="pandas",
+                          batch_size=None)
+           .groupby("bucket").map_groups(per_cust,
+                                         batch_format="pandas")
+           .groupby(["t", "event"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())  # O(#days × 2) rows — driver-safe
+
+    def km_fold(tbl: pd.DataFrame) -> pd.DataFrame:
+        ev = {int(r["t"]): int(r["n"]) for _, r in
+              tbl[tbl["event"] == 1].iterrows()}
+        ce = {int(r["t"]): int(r["n"]) for _, r in
+              tbl[tbl["event"] == 0].iterrows()}
+        days = sorted(set(ev) | set(ce))
+        n_risk = sum(ev.values()) + sum(ce.values())
+        s = Fraction(1)
+        out = []
+        for t in days:
+            d, c = ev.get(t, 0), ce.get(t, 0)
+            if d:
+                s *= Fraction(n_risk - d, n_risk)
+            out.append({"gap_days": t, "n_risk": n_risk,
+                        "n_events": d, "n_censored": c,
+                        "surv_micro": int(s * 1_000_000)})
+            n_risk -= d + c
+        return pd.DataFrame(out).astype(
+            {c: "int64" for c in ("gap_days", "n_risk", "n_events",
+                                  "n_censored", "surv_micro")})
+
+    result = km_fold(tbl)
+
+    if ds.count() <= SELF_CHECK_MAX_ROWS:
+        raw = pd.DataFrame(ds.take_all())
+        raw["day"] = raw["o_orderdate"].dt.floor("D")
+        raw = raw.sort_values(["o_custkey", "day"])
+        rows = []
+        for cust, grp in raw.groupby("o_custkey"):
+            ds_ = grp["day"].tolist()
+            if len(ds_) >= 2:
+                rows.append({"t": (ds_[1] - ds_[0]).days, "event": 1})
+            else:
+                rows.append({"t": (max_day - ds_[0]).days, "event": 0})
+        ref = (pd.DataFrame(rows).groupby(["t", "event"],
+                                          as_index=False).size()
+               .rename(columns={"size": "n"}))
+        ref_km = km_fold(ref)
+        assert ref_km.equals(result), "KM self-check diverged"
+
+    return result
+
+
 _KCENTER_K = 8
 
 
@@ -11836,6 +11932,7 @@ QUERIES = {
     "doc_auc_nchars_en": doc_auc_nchars_en,
     "lineitem_kendall_tau_qty_price": lineitem_kendall_tau_qty_price,
     "events_type_jaccard_matrix": events_type_jaccard_matrix,
+    "orders_reorder_survival_km": orders_reorder_survival_km,
 }
 
 ORACLES = {
