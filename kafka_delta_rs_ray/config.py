@@ -15,7 +15,7 @@ log = logging.getLogger(__name__)
 JOBS = ("append", "merge", "compact", "cluster", "expire", "lifecycle",
         "delete", "update", "rollback", "history", "quarantine",
         "metrics", "stream", "changes", "stats", "autopilot", "branch",
-        "export", "clone")
+        "export", "clone", "alter")
 
 # monitoring section keys (reference MonitoringConfig,
 # src/config/mod.rs:81-94: enabled / endpoint / service_name; here the
@@ -119,6 +119,20 @@ class MaintenanceConfig:
                     "update requires options.assignments ({col: value})")
         if self.job == "clone" and not self.options.get("dest_root"):
             raise ConfigError("clone requires options.dest_root")
+        if self.job == "alter":
+            act = self.options.get("action")
+            if act not in ("add_constraint", "drop_constraint",
+                           "drop_column"):
+                raise ConfigError(
+                    "alter requires options.action in (add_constraint,"
+                    " drop_constraint, drop_column)")
+            if act == "add_constraint" and not self.options.get(
+                    "constraint"):
+                raise ConfigError(
+                    "alter add_constraint requires options.constraint")
+            if act in ("drop_constraint", "drop_column") \
+                    and not self.options.get("name"):
+                raise ConfigError(f"alter {act} requires options.name")
         if self.job == "rollback" and self.restore_version is None:
             raise ConfigError("rollback requires restore_version")
         if self.target_fragment_bytes <= 0 or self.target_fragment_rows <= 0:

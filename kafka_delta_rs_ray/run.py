@@ -71,6 +71,23 @@ def run(cfg: MaintenanceConfig) -> dict:
         # any maintenance job can target a branch line (write-audit-
         # publish): identical engine path, isolated commits
         table = table.branch(str(cfg.options["branch"]))
+    if cfg.job == "alter":
+        # schema/contract evolution: options.action =
+        # add_constraint | drop_constraint | drop_column
+        action = cfg.options.get("action")
+        if action == "add_constraint":
+            m = table.add_constraint(cfg.options["constraint"])
+            return {"job": "alter", "added": cfg.options["constraint"]
+                    ["name"], "version": m.version}
+        if action == "drop_constraint":
+            m = table.drop_constraint(cfg.options["name"])
+            return {"job": "alter", "dropped_constraint":
+                    cfg.options["name"], "version": m.version}
+        if action == "drop_column":
+            m = table.drop_column(cfg.options["name"])
+            return {"job": "alter", "dropped_column":
+                    cfg.options["name"], "version": m.version}
+        raise ValueError(f"unknown alter action {action!r}")
     if cfg.job == "history":
         return {"job": "history", "history": table.history()}
     if cfg.job == "metrics":

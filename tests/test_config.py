@@ -324,3 +324,50 @@ def test_cli_update_and_clone_jobs(tmp_path, ray_session):
                           predicate={"w": [0, None]}).validate()
     with pytest.raises(ConfigError, match="dest_root"):
         MaintenanceConfig(table_root=t.root, job="clone").validate()
+
+
+def test_cli_alter_job(tmp_path, ray_session):
+    """CLI `alter` job: add_constraint / drop_constraint / drop_column
+    through the job runner, with config validation for each action."""
+    import pytest
+
+    from kafka_delta_rs_ray.config import MaintenanceConfig
+    from kafka_delta_rs_ray.errors import ConfigError
+    from kafka_delta_rs_ray.pipelines.ingest import append
+    from kafka_delta_rs_ray.pipelines.synth import image_dataset
+    from kafka_delta_rs_ray.run import run
+    from kafka_delta_rs_ray.tablefmt import IMAGE_SCHEMA, Table
+
+    t = Table.create(str(tmp_path / "t"), IMAGE_SCHEMA)
+    append(t, image_dataset(10, batch_size=10), target_fragment_rows=10)
+
+    cfgp = tmp_path / "a1.yaml"
+    cfgp.write_text(
+        f"table_root: {t.root}\njob: alter\n"
+        f"options:\n  action: add_constraint\n"
+        f"  constraint:\n    name: w_pos\n    col: w\n"
+        f"    op: '>'\n    value: 0\n")
+    out = run(MaintenanceConfig.load(str(cfgp)))
+    assert out["added"] == "w_pos"
+    assert [c["name"] for c in t.constraints()] == ["w_pos"]
+
+    cfgp2 = tmp_path / "a2.yaml"
+    cfgp2.write_text(
+        f"table_root: {t.root}\njob: alter\n"
+        f"options:\n  action: drop_constraint\n  name: w_pos\n")
+    run(MaintenanceConfig.load(str(cfgp2)))
+    assert t.constraints() == []
+
+    cfgp3 = tmp_path / "a3.yaml"
+    cfgp3.write_text(
+        f"table_root: {t.root}\njob: alter\n"
+        f"options:\n  action: drop_column\n  name: caption\n")
+    out3 = run(MaintenanceConfig.load(str(cfgp3)))
+    assert out3["dropped_column"] == "caption"
+    assert "caption" not in t.schema().names
+
+    with pytest.raises(ConfigError, match="alter requires"):
+        MaintenanceConfig(table_root=t.root, job="alter").validate()
+    with pytest.raises(ConfigError, match="requires options.name"):
+        MaintenanceConfig(table_root=t.root, job="alter",
+                          options={"action": "drop_column"}).validate()
