@@ -11568,6 +11568,104 @@ def orders_reorder_survival_km(sf_dir: str):
     return result
 
 
+def events_welch_ttest(sf_dir: str):
+    """WELCH two-sample t — the unequal-variance parametric location
+    test between the same two event-type samples as the KS/MW
+    entries, completing the test matrix (two-group: MW rank / Welch
+    parametric; k-group: Kruskal–Wallis rank / ANOVA parametric).
+    Milli-quantized values give EXACT int64 moment partials (n, Σx,
+    Σx²) per side — one streaming pass, zero shuffles, six numbers
+    to the driver. The statistic and Welch–Satterthwaite df are
+    folded from exact Fractions (s²ᵢ/nᵢ is a float cancellation trap
+    at corpus scale) with ONE float conversion each, 6-dp rounded
+    like the ANOVA entry; the oracle evaluates the same expression
+    from HUGEINT sums in double. t = (m₁−m₂)/√(v₁/n₁+v₂/n₂) with
+    vᵢ the unbiased sample variance."""
+    import math
+    from fractions import Fraction
+
+    import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"],
+               filter=pads.field("event_type").isin(
+                   [_KS_TYPE_A, _KS_TYPE_B]))
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(b["value"].to_numpy() * 1000).astype(np.int64)
+        a = (b["event_type"].to_numpy() == _KS_TYPE_A)
+        out = []
+        for side, mask in (("a", a), ("b", ~a)):
+            x = v[mask]
+            out.append({"side": side, "n": len(x),
+                        "s1": int(x.sum()),
+                        "s2": int((x.astype(object) ** 2).sum())})
+        return pd.DataFrame(out)
+
+    m = (ds.map_batches(moments, batch_format="pandas",
+                        batch_size=None)
+         .groupby("side")
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("s1", alias_name="s1"),
+                    Sum("s2", alias_name="s2"))
+         .to_pandas().set_index("side"))
+    na, nb_ = int(m.loc["a", "n"]), int(m.loc["b", "n"])
+    s1a, s1b = int(m.loc["a", "s1"]), int(m.loc["b", "s1"])
+    s2a, s2b = int(m.loc["a", "s2"]), int(m.loc["b", "s2"])
+    # unbiased variance over n: v = (n·Σx² − (Σx)²) / (n(n−1))
+    va = Fraction(na * s2a - s1a * s1a, na * (na - 1))
+    vb = Fraction(nb_ * s2b - s1b * s1b, nb_ * (nb_ - 1))
+    se2 = va / na + vb / nb_
+    mean_diff = Fraction(s1a, na) - Fraction(s1b, nb_)
+    t = float(mean_diff) / math.sqrt(float(se2))
+    # Welch–Satterthwaite degrees of freedom, exact Fractions
+    df = float(se2 * se2 / ((va / na) ** 2 / (na - 1)
+                            + (vb / nb_) ** 2 / (nb_ - 1)))
+    return pa.table({
+        "t_stat": pa.array([round(t, 6)], pa.float64()),
+        "df": pa.array([round(df, 6)], pa.float64()),
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb_], pa.int64())})
+
+
+def events_welch_ttest_sql() -> str:
+    return f"""
+        WITH x AS (SELECT CASE WHEN event_type = '{_KS_TYPE_A}'
+                               THEN 'a' ELSE 'b' END AS side,
+                          CAST(round(value * 1000) AS BIGINT) AS v
+                   FROM events
+                   WHERE event_type IN ('{_KS_TYPE_A}',
+                                        '{_KS_TYPE_B}')),
+        m AS (SELECT side, CAST(count(*) AS HUGEINT) AS n,
+                     sum(CAST(v AS HUGEINT)) AS s1,
+                     sum(CAST(v AS HUGEINT) * v) AS s2
+              FROM x GROUP BY side),
+        a AS (SELECT * FROM m WHERE side = 'a'),
+        b AS (SELECT * FROM m WHERE side = 'b'),
+        c AS (SELECT CAST(a.n AS DOUBLE) AS na,
+                     CAST(b.n AS DOUBLE) AS nb,
+                     CAST(a.n * a.s2 - a.s1 * a.s1 AS DOUBLE)
+                         / (CAST(a.n AS DOUBLE)
+                            * (CAST(a.n AS DOUBLE) - 1)) AS va,
+                     CAST(b.n * b.s2 - b.s1 * b.s1 AS DOUBLE)
+                         / (CAST(b.n AS DOUBLE)
+                            * (CAST(b.n AS DOUBLE) - 1)) AS vb,
+                     CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE)
+                         - CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE)
+                         AS md,
+                     a.n AS na_i, b.n AS nb_i
+              FROM a, b)
+        SELECT round(md / sqrt(va / na + vb / nb), 6) AS t_stat,
+               round(pow(va / na + vb / nb, 2)
+                     / (pow(va / na, 2) / (na - 1)
+                        + pow(vb / nb, 2) / (nb - 1)), 6) AS df,
+               CAST(na_i AS BIGINT) AS n_a,
+               CAST(nb_i AS BIGINT) AS n_b
+        FROM c
+    """
+
+
 _KCENTER_K = 8
 
 
@@ -11933,6 +12031,7 @@ QUERIES = {
     "lineitem_kendall_tau_qty_price": lineitem_kendall_tau_qty_price,
     "events_type_jaccard_matrix": events_type_jaccard_matrix,
     "orders_reorder_survival_km": orders_reorder_survival_km,
+    "events_welch_ttest": events_welch_ttest,
 }
 
 ORACLES = {
@@ -12092,4 +12191,5 @@ ORACLES = {
     "lineitem_kendall_tau_qty_price":
         lineitem_kendall_tau_qty_price_sql(),
     "events_type_jaccard_matrix": events_type_jaccard_matrix_sql(),
+    "events_welch_ttest": events_welch_ttest_sql(),
 }
