@@ -1380,3 +1380,70 @@ def test_update_delete_on_evolved_schema(tmp_path, ray_session):
     md = delete_where(t, {"score": (9, None)})
     assert md is not None
     assert t.snapshot().to_arrow().num_rows == 0
+
+
+def test_update_where_conflicts_with_concurrent_compact(table):
+    """UPDATE vs concurrent COMPACT on the same fragments: the update
+    computed its delete files + rewrite fragments against the OLD
+    layout, a compaction commits first and moves those rows — the
+    update's commit must detect the dead input fragment and raise
+    CommitConflict (committing would attach DVs to vanished ids and
+    silently drop the update). Rerun against the fresh snapshot
+    converges."""
+    from kafka_delta_rs_ray.errors import CommitConflict
+    from kafka_delta_rs_ray.pipelines.update import update_where
+
+    orig = Table.commit
+    state = {"fired": False}
+
+    def hooked(build, max_attempts=3):
+        if not state["fired"]:
+            state["fired"] = True
+            compact(Table(table.root), target_bytes=64 << 20)
+        return orig(table, build, max_attempts)
+
+    table.commit = hooked
+    try:
+        with pytest.raises(CommitConflict, match="rewritten"):
+            update_where(table, {"w": (128, None)}, {"caption": "X"})
+    finally:
+        del table.commit
+
+    m = update_where(table, {"w": (128, None)}, {"caption": "X"})
+    assert m is not None
+    t = table.snapshot().to_arrow()
+    wide = [c for c, w in zip(t["caption"].to_pylist(),
+                              t["w"].to_pylist()) if w >= 128]
+    assert wide and all(c == "X" for c in wide)
+
+
+def test_delete_where_conflicts_with_concurrent_compact(table):
+    """Same race for predicate DELETE: DVs reference fragment ids the
+    concurrent compaction removed — commit must conflict, rerun
+    converges to the correct row set."""
+    from kafka_delta_rs_ray.errors import CommitConflict
+    from kafka_delta_rs_ray.pipelines.delete import delete_where
+
+    n_match = int((table.snapshot().to_arrow()["w"]
+                   .to_numpy(zero_copy_only=False) >= 128).sum())
+    assert n_match > 0
+    orig = Table.commit
+    state = {"fired": False}
+
+    def hooked(build, max_attempts=3):
+        if not state["fired"]:
+            state["fired"] = True
+            compact(Table(table.root), target_bytes=64 << 20)
+        return orig(table, build, max_attempts)
+
+    table.commit = hooked
+    try:
+        with pytest.raises(CommitConflict, match="rewritten"):
+            delete_where(table, {"w": (128, None)})
+    finally:
+        del table.commit
+
+    n_before = table.snapshot().to_arrow().num_rows
+    m = delete_where(table, {"w": (128, None)})
+    assert m is not None
+    assert table.snapshot().to_arrow().num_rows == n_before - n_match
