@@ -11666,6 +11666,124 @@ def events_welch_ttest_sql() -> str:
     """
 
 
+def events_mantel_haenszel_or(sf_dir: str):
+    """MANTEL–HAENSZEL stratified odds ratio — does clicking on a day
+    associate with purchasing that day, CONTROLLING for day-of-week
+    (the confounder-adjusted 2×2×K analysis; a pooled table would
+    confound weekday traffic with conversion): strata are the 7
+    dows, units are (user, day) activity baskets, exposure = clicked,
+    outcome = purchased. OR_MH = Σᵢ aᵢdᵢ/nᵢ ÷ Σᵢ bᵢcᵢ/nᵢ — folded
+    EXACTLY by clearing denominators with Nᵢ' = Π_{j≠i} nⱼ in Python
+    ints, emitted as floor micro-units. Plan: map-side distinct
+    (user, day, type) triples, ONE user-bucketed exchange builds the
+    baskets, per-bucket 2×2×7 count partials, a 28-integer driver
+    frame. The oracle clears the same denominators in HUGEINT (the 7
+    strata are a FIXED dow domain, so the 7-term expanded sum is
+    literal SQL; its Π nⱼ products fit HUGEINT at oracle scales —
+    the engine side is arbitrary-precision at any scale)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    nb = n_key_groups(ds.count())
+
+    def triples(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(["click", "purchase"])]
+        out = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "day": b["ts"].dt.floor("D"),
+            "typ": b["event_type"]})
+        out = out.drop_duplicates()
+        out["bucket"] = hash_bucket(out["user_id"].to_numpy(np.int64),
+                                    nb)
+        return out
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day", "typ"])
+        p = (g.assign(one=1)
+             .pivot_table(index=["user_id", "day"], columns="typ",
+                          values="one", aggfunc="max", fill_value=0)
+             .reset_index())
+        for c in ("click", "purchase"):
+            if c not in p.columns:
+                p[c] = 0
+        p["dow"] = pd.to_datetime(p["day"]).dt.dayofweek.astype(np.int64)
+        p["cell"] = p["click"] * 2 + p["purchase"]  # 3=a 2=b 1=c 0=d
+        return (p.groupby(["dow", "cell"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    cm = (ds.map_batches(triples, batch_format="pandas",
+                         batch_size=None)
+          .groupby("bucket").map_groups(cells, batch_format="pandas")
+          .groupby(["dow", "cell"]).aggregate(Sum("n", alias_name="n"))
+          .to_pandas())  # <= 7 x 4 rows — driver-safe
+    tab = {(int(r["dow"]), int(r["cell"])): int(r["n"])
+           for _, r in cm.iterrows()}
+    dows = list(range(7))  # FIXED domain, mirroring the oracle: an
+    # absent stratum zeroes every cross-term on both sides identically
+    n_i = {d: sum(tab.get((d, c), 0) for c in range(4)) for d in dows}
+    num = den = 0
+    for d in dows:
+        a = tab.get((d, 3), 0)
+        b_ = tab.get((d, 2), 0)
+        c = tab.get((d, 1), 0)
+        dd = tab.get((d, 0), 0)
+        npp = 1
+        for e in dows:
+            if e != d:
+                npp *= n_i[e]
+        num += a * dd * npp
+        den += b_ * c * npp
+    return pa.table({
+        "or_mh_micro": pa.array([(1_000_000 * num) // den
+                                 if den else 0], pa.int64()),
+        "n_strata": pa.array([len(dows)], pa.int64()),
+        "n_baskets": pa.array([sum(n_i.values())], pa.int64())})
+
+
+def events_mantel_haenszel_or_sql() -> str:
+    # fixed dow domain 0..6 → the denominator-cleared sums expand to
+    # literal 7-term SQL; generate them here
+    terms_n = []
+    terms_d = []
+    for d in range(7):
+        prod = " * ".join(f"n{e}" for e in range(7) if e != d)
+        terms_n.append(f"a{d} * d{d} * {prod}")
+        terms_d.append(f"b{d} * c{d} * {prod}")
+    cols = []
+    for d in range(7):
+        cols.append(
+            f"CAST(sum(CASE WHEN dow = {d} AND click = 1 AND "
+            f"purchase = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS a{d}, "
+            f"CAST(sum(CASE WHEN dow = {d} AND click = 1 AND "
+            f"purchase = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS b{d}, "
+            f"CAST(sum(CASE WHEN dow = {d} AND click = 0 AND "
+            f"purchase = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS c{d}, "
+            f"CAST(sum(CASE WHEN dow = {d} THEN 1 ELSE 0 END) "
+            f"AS HUGEINT) AS n{d}, "
+            f"CAST(sum(CASE WHEN dow = {d} AND click = 0 AND "
+            f"purchase = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS d{d}")
+    return f"""
+        WITH b AS (SELECT user_id, date_trunc('day', ts) AS day,
+                          max(CASE WHEN event_type = 'click'
+                              THEN 1 ELSE 0 END) AS click,
+                          max(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS purchase
+                   FROM events
+                   WHERE event_type IN ('click', 'purchase')
+                   GROUP BY 1, 2),
+        s AS (SELECT *, CAST(isodow(day) - 1 AS BIGINT) AS dow
+              FROM b),
+        m AS (SELECT {', '.join(cols)} FROM s)
+        SELECT CAST((1000000 * ({' + '.join(terms_n)}))
+                    // ({' + '.join(terms_d)}) AS BIGINT)
+                   AS or_mh_micro,
+               CAST(7 AS BIGINT) AS n_strata,
+               CAST(n0 + n1 + n2 + n3 + n4 + n5 + n6 AS BIGINT)
+                   AS n_baskets
+        FROM m
+    """
+
+
 _KCENTER_K = 8
 
 
@@ -12032,6 +12150,7 @@ QUERIES = {
     "events_type_jaccard_matrix": events_type_jaccard_matrix,
     "orders_reorder_survival_km": orders_reorder_survival_km,
     "events_welch_ttest": events_welch_ttest,
+    "events_mantel_haenszel_or": events_mantel_haenszel_or,
 }
 
 ORACLES = {
@@ -12192,4 +12311,5 @@ ORACLES = {
         lineitem_kendall_tau_qty_price_sql(),
     "events_type_jaccard_matrix": events_type_jaccard_matrix_sql(),
     "events_welch_ttest": events_welch_ttest_sql(),
+    "events_mantel_haenszel_or": events_mantel_haenszel_or_sql(),
 }
