@@ -11784,6 +11784,112 @@ def events_mantel_haenszel_or_sql() -> str:
     """
 
 
+def lineitem_ols_price_on_qty_discount(sf_dir: str):
+    """MULTIVARIATE OLS by normal equations + Cramer's rule —
+    extendedprice (cents) regressed on quantity AND discount (milli)
+    with intercept: the supervised counterpart of the PCA entry's
+    moment pattern (per-batch integer sufficient statistics, one Sum
+    tree, closed-form driver solve), and the one regression shape the
+    per-group simple-slope entry can't express (TWO regressors with
+    an intercept — collinearity between them flows through the 3×3
+    system). All nine moment partials are exact int64 per batch; the
+    driver expands the 3×3 determinants in Python arbitrary-precision
+    (det terms pass 10²¹ at sf, 10³⁸+ at corpus scale) and emits each
+    β as floor micro-units with DuckDB-matching TRUNCATING division
+    for negative coefficients (discount's β is negative — higher
+    discount, lower recorded price). Exact HUGEINT determinant-
+    expansion oracle (the same Cramer formulas, literal SQL)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_discount", "l_extendedprice"])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        q = b["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        d = np.round(b["l_discount"].to_numpy(np.float64)
+                     * 1000).astype(np.int64)
+        y = np.round(b["l_extendedprice"].to_numpy(np.float64)
+                     * 100).astype(np.int64)
+        qo = q.astype(object)
+        do = d.astype(object)
+        yo = y.astype(object)
+        return pd.DataFrame([{
+            "n": len(q), "sq": int(q.sum()), "sd": int(d.sum()),
+            "sqq": int((qo * qo).sum()), "sdd": int((do * do).sum()),
+            "sqd": int((qo * do).sum()), "sy": int(y.sum()),
+            "sqy": int((qo * yo).sum()), "sdy": int((do * yo).sum())}])
+
+    cols = ("n", "sq", "sd", "sqq", "sdd", "sqd", "sy", "sqy", "sdy")
+    m = (ds.map_batches(moments, batch_format="pandas",
+                        batch_size=None)
+         .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+    n, sq, sd = int(m["n"]), int(m["sq"]), int(m["sd"])
+    sqq, sdd, sqd = int(m["sqq"]), int(m["sdd"]), int(m["sqd"])
+    sy, sqy, sdy = int(m["sy"]), int(m["sqy"]), int(m["sdy"])
+
+    def det3(a):
+        return (a[0][0] * (a[1][1] * a[2][2] - a[1][2] * a[2][1])
+                - a[0][1] * (a[1][0] * a[2][2] - a[1][2] * a[2][0])
+                + a[0][2] * (a[1][0] * a[2][1] - a[1][1] * a[2][0]))
+
+    M = [[n, sq, sd], [sq, sqq, sqd], [sd, sqd, sdd]]
+    b = [sy, sqy, sdy]
+    det = det3(M)
+
+    def repl(j):
+        return [[b[i] if k == j else M[i][k] for k in range(3)]
+                for i in range(3)]
+
+    def trunc_div(num, den):  # DuckDB HUGEINT // truncates toward 0
+        q = abs(num) // abs(den)
+        return q if (num >= 0) == (den >= 0) else -q
+
+    betas = [trunc_div(1_000_000 * det3(repl(j)), det)
+             for j in range(3)]
+    return pa.table({
+        "beta0_micro": pa.array([betas[0]], pa.int64()),
+        "beta_qty_micro": pa.array([betas[1]], pa.int64()),
+        "beta_disc_micro": pa.array([betas[2]], pa.int64()),
+        "n": pa.array([n], pa.int64())})
+
+
+def lineitem_ols_price_on_qty_discount_sql() -> str:
+    d3 = ("({a00} * ({a11} * {a22} - {a12} * {a21})"
+          " - {a01} * ({a10} * {a22} - {a12} * {a20})"
+          " + {a02} * ({a10} * {a21} - {a11} * {a20}))")
+    M = [["n", "sq", "sd"], ["sq", "sqq", "sqd"], ["sd", "sqd", "sdd"]]
+    b = ["sy", "sqy", "sdy"]
+
+    def det(mat):
+        return d3.format(**{f"a{i}{k}": mat[i][k]
+                            for i in range(3) for k in range(3)})
+
+    def repl(j):
+        return [[b[i] if k == j else M[i][k] for k in range(3)]
+                for i in range(3)]
+
+    dd = det(M)
+    sel = ", ".join(
+        f"CAST((1000000 * {det(repl(j))}) // ({dd}) AS BIGINT) "
+        f"AS beta{name}_micro"
+        for j, name in ((0, "0"), (1, "_qty"), (2, "_disc")))
+    return f"""
+        WITH x AS (SELECT CAST(l_quantity AS HUGEINT) AS q,
+                          CAST(round(l_discount * 1000) AS HUGEINT)
+                              AS d,
+                          CAST(round(l_extendedprice * 100) AS HUGEINT)
+                              AS y
+                   FROM lineitem),
+        m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                     sum(q) AS sq, sum(d) AS sd,
+                     sum(q * q) AS sqq, sum(d * d) AS sdd,
+                     sum(q * d) AS sqd, sum(y) AS sy,
+                     sum(q * y) AS sqy, sum(d * y) AS sdy
+              FROM x)
+        SELECT {sel}, CAST(n AS BIGINT) AS n FROM m
+    """
+
+
 _KCENTER_K = 8
 
 
@@ -12151,6 +12257,8 @@ QUERIES = {
     "orders_reorder_survival_km": orders_reorder_survival_km,
     "events_welch_ttest": events_welch_ttest,
     "events_mantel_haenszel_or": events_mantel_haenszel_or,
+    "lineitem_ols_price_on_qty_discount":
+        lineitem_ols_price_on_qty_discount,
 }
 
 ORACLES = {
@@ -12312,4 +12420,6 @@ ORACLES = {
     "events_type_jaccard_matrix": events_type_jaccard_matrix_sql(),
     "events_welch_ttest": events_welch_ttest_sql(),
     "events_mantel_haenszel_or": events_mantel_haenszel_or_sql(),
+    "lineitem_ols_price_on_qty_discount":
+        lineitem_ols_price_on_qty_discount_sql(),
 }
