@@ -10180,6 +10180,44 @@ def embedding_knn_components_sql() -> str:
     """
 
 
+def _orders_recent_date_rank(sf_dir: str, k: int, method: str):
+    """Shared plan for the date-ranking window entries: per-batch
+    pruning to each batch's top-k DISTINCT dates per priority (a
+    provable superset of the global qualifiers for BOTH rank flavors:
+    a row with rank ≤ k has ≤ k−1 strictly-later rows hence ≤ k−1
+    distinct later dates; a dense_rank ≤ k row's date is among the
+    global top-k distinct dates, a subset of the batch-top-k union),
+    then ONE priority-keyed exchange resolves the exact rank. Rank is
+    a function of the date alone ⇒ deterministic, no synthetic
+    tiebreak."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_orderdate"])
+
+    def prune(b: pd.DataFrame) -> pd.DataFrame:
+        thr = (b.drop_duplicates(["o_orderpriority", "o_orderdate"])
+               .sort_values(["o_orderpriority", "o_orderdate"],
+                            ascending=[True, False])
+               .groupby("o_orderpriority").head(k)
+               .groupby("o_orderpriority")["o_orderdate"].min()
+               .rename("thr"))
+        m = b.merge(thr, left_on="o_orderpriority", right_index=True)
+        return (m[m["o_orderdate"] >= m["thr"]]
+                .drop(columns="thr"))
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        rk = g["o_orderdate"].rank(method=method,
+                                   ascending=False).astype("int64")
+        out = g.assign(rk=rk)
+        return out[out["rk"] <= k][
+            ["o_orderkey", "o_orderpriority", "o_orderdate", "rk"]]
+
+    return (ds.map_batches(prune, batch_format="pandas",
+                           batch_size=None)
+            .groupby("o_orderpriority")
+            .map_groups(rank_group, batch_format="pandas")
+            .sort(["o_orderpriority", "rk", "o_orderkey"]))
+
+
 def orders_rank_ties_latest(sf_dir: str):
     """Tie-inclusive RANK window — rank() <= 10 most recent orders per
     priority by order DATE, where date collisions make RANK genuinely
@@ -10194,32 +10232,7 @@ def orders_rank_ties_latest(sf_dir: str):
     never the table. Exact rank + the tie set resolve per group.
     rank() is computed on the date alone, so equal keys get equal
     ranks and the output needs no synthetic tiebreak."""
-    ds = _read(sf_dir, "orders",
-               ["o_orderkey", "o_orderpriority", "o_orderdate"])
-
-    def prune(b: pd.DataFrame) -> pd.DataFrame:
-        thr = (b.drop_duplicates(["o_orderpriority", "o_orderdate"])
-               .sort_values(["o_orderpriority", "o_orderdate"],
-                            ascending=[True, False])
-               .groupby("o_orderpriority").head(10)
-               .groupby("o_orderpriority")["o_orderdate"].min()
-               .rename("thr"))
-        m = b.merge(thr, left_on="o_orderpriority", right_index=True)
-        return (m[m["o_orderdate"] >= m["thr"]]
-                .drop(columns="thr"))
-
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        rk = g["o_orderdate"].rank(method="min",
-                                   ascending=False).astype("int64")
-        out = g.assign(rk=rk)
-        return out[out["rk"] <= 10][
-            ["o_orderkey", "o_orderpriority", "o_orderdate", "rk"]]
-
-    return (ds.map_batches(prune, batch_format="pandas",
-                           batch_size=None)
-            .groupby("o_orderpriority")
-            .map_groups(rank_group, batch_format="pandas")
-            .sort(["o_orderpriority", "rk", "o_orderkey"]))
+    return _orders_recent_date_rank(sf_dir, k=10, method="min")
 
 
 def orders_rank_ties_latest_sql() -> str:
@@ -10341,14 +10354,18 @@ def events_near_pairs(sf_dir: str):
         seg_ends = np.r_[seg_starts[1:], len(uid)]
         seg_min = ts[seg_starts]
         spans = ts[seg_ends - 1] - seg_min
+        # overflow guard BEFORE the int64 cumsum (an assert on the
+        # cumsum result would inspect an already-wrapped value and
+        # pass exactly in the regime it exists to catch): exact
+        # Python-int total of the virtual axis
+        total_vt = (sum(int(s) for s in spans)
+                    + len(spans) * (_NEAR_PAIR_WINDOW_US + 1))
+        assert total_vt < np.iinfo(np.int64).max, \
+            "virtual timeline overflow: raise bucket count"
         offs = np.zeros(len(seg_starts), dtype=np.int64)
         if len(offs) > 1:
             np.cumsum(spans[:-1] + _NEAR_PAIR_WINDOW_US + 1,
                       out=offs[1:])
-        assert (len(offs) == 0
-                or int(offs[-1]) + int(spans[-1])
-                + _NEAR_PAIR_WINDOW_US < np.iinfo(np.int64).max), \
-            "virtual timeline overflow: raise bucket count"
         seg_idx = np.cumsum(new_seg) - 1
         vt = ts - seg_min[seg_idx] + offs[seg_idx]
         upper = np.searchsorted(vt, vt + _NEAR_PAIR_WINDOW_US,
@@ -10553,8 +10570,12 @@ def lineitem_trimmed_mean_qty_by_flag(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
 
     def rank_fn(q: float, n: int) -> int:
+        # clamp BOTH sides into [1, n]: a group with n < 10 has k = 0
+        # and the raw high rank n - k + 1 = n + 1 would index past the
+        # histogram range (its threshold is unused when k = 0, but the
+        # engine still resolves every requested rank)
         k = n // 10
-        return max(1, k) if q == 0.1 else n - k + 1
+        return max(1, k) if q == 0.1 else min(n, n - k + 1)
 
     thr = quantiles_disc(ds, "l_quantity", [0.1, 0.9],
                          group_col="l_returnflag", rank_fn=rank_fn,
@@ -10941,32 +10962,7 @@ def orders_dense_rank_recent_dates(sf_dir: str):
     of the union of batch top-3s); one priority-keyed exchange
     resolves the true top-3 and labels ranks. Rank is a function of
     the date alone ⇒ deterministic output, no synthetic tiebreak."""
-    ds = _read(sf_dir, "orders",
-               ["o_orderkey", "o_orderpriority", "o_orderdate"])
-
-    def prune(b: pd.DataFrame) -> pd.DataFrame:
-        thr = (b.drop_duplicates(["o_orderpriority", "o_orderdate"])
-               .sort_values(["o_orderpriority", "o_orderdate"],
-                            ascending=[True, False])
-               .groupby("o_orderpriority").head(3)
-               .groupby("o_orderpriority")["o_orderdate"].min()
-               .rename("thr"))
-        m = b.merge(thr, left_on="o_orderpriority", right_index=True)
-        return (m[m["o_orderdate"] >= m["thr"]]
-                .drop(columns="thr"))
-
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        rk = g["o_orderdate"].rank(method="dense",
-                                   ascending=False).astype("int64")
-        out = g.assign(rk=rk)
-        return out[out["rk"] <= 3][
-            ["o_orderkey", "o_orderpriority", "o_orderdate", "rk"]]
-
-    return (ds.map_batches(prune, batch_format="pandas",
-                           batch_size=None)
-            .groupby("o_orderpriority")
-            .map_groups(rank_group, batch_format="pandas")
-            .sort(["o_orderpriority", "rk", "o_orderkey"]))
+    return _orders_recent_date_rank(sf_dir, k=3, method="dense")
 
 
 def orders_dense_rank_recent_dates_sql() -> str:
@@ -10980,6 +10976,33 @@ def orders_dense_rank_recent_dates_sql() -> str:
         WHERE rk <= 3
         ORDER BY o_orderpriority, rk, o_orderkey
     """
+
+
+def _langid_confusion(sf_dir: str) -> pd.DataFrame:
+    """Shared gold-vs-predicted confusion matrix for the lang-id
+    evaluation entries: per-batch LangId + count partials, one
+    |langs|²-bounded groupby — the kappa and PRF entries fold their
+    scalar math on top of this one frame."""
+    from ray.data.aggregate import Sum
+
+    from .textops import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    lid = LangId()
+
+    def confusion(b: pd.DataFrame) -> pd.DataFrame:
+        pred = lid(b)["lang_pred"]
+        d = pd.DataFrame({"gold": b["lang"].to_numpy(dtype=object),
+                          "pred": pred.to_numpy(dtype=object)})
+        return (d.groupby(["gold", "pred"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    return (ds.map_batches(confusion, batch_format="pandas",
+                           batch_size=None)
+            .groupby(["gold", "pred"]).aggregate(Sum("n",
+                                                     alias_name="n"))
+            .to_pandas())  # |langs|² rows — driver-safe
+
 
 
 def doc_langid_eval(sf_dir: str):
@@ -10996,24 +11019,7 @@ def doc_langid_eval(sf_dir: str):
     kernel runs on the batch, gold rides along) reduce through one
     |langs|²-bounded groupby; the kappa fold is driver-side over that
     tiny frame."""
-    from ray.data.aggregate import Sum
-
-    from .textops import LangId
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    lid = LangId()
-
-    def confusion(b: pd.DataFrame) -> pd.DataFrame:
-        pred = lid(b)["lang_pred"]
-        d = pd.DataFrame({"gold": b["lang"].to_numpy(dtype=object),
-                          "pred": pred.to_numpy(dtype=object)})
-        return (d.groupby(["gold", "pred"], as_index=False).size()
-                .rename(columns={"size": "n"}))
-
-    cm = (ds.map_batches(confusion, batch_format="pandas",
-                         batch_size=None)
-          .groupby(["gold", "pred"]).aggregate(Sum("n", alias_name="n"))
-          .to_pandas())  # |langs|² rows — driver-safe
+    cm = _langid_confusion(sf_dir)
     n_tot = int(cm["n"].sum())
     diag = int(cm.loc[cm["gold"] == cm["pred"], "n"].sum())
     row = cm.groupby("gold")["n"].sum()
@@ -11067,24 +11073,7 @@ def doc_langid_prf(sf_dir: str):
     per-class fold is driver-side over that tiny frame. Classes with
     no predictions get precision 0 by the 0/0→0 convention, stated
     identically in the oracle's coalesce."""
-    from ray.data.aggregate import Sum
-
-    from .textops import LangId
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    lid = LangId()
-
-    def confusion(b: pd.DataFrame) -> pd.DataFrame:
-        pred = lid(b)["lang_pred"]
-        d = pd.DataFrame({"gold": b["lang"].to_numpy(dtype=object),
-                          "pred": pred.to_numpy(dtype=object)})
-        return (d.groupby(["gold", "pred"], as_index=False).size()
-                .rename(columns={"size": "n"}))
-
-    cm = (ds.map_batches(confusion, batch_format="pandas",
-                         batch_size=None)
-          .groupby(["gold", "pred"]).aggregate(Sum("n", alias_name="n"))
-          .to_pandas())  # |langs|² rows — driver-safe
+    cm = _langid_confusion(sf_dir)
     langs = sorted(set(cm["gold"]))
     out = []
     for l in langs:
@@ -11586,8 +11575,6 @@ def events_welch_ttest(sf_dir: str):
 
     import pyarrow.dataset as pads
 
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "events", ["event_type", "value"],
                filter=pads.field("event_type").isin(
                    [_KS_TYPE_A, _KS_TYPE_B]))
@@ -11598,21 +11585,25 @@ def events_welch_ttest(sf_dir: str):
         out = []
         for side, mask in (("a", a), ("b", ~a)):
             x = v[mask]
+            # s1/s2 travel as STRINGS: an int64 Sum tree would wrap
+            # silently once Σx² passes 2⁶³ (~10⁷ milli-quantized
+            # rows) — the same transport the KS/MW/KW entries use
             out.append({"side": side, "n": len(x),
-                        "s1": int(x.sum()),
-                        "s2": int((x.astype(object) ** 2).sum())})
+                        "s1": str(int(x.sum())),
+                        "s2": str(int((x.astype(object) ** 2).sum()))})
         return pd.DataFrame(out)
 
-    m = (ds.map_batches(moments, batch_format="pandas",
-                        batch_size=None)
-         .groupby("side")
-         .aggregate(Sum("n", alias_name="n"),
-                    Sum("s1", alias_name="s1"),
-                    Sum("s2", alias_name="s2"))
-         .to_pandas().set_index("side"))
-    na, nb_ = int(m.loc["a", "n"]), int(m.loc["b", "n"])
-    s1a, s1b = int(m.loc["a", "s1"]), int(m.loc["b", "s1"])
-    s2a, s2b = int(m.loc["a", "s2"]), int(m.loc["b", "s2"])
+    parts = (ds.map_batches(moments, batch_format="pandas",
+                            batch_size=None)
+             .to_pandas())  # 2 rows per batch — metadata-sized
+    acc = {"a": [0, 0, 0], "b": [0, 0, 0]}
+    for _, r in parts.iterrows():
+        s = acc[r["side"]]
+        s[0] += int(r["n"])
+        s[1] += int(r["s1"])
+        s[2] += int(r["s2"])
+    na, s1a, s2a = acc["a"]
+    nb_, s1b, s2b = acc["b"]
     # unbiased variance over n: v = (n·Σx² − (Σx)²) / (n(n−1))
     va = Fraction(na * s2a - s1a * s1a, na * (na - 1))
     vb = Fraction(nb_ * s2b - s1b * s1b, nb_ * (nb_ - 1))
@@ -11687,11 +11678,16 @@ def events_mantel_haenszel_or(sf_dir: str):
     nb = n_key_groups(ds.count())
 
     def triples(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["event_type"].isin(["click", "purchase"])]
+        # the basket universe is EVERY (user, day) with any activity —
+        # restricting to click/purchase rows would make the 'neither'
+        # cell structurally empty and the odds ratio degenerate (a
+        # 2x2 needs all four cells); non-click/purchase activity
+        # collapses to a universe marker row per basket
         out = pd.DataFrame({
             "user_id": b["user_id"].to_numpy(np.int64),
             "day": b["ts"].dt.floor("D"),
-            "typ": b["event_type"]})
+            "typ": b["event_type"].where(
+                b["event_type"].isin(["click", "purchase"]), "_any")})
         out = out.drop_duplicates()
         out["bucket"] = hash_bucket(out["user_id"].to_numpy(np.int64),
                                     nb)
@@ -11769,7 +11765,6 @@ def events_mantel_haenszel_or_sql() -> str:
                           max(CASE WHEN event_type = 'purchase'
                               THEN 1 ELSE 0 END) AS purchase
                    FROM events
-                   WHERE event_type IN ('click', 'purchase')
                    GROUP BY 1, 2),
         s AS (SELECT *, CAST(isodow(day) - 1 AS BIGINT) AS dow
               FROM b),
@@ -11799,8 +11794,6 @@ def lineitem_ols_price_on_qty_discount(sf_dir: str):
     for negative coefficients (discount's β is negative — higher
     discount, lower recorded price). Exact HUGEINT determinant-
     expansion oracle (the same Cramer formulas, literal SQL)."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "lineitem",
                ["l_quantity", "l_discount", "l_extendedprice"])
 
@@ -11813,19 +11806,29 @@ def lineitem_ols_price_on_qty_discount(sf_dir: str):
         qo = q.astype(object)
         do = d.astype(object)
         yo = y.astype(object)
+        # moments travel as STRINGS: Σd·y alone passes 2⁶³ near 10¹⁰
+        # rows, so an int64 Sum tree would wrap silently (the KS/MW/
+        # KW transport); one row per batch is metadata-sized
         return pd.DataFrame([{
-            "n": len(q), "sq": int(q.sum()), "sd": int(d.sum()),
-            "sqq": int((qo * qo).sum()), "sdd": int((do * do).sum()),
-            "sqd": int((qo * do).sum()), "sy": int(y.sum()),
-            "sqy": int((qo * yo).sum()), "sdy": int((do * yo).sum())}])
+            "n": len(q), "sq": str(int(q.sum())),
+            "sd": str(int(d.sum())),
+            "sqq": str(int((qo * qo).sum())),
+            "sdd": str(int((do * do).sum())),
+            "sqd": str(int((qo * do).sum())),
+            "sy": str(int(y.sum())),
+            "sqy": str(int((qo * yo).sum())),
+            "sdy": str(int((do * yo).sum()))}])
 
-    cols = ("n", "sq", "sd", "sqq", "sdd", "sqd", "sy", "sqy", "sdy")
-    m = (ds.map_batches(moments, batch_format="pandas",
-                        batch_size=None)
-         .aggregate(*[Sum(c, alias_name=c) for c in cols]))
-    n, sq, sd = int(m["n"]), int(m["sq"]), int(m["sd"])
-    sqq, sdd, sqd = int(m["sqq"]), int(m["sdd"]), int(m["sqd"])
-    sy, sqy, sdy = int(m["sy"]), int(m["sqy"]), int(m["sdy"])
+    parts = (ds.map_batches(moments, batch_format="pandas",
+                            batch_size=None)
+             .to_pandas())  # one row per batch — metadata-sized
+    n = int(parts["n"].sum())
+    sums = {c: sum(int(s) for s in parts[c])
+            for c in ("sq", "sd", "sqq", "sdd", "sqd", "sy", "sqy",
+                      "sdy")}
+    sq, sd = sums["sq"], sums["sd"]
+    sqq, sdd, sqd = sums["sqq"], sums["sdd"], sums["sqd"]
+    sy, sqy, sdy = sums["sy"], sums["sqy"], sums["sdy"]
 
     def det3(a):
         return (a[0][0] * (a[1][1] * a[2][2] - a[1][2] * a[2][1])
@@ -11977,13 +11980,17 @@ def embedding_kcenter_coreset(sf_dir: str):
         ids, x = ids[order], x[order]
         ref_chosen = [int(ids[0])]
         ref_d = [0.0]
-        mind = None
         for _ in range(1, _KCENTER_K):
-            c = x[np.searchsorted(ids, ref_chosen[-1])]
-            d2 = (np.einsum("id,id->i", x, x)
-                  + float(np.einsum("d,d->", c, c))
-                  - 2.0 * (x @ c))
-            mind = d2 if mind is None else np.minimum(mind, d2)
+            # IDENTICAL arithmetic to the distributed kernel (full
+            # gemm over all chosen centers, fresh each round) — a
+            # per-center gemv with incremental minimum rounds
+            # differently in float64 and could flip near-tied argmax
+            cc = x[np.searchsorted(ids, np.array(ref_chosen,
+                                                 dtype=np.int64))]
+            d2 = (np.einsum("id,id->i", x, x)[:, None]
+                  + np.einsum("kd,kd->k", cc, cc)[None, :]
+                  - 2.0 * x @ cc.T)
+            mind = d2.min(axis=1)
             j = int(np.lexsort((ids, -mind))[0])
             ref_chosen.append(int(ids[j]))
             ref_d.append(float(mind[j]))

@@ -68,10 +68,15 @@ class _ScanMatches:
     metadata however many rows the predicate hits — a predicate
     deleting 30% of a 100 TB table costs the driver nothing."""
 
-    def __init__(self, root: str, run_id: str, predicate: dict):
+    def __init__(self, root: str, run_id: str, predicate: dict,
+                 evolved: bool = False):
         self.root = root
         self.run_id = run_id
         self.predicate = predicate
+        # only evolved tables can have fragments missing a predicate
+        # column; the footer probe is skipped otherwise (one read per
+        # overlap fragment on the hot delete path)
+        self.evolved = evolved
 
     def __call__(self, meta: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -85,10 +90,11 @@ class _ScanMatches:
             # physically lacks the column — its rows are all NULL there,
             # and SQL comparison-with-NULL never matches, so the whole
             # fragment is skipped (same semantics as a scan + null mask)
-            have = set(pq.read_schema(
-                f"{self.root}/{row['path']}").names)
-            if any(c not in have for c in self.predicate):
-                continue
+            if self.evolved:
+                have = set(pq.read_schema(
+                    f"{self.root}/{row['path']}").names)
+                if any(c not in have for c in self.predicate):
+                    continue
             t = pq.read_table(f"{self.root}/{row['path']}", columns=cols)
             mask = np.ones(t.num_rows, dtype=bool)
             for col, (lo, hi) in self.predicate.items():
@@ -148,7 +154,9 @@ def delete_where(table: Table, predicate: dict,
               "delete_paths": list(f.delete_paths)} for f in overlap],
             override_num_blocks=len(overlap))
         parts = metas.map_batches(
-            _ScanMatches(table.root, ctx.run_id, predicate),
+            _ScanMatches(table.root, ctx.run_id, predicate,
+                         evolved=bool(snap.manifest.properties
+                                      .get("schema_evolved"))),
             batch_format="pyarrow", batch_size=1).take_all()
         for r in parts:  # O(touched fragments) metadata rows
             by_frag[r["fragment_id"]] = int(r["n"])
@@ -159,14 +167,27 @@ def delete_where(table: Table, predicate: dict,
         return None
 
     dropped = {f.id for f in contained}
+    # delete-state fingerprints at SCAN time (compact.py discipline):
+    # a concurrent update_where tombstones matching rows in F and
+    # rewrites them into a NEW fragment — F stays live, so a liveness
+    # check alone would commit this delete while the updated copies
+    # survive. A changed fingerprint on any touched/contained
+    # fragment conflicts instead.
+    from .compact import _delete_fp
+
+    scanned_fp = {f.id: _delete_fp(f) for f in contained + overlap}
 
     def build(latest: Manifest) -> Manifest:
-        live = latest.fragment_ids()
+        latest_by_id = {f.id: f for f in latest.fragments}
         for fid in set(by_frag) | dropped:
-            if fid not in live:
+            if fid not in latest_by_id:
                 raise CommitConflict(
                     f"fragment {fid} was rewritten concurrently; "
                     f"rerun delete_where")
+            if _delete_fp(latest_by_id[fid]) != scanned_fp[fid]:
+                raise CommitConflict(
+                    f"fragment {fid}'s delete state changed "
+                    f"concurrently; rerun delete_where")
         frags = []
         for f in latest.fragments:
             if f.id in dropped:

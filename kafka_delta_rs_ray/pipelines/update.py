@@ -122,10 +122,13 @@ class _RewriteMatches:
         for row in meta.to_pylist():
             # schema evolution: fragment predating an ADD of a
             # predicate column → all-NULL there → never matches
-            have = set(pq.read_schema(
-                f"{self.root}/{row['path']}").names)
-            if any(c not in have for c in self.predicate):
-                continue
+            # (probe gated on evolution — schema_b64 is only shipped
+            # for evolved tables)
+            if target_schema is not None:
+                have = set(pq.read_schema(
+                    f"{self.root}/{row['path']}").names)
+                if any(c not in have for c in self.predicate):
+                    continue
             t = pq.read_table(f"{self.root}/{row['path']}")
             if target_schema is not None:
                 from ..tablefmt.schema import conform_table
@@ -250,13 +253,27 @@ def update_where(table: Table, predicate: dict, assignments: dict,
                        seconds=time.time() - t0)
         return None
 
+    # delete-state fingerprints at SCAN time: the conflict check must
+    # catch not only a fragment vanishing (compaction) but a fragment
+    # gaining delete files (a concurrent delete_where/update_where/
+    # merge tombstoned rows we read as live) — committing over that
+    # would resurrect the concurrently-deleted rows with our updated
+    # values (compact.py applies the same fingerprint discipline)
+    from .compact import _delete_fp
+
+    scanned_fp = {f.id: _delete_fp(f) for f in touched}
+
     def build(latest: Manifest) -> Manifest:
-        live = latest.fragment_ids()
+        latest_by_id = {f.id: f for f in latest.fragments}
         for fid in by_frag:
-            if fid not in live:
+            if fid not in latest_by_id:
                 raise CommitConflict(
                     f"fragment {fid} was rewritten concurrently; "
                     f"rerun update_where")
+            if _delete_fp(latest_by_id[fid]) != scanned_fp[fid]:
+                raise CommitConflict(
+                    f"fragment {fid}'s delete state changed "
+                    f"concurrently; rerun update_where")
         frags = []
         for f in latest.fragments:
             if f.id in by_frag:

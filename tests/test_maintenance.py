@@ -1447,3 +1447,40 @@ def test_delete_where_conflicts_with_concurrent_compact(table):
     m = delete_where(table, {"w": (128, None)})
     assert m is not None
     assert table.snapshot().to_arrow().num_rows == n_before - n_match
+
+
+def test_update_where_conflicts_with_concurrent_delete(table):
+    """The lost-update race from review: UPDATE scans fragment F as
+    live, a concurrent DELETE tombstones matching rows in F (F stays
+    live — liveness alone would pass), then the update's commit must
+    detect F's changed delete-state fingerprint and conflict —
+    committing would resurrect the concurrently-deleted rows with
+    updated values. Rerun after the delete converges: only surviving
+    rows are updated."""
+    from kafka_delta_rs_ray.errors import CommitConflict
+    from kafka_delta_rs_ray.pipelines.delete import delete_where
+    from kafka_delta_rs_ray.pipelines.update import update_where
+
+    orig = Table.commit
+    state = {"fired": False}
+
+    def hooked(build, max_attempts=3):
+        if not state["fired"]:
+            state["fired"] = True
+            delete_where(Table(table.root), {"w": (192, None)})
+        return orig(table, build, max_attempts)
+
+    table.commit = hooked
+    try:
+        with pytest.raises(CommitConflict, match="delete state"):
+            update_where(table, {"w": (128, None)}, {"caption": "X"})
+    finally:
+        del table.commit
+
+    m = update_where(table, {"w": (128, None)}, {"caption": "X"})
+    assert m is not None
+    t = table.snapshot().to_arrow()
+    w = t["w"].to_numpy(zero_copy_only=False)
+    assert (w < 192).all()  # the concurrent delete held
+    caps = [c for c, ww in zip(t["caption"].to_pylist(), w) if ww >= 128]
+    assert caps and all(c == "X" for c in caps)
