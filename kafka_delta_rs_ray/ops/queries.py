@@ -11893,6 +11893,102 @@ def lineitem_ols_price_on_qty_discount_sql() -> str:
     """
 
 
+def events_mcnemar_purchase_halves(sf_dir: str):
+    """McNEMAR's test — PAIRED binary design (the within-subject
+    shape: each user is their own control): did purchasing behavior
+    change between the first and second half of the observation
+    window? Only the DISCORDANT users carry information — b (bought
+    early only) vs c (bought late only) — and the statistic
+    (b−c)²/(b+c) is a ratio of exact integers, emitted in floor
+    micro-units. Unlike the independence chi-square (unpaired
+    contingency) or MH (stratified 2×2), the pairing removes
+    between-user variation entirely. Plan: the global midpoint comes
+    from a min/max reduce; per-batch distinct (user, half-flags)
+    partials OR-combine through one user-bucketed exchange into a
+    4-cell count frame. Exact HUGEINT `//` oracle."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    g = ds.aggregate(Min("ts"), Max("ts"))
+    lo = pd.Timestamp(g["min(ts)"])
+    hi = pd.Timestamp(g["max(ts)"])
+    # floor to whole microseconds: DuckDB's INTERVAL/2 is us-precise,
+    # pandas' is ns-precise — an event between the two mids would
+    # flip halves
+    mid = (lo + (hi - lo) / 2).floor("us")
+    nb = n_key_groups(ds.count())
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        p = b[b["event_type"] == "purchase"]
+        d = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "early": np.zeros(len(b), np.int64),
+            "late": np.zeros(len(b), np.int64)})
+        pu = pd.DataFrame({
+            "user_id": p["user_id"].to_numpy(np.int64),
+            "early": (p["ts"] < mid).to_numpy(np.int64),
+            "late": (p["ts"] >= mid).to_numpy(np.int64)})
+        out = (pd.concat([d, pu])
+               .groupby("user_id", as_index=False)[["early", "late"]]
+               .max())
+        out["bucket"] = hash_bucket(out["user_id"].to_numpy(np.int64),
+                                    nb)
+        return out
+
+    def cells(grp: pd.DataFrame) -> pd.DataFrame:
+        u = (grp.groupby("user_id")[["early", "late"]].max())
+        vc = (u.groupby(["early", "late"]).size()
+              .rename("n").reset_index())
+        return vc
+
+    cm = (ds.map_batches(flags, batch_format="pandas",
+                         batch_size=None)
+          .groupby("bucket").map_groups(cells, batch_format="pandas")
+          .groupby(["early", "late"]).aggregate(Sum("n",
+                                                    alias_name="n"))
+          .to_pandas())  # 4 rows — driver-safe
+    tab = {(int(r["early"]), int(r["late"])): int(r["n"])
+           for _, r in cm.iterrows()}
+    b_ = tab.get((1, 0), 0)  # discordant: early only
+    c = tab.get((0, 1), 0)  # discordant: late only
+    stat = ((1_000_000 * (b_ - c) * (b_ - c)) // (b_ + c)
+            if b_ + c else 0)
+    return pa.table({
+        "mcnemar_micro": pa.array([stat], pa.int64()),
+        "n_early_only": pa.array([b_], pa.int64()),
+        "n_late_only": pa.array([c], pa.int64()),
+        "n_users": pa.array([sum(tab.values())], pa.int64())})
+
+
+def events_mcnemar_purchase_halves_sql() -> str:
+    return """
+        WITH bounds AS (SELECT min(ts) AS lo, max(ts) AS hi
+                        FROM events),
+        m AS (SELECT lo + (hi - lo) / 2 AS mid FROM bounds),
+        u AS (SELECT e.user_id,
+                     max(CASE WHEN e.event_type = 'purchase'
+                              AND e.ts < m.mid THEN 1 ELSE 0 END)
+                         AS early,
+                     max(CASE WHEN e.event_type = 'purchase'
+                              AND e.ts >= m.mid THEN 1 ELSE 0 END)
+                         AS late
+              FROM events e, m GROUP BY e.user_id),
+        c AS (SELECT CAST(sum(CASE WHEN early = 1 AND late = 0
+                          THEN 1 ELSE 0 END) AS HUGEINT) AS b,
+                     CAST(sum(CASE WHEN early = 0 AND late = 1
+                          THEN 1 ELSE 0 END) AS HUGEINT) AS c,
+                     CAST(count(*) AS HUGEINT) AS n
+              FROM u)
+        SELECT CAST(CASE WHEN b + c = 0 THEN 0
+                    ELSE (1000000 * (b - c) * (b - c)) // (b + c)
+                    END AS BIGINT) AS mcnemar_micro,
+               CAST(b AS BIGINT) AS n_early_only,
+               CAST(c AS BIGINT) AS n_late_only,
+               CAST(n AS BIGINT) AS n_users
+        FROM c
+    """
+
+
 _KCENTER_K = 8
 
 
@@ -12266,6 +12362,7 @@ QUERIES = {
     "events_mantel_haenszel_or": events_mantel_haenszel_or,
     "lineitem_ols_price_on_qty_discount":
         lineitem_ols_price_on_qty_discount,
+    "events_mcnemar_purchase_halves": events_mcnemar_purchase_halves,
 }
 
 ORACLES = {
@@ -12429,4 +12526,6 @@ ORACLES = {
     "events_mantel_haenszel_or": events_mantel_haenszel_or_sql(),
     "lineitem_ols_price_on_qty_discount":
         lineitem_ols_price_on_qty_discount_sql(),
+    "events_mcnemar_purchase_halves":
+        events_mcnemar_purchase_halves_sql(),
 }
